@@ -1,0 +1,484 @@
+"""Operator-query catalog: every SURVEY.md §2 operator as a named query with
+a DuckDB oracle.
+
+Each entry pairs a PySpark callable ``(spark, sf_dir) -> DataFrame`` with an
+ANSI-SQL string DuckDB runs over the same parquet tables (views
+``region nation customer supplier part orders lineitem events documents
+embeddings`` are pre-registered by the driver). Column names and (where
+practical) types are aligned on both sides because the driver's compare
+hashes values after sorting columns by name.
+
+Determinism rules used throughout (so value hashes match bit-for-bit):
+- Raw doubles pass through untouched (identical bits in both engines).
+- SUM over doubles goes through DECIMAL(18,2) (exact, order-independent)
+  and is cast back to DOUBLE.
+- Engine-specific function spellings differ between Spark and DuckDB
+  (sha2/sha256, datediff/date_diff, dayofweek base) — oracles use the DuckDB
+  spelling of the SAME semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .plans.medallion import SEGMENT_DISPLAY, build_pipeline
+from .sources.loader import load_table
+from .tuning import tune_session
+
+# --------------------------------------------------------------------------
+# DuckDB oracle fragments replicating the silver layer (shared by gold oracles)
+# --------------------------------------------------------------------------
+
+_SILVER_ORDERS = """
+  SELECT o.*,
+         CASE WHEN o_orderstatus = 'F'
+              THEN o_orderdate + INTERVAL 18 MINUTE
+              ELSE NULL END AS o_approved_at,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS o_is_urgent
+  FROM orders o
+"""
+
+_SILVER_CUSTOMER = f"""
+  SELECT c.*,
+         COALESCE(CASE c_mktsegment
+            {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in SEGMENT_DISPLAY.items())}
+         END, c_mktsegment) AS c_segment_display,
+         n.n_name AS c_nation_name
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+_SILVER_SUPPLIER = """
+  SELECT s.s_suppkey, UPPER(TRIM(s.s_name)) AS s_name, s.s_nationkey,
+         s.s_acctbal, n.n_name AS s_nation_name
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+_SILVER_PART = """
+  SELECT p.*, COALESCE(p_type, 'N/A') AS p_category,
+         p_size * p_size * p_size AS p_volume_index,
+         p_retailprice > 1500.0 AS p_is_premium
+  FROM part p
+"""
+
+_SILVER_EVENTS = """
+  SELECT e.event_id, e.ts, e.user_id,
+         COALESCE(e.event_type, 'N/A') AS event_type,
+         e.value,
+         COALESCE(e.ts, lo.last_order_date + INTERVAL 1 DAY) AS event_time_imputed,
+         e.ts + INTERVAL 3 DAY AS followup_deadline
+  FROM events e
+  INNER JOIN (
+    SELECT o_custkey, MAX(o_orderdate) AS last_order_date
+    FROM orders GROUP BY o_custkey
+  ) lo ON e.user_id = lo.o_custkey
+"""
+
+_DIM_ORDERS = f"""
+  SELECT sha256(CAST(o_orderkey AS VARCHAR)) AS order_key,
+         o_orderkey AS order_natural_key,
+         o_orderstatus, o_orderpriority, o_is_urgent,
+         CAST(o_orderdate AS DATE) AS order_date,
+         CASE WHEN o_approved_at IS NOT NULL
+              THEN CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(o_approved_at AS DATE)) AS INTEGER)
+              ELSE NULL END AS approval_lag_days,
+         CASE WHEN o_orderstatus = 'F' THEN TRUE ELSE FALSE END AS is_fulfilled
+  FROM ({_SILVER_ORDERS}) so
+"""
+
+_FIRST_EVENT = f"""
+  SELECT user_id,
+         ANY_VALUE(value) AS first_event_value,
+         ANY_VALUE(event_type) AS first_event_type
+  FROM (
+    SELECT user_id, value, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM ({_SILVER_EVENTS}) se
+  ) r WHERE rn = 1 GROUP BY user_id
+"""
+
+_DIM_CUSTOMERS = f"""
+  SELECT sha256(CAST(c.c_custkey AS VARCHAR)) AS customer_key,
+         c.c_custkey AS customer_natural_key,
+         c.c_name, c.c_mktsegment, c.c_segment_display, c.c_nation_name,
+         c.c_acctbal, fe.first_event_value, fe.first_event_type
+  FROM ({_SILVER_CUSTOMER}) c
+  LEFT JOIN ({_FIRST_EVENT}) fe ON c.c_custkey = fe.user_id
+"""
+
+_DIM_SUPPLIERS = f"""
+  SELECT sha256(CAST(s.s_suppkey AS VARCHAR)) AS supplier_key,
+         s.s_suppkey AS supplier_natural_key,
+         s.s_name, s.s_nation_name, s.s_acctbal, fe.first_event_value
+  FROM ({_SILVER_SUPPLIER}) s
+  LEFT JOIN ({_FIRST_EVENT}) fe ON s.s_suppkey = fe.user_id
+"""
+
+_DIM_PARTS = f"""
+  SELECT sha256(CAST(p_partkey AS VARCHAR)) AS part_key,
+         p_partkey AS part_natural_key,
+         p_name, p_brand, p_category, p_size, p_volume_index, p_is_premium,
+         p_retailprice
+  FROM ({_SILVER_PART}) sp
+"""
+
+_DIM_DATE = f"""
+  WITH date_range AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS min_date,
+           MAX(CAST(COALESCE(o_approved_at, o_orderdate) AS DATE)) AS max_date
+    FROM ({_SILVER_ORDERS}) so
+  ),
+  date_series AS (
+    SELECT CAST(unnest(generate_series(min_date, max_date, INTERVAL 1 DAY)) AS DATE) AS date_day
+    FROM date_range
+  )
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY date_day) AS INTEGER) AS date_key,
+         date_day AS date_actual,
+         CAST(EXTRACT(YEAR FROM date_day) AS INTEGER) AS year,
+         CAST(EXTRACT(QUARTER FROM date_day) AS INTEGER) AS quarter,
+         CAST(EXTRACT(MONTH FROM date_day) AS INTEGER) AS month,
+         CAST(EXTRACT(DAY FROM date_day) AS INTEGER) AS day,
+         CAST(dayofweek(date_day) + 1 AS INTEGER) AS day_of_week,
+         dayname(date_day) AS day_name,
+         monthname(date_day) AS month_name,
+         CAST(weekofyear(date_day) AS INTEGER) AS week_of_year,
+         CASE WHEN dayofweek(date_day) + 1 IN (1, 7) THEN TRUE ELSE FALSE END AS is_weekend
+  FROM date_series
+"""
+
+_FACT_LINEITEM = f"""
+  WITH order_totals AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_value,
+           COUNT(DISTINCT l_returnflag) AS return_flag_count,
+           MAX(l_quantity) AS max_item_quantity,
+           string_agg(DISTINCT l_returnflag, ', ' ORDER BY l_returnflag) AS return_flags
+    FROM lineitem GROUP BY l_orderkey
+  ),
+  event_summary AS (
+    SELECT user_id, MAX(value) AS last_event_value, MAX(ts) AS last_event_ts
+    FROM ({_SILVER_EVENTS}) se GROUP BY user_id
+  )
+  SELECT
+    sha256(CAST(li.l_orderkey AS VARCHAR) || '|' || CAST(li.l_linenumber AS VARCHAR)) AS lineitem_key,
+    do_.order_key,
+    dc.customer_key,
+    dp.part_key,
+    ds.supplier_key,
+    dd.date_key AS order_date_key,
+    dd_ship.date_key AS ship_date_key,
+    li.l_orderkey AS order_natural_key,
+    li.l_linenumber,
+    li.l_extendedprice AS item_price,
+    li.l_extendedprice * li.l_discount AS item_discount_value,
+    (COALESCE(li.l_extendedprice, 0) + COALESCE(li.l_tax, 0)) AS item_total_value,
+    ot.total_order_value,
+    ot.return_flag_count,
+    ot.max_item_quantity,
+    ot.return_flags,
+    es.last_event_value,
+    CASE WHEN es.last_event_value IS NOT NULL AND es.last_event_value >= 50 THEN TRUE ELSE FALSE END AS is_high_value_user,
+    CASE WHEN li.l_shipdate IS NOT NULL
+         THEN CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(li.l_shipdate AS DATE)) AS INTEGER)
+         ELSE NULL END AS ship_lag_days,
+    CASE WHEN o.o_approved_at IS NOT NULL
+         THEN CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(o.o_approved_at AS DATE)) AS INTEGER)
+         ELSE NULL END AS approval_lag_days,
+    li.l_shipdate,
+    o.o_orderdate AS order_purchase_timestamp
+  FROM lineitem li
+  INNER JOIN ({_SILVER_ORDERS}) o ON li.l_orderkey = o.o_orderkey
+  INNER JOIN ({_SILVER_CUSTOMER}) c ON o.o_custkey = c.c_custkey
+  INNER JOIN ({_DIM_ORDERS}) do_ ON o.o_orderkey = do_.order_natural_key
+  INNER JOIN ({_DIM_CUSTOMERS}) dc ON c.c_custkey = dc.customer_natural_key
+  INNER JOIN ({_DIM_PARTS}) dp ON li.l_partkey = dp.part_natural_key
+  INNER JOIN ({_DIM_SUPPLIERS}) ds ON li.l_suppkey = ds.supplier_natural_key
+  INNER JOIN ({_DIM_DATE}) dd ON CAST(o.o_orderdate AS DATE) = dd.date_actual
+  LEFT JOIN ({_DIM_DATE}) dd_ship ON CAST(li.l_shipdate AS DATE) = dd_ship.date_actual
+  LEFT JOIN order_totals ot ON li.l_orderkey = ot.l_orderkey
+  LEFT JOIN event_summary es ON o.o_custkey = es.user_id
+  WHERE li.l_orderkey IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Pipeline-dataset queries
+# --------------------------------------------------------------------------
+
+def _pipeline_q(dataset: str, drop: tuple[str, ...] = ()) -> Callable:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_session(spark)
+        df = build_pipeline(sf_dir).dataframe(spark, dataset)
+        return df.drop(*drop) if drop else df
+
+    q.__name__ = f"q_{dataset.replace('.', '_')}"
+    return q
+
+
+def _cast_dim_date_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # date_key is row_number (int in Spark); oracle casts its BIGINT to INTEGER.
+    tune_session(spark)
+    return build_pipeline(sf_dir).dataframe(spark, "gold.dim_date")
+
+
+# --------------------------------------------------------------------------
+# Operator-level queries (SURVEY §2 ids in comments)
+# --------------------------------------------------------------------------
+
+def q_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/F1: select with cast+rename, column drop."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.drop("l_tax")
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").cast("bigint").alias("line_no"),
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+    )
+
+
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4-P9: where / between / isin / null / length / date-cast predicates."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .filter(F.col("l_orderkey").isNotNull())
+        .filter(F.col("l_quantity").between(5, 45))
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .filter(F.length(F.col("o_orderpriority")) >= 5)
+        .filter(F.to_date(F.col("l_shipdate")) >= F.to_date(F.col("o_orderdate")))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+            "o_orderpriority",
+        )
+    )
+
+
+def q_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4: groupBy sum / countDistinct / max / collect_set→sort→join."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_order_value"),
+        F.countDistinct("l_returnflag").alias("return_flag_count"),
+        F.max("l_quantity").alias("max_item_quantity"),
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ", ").alias("return_flags"),
+    )
+
+
+def q_global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: ungrouped global aggregate over date expressions."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("min_order_date"),
+        F.max(F.to_date("o_orderdate")).alias("max_order_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/P5/A5: row_number partitioned dedup, rn=1 filter, any_value."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.any_value(F.col("value")).alias("first_value"),
+            F.any_value(F.col("event_type")).alias("first_type"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: left-semi referential check (the reference's disabled expectation,
+    Silver_order_items.py:36)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    big_items = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 50000)
+    return orders.join(
+        big_items, orders.o_orderkey == big_items.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q_scalar_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F13 sweep: cast, case-when, coalesce, interval, map-literal lookup,
+    trim/upper/length/concat, sha2, datediff/date_add/extract, arithmetic,
+    boolean flags, fillna, lit defaults."""
+    from .functions.keys import surrogate_key
+    from .functions.maps import mapping_column
+
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey"),
+        surrogate_key("o_orderkey", "o_custkey").alias("surrogate"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("FULFILLED"))
+        .otherwise(F.lit("PENDING"))
+        .alias("status_label"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("N/A")).alias("priority"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 18 MINUTES")).alias("approved_estimate"),
+        mapping_column(
+            {"1-URGENT": "urgent", "2-HIGH": "high"},
+            F.col("o_orderpriority"),
+            default=F.lit("normal"),
+        ).alias("priority_class"),
+        F.upper(F.trim(F.col("o_orderstatus"))).alias("status_upper"),
+        F.length(F.col("o_orderpriority")).alias("priority_len"),
+        F.concat(F.col("o_orderstatus"), F.lit("|"), F.col("o_orderpriority")).alias("status_concat"),
+        F.datediff(F.current_date(), F.to_date("o_orderdate")).alias("age_days"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        (F.col("o_totalprice") * 0.1).alias("fee"),
+        (F.col("o_totalprice") > 100000).alias("is_large"),
+    ).drop("age_days")  # non-deterministic vs oracle (current_date); kept out
+
+
+def q_date_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5: equi-join on derived date expression, inner + left."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_day = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("orders_that_day")
+    )
+    return (
+        li.join(per_day, F.to_date(li.l_shipdate) == per_day.d, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.to_date("l_shipdate").alias("ship_day"),
+            F.coalesce("orders_that_day", F.lit(0)).alias("orders_that_day"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Catalog
+# --------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # pipeline datasets (gold layer = flagship surface)
+    "gold_fact_lineitem": _pipeline_q("gold.fact_lineitem"),
+    "gold_dim_orders": _pipeline_q("gold.dim_orders"),
+    "gold_dim_customers": _pipeline_q("gold.dim_customers"),
+    "gold_dim_suppliers": _pipeline_q("gold.dim_suppliers"),
+    "gold_dim_parts": _pipeline_q("gold.dim_parts"),
+    "gold_dim_date": _cast_dim_date_int,
+    "silver_orders": _pipeline_q("silver.silver_orders", drop=("processed_at",)),
+    "silver_customer": _pipeline_q("silver.silver_customer"),
+    "silver_events": _pipeline_q("silver.silver_events"),
+    # operator-level
+    "typed_projection": q_typed_projection,
+    "predicates": q_predicates,
+    "order_totals": q_order_totals,
+    "global_minmax": q_global_minmax,
+    "window_dedup": q_window_dedup,
+    "semi_join": q_semi_join,
+    "scalar_matrix": q_scalar_matrix,
+    "date_expr_join": q_date_expr_join,
+}
+
+ORACLES: dict[str, str] = {
+    "gold_fact_lineitem": _FACT_LINEITEM,
+    "gold_dim_orders": _DIM_ORDERS,
+    "gold_dim_customers": _DIM_CUSTOMERS,
+    "gold_dim_suppliers": _DIM_SUPPLIERS,
+    "gold_dim_parts": _DIM_PARTS,
+    "gold_dim_date": _DIM_DATE,
+    "silver_orders": _SILVER_ORDERS.replace("o.*,", "o.*,").strip(),
+    "silver_customer": _SILVER_CUSTOMER,
+    "silver_events": _SILVER_EVENTS,
+    "typed_projection": """
+      SELECT l_orderkey AS order_key,
+             CAST(l_linenumber AS BIGINT) AS line_no,
+             l_quantity AS qty,
+             l_extendedprice AS price,
+             CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem
+    """,
+    "predicates": """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey IS NOT NULL
+        AND l_quantity BETWEEN 5 AND 45
+        AND l_returnflag IN ('A', 'R')
+        AND LENGTH(o_orderpriority) >= 5
+        AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+    """,
+    "order_totals": """
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_value,
+             COUNT(DISTINCT l_returnflag) AS return_flag_count,
+             MAX(l_quantity) AS max_item_quantity,
+             string_agg(DISTINCT l_returnflag, ', ' ORDER BY l_returnflag) AS return_flags
+      FROM lineitem GROUP BY l_orderkey
+    """,
+    "global_minmax": """
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS min_order_date,
+             MAX(CAST(o_orderdate AS DATE)) AS max_order_date,
+             COUNT(*) AS n_orders
+      FROM orders
+    """,
+    "window_dedup": """
+      SELECT user_id, ANY_VALUE(value) AS first_value, ANY_VALUE(event_type) AS first_type
+      FROM (
+        SELECT user_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+      ) r WHERE rn = 1 GROUP BY user_id
+    """,
+    "semi_join": """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 50000)
+    """,
+    "scalar_matrix": """
+      SELECT o_orderkey,
+             sha256(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)) AS surrogate,
+             o_totalprice AS total_price,
+             CASE WHEN o_orderstatus = 'F' THEN 'FULFILLED' ELSE 'PENDING' END AS status_label,
+             COALESCE(o_orderpriority, 'N/A') AS priority,
+             o_orderdate + INTERVAL 18 MINUTE AS approved_estimate,
+             COALESCE(CASE o_orderpriority WHEN '1-URGENT' THEN 'urgent'
+                      WHEN '2-HIGH' THEN 'high' END, 'normal') AS priority_class,
+             UPPER(TRIM(o_orderstatus)) AS status_upper,
+             CAST(LENGTH(o_orderpriority) AS INTEGER) AS priority_len,
+             o_orderstatus || '|' || o_orderpriority AS status_concat,
+             CAST(o_orderdate AS DATE) + 30 AS due_date,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+             CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
+             o_totalprice * 0.1 AS fee,
+             o_totalprice > 100000 AS is_large
+      FROM orders
+    """,
+    "date_expr_join": """
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE) AS ship_day,
+             COALESCE(od.orders_that_day, 0) AS orders_that_day
+      FROM lineitem l
+      LEFT JOIN (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS orders_that_day
+        FROM orders GROUP BY 1
+      ) od ON CAST(l.l_shipdate AS DATE) = od.d
+    """,
+}

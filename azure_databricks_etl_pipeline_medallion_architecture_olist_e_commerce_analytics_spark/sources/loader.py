@@ -1,0 +1,75 @@
+"""Parquet source loading for the driver's synthetic tables.
+
+Equivalent role to the reference's bronze landing reads (one directory per
+dataset, /root/reference/scripts/bronze/bronze_ingestion.py:7-15), but the
+driver testdata is parquet — same operator, different format option
+(SURVEY.md §3.3). CSV-with-rescued-data ingestion lives in csv_ingest.py.
+
+Scale notes: a bare ``spark.read.parquet`` keeps Catalyst in charge —
+predicate pushdown and column pruning reach the parquet scan, and
+``spark.sql.files.maxPartitionBytes`` splits big files across executors.
+Never collect here.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only read, cached)."""
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; nanosecond timestamps become TimestampType.
+
+    Spark reads TIMESTAMP(NANOS) as long (``legacy.parquet.nanosAsLong``);
+    integer-div by 1000 floors to microseconds — the same truncation DuckDB
+    applies, so oracle comparisons see identical values.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nano_ts_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (for spark.sql queries)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(prefix + name)
+    return dfs
