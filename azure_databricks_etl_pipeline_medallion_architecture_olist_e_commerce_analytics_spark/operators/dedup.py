@@ -1,0 +1,235 @@
+"""Large-scale deduplication operators (LLM-data-pipeline extensions).
+
+Beyond-parity operators for training-data pipelines (BASELINE.json north
+star): exact dedup, token-fingerprint dedup, n-gram Jaccard near-dup,
+MinHash+LSH near-dup, and SimHash near-dup — all expressed as JVM-side
+DataFrame transformations (higher-order functions, no Python UDFs), so they
+whole-stage-codegen and scale linearly with partitions.
+
+Scale design notes (100 TB):
+- Exact / fingerprint dedup: one hash-shuffle on the group key. The group key
+  is a fixed-width digest (md5), so shuffle rows are small regardless of
+  document size.
+- MinHash LSH: cost is O(docs × shingles × hashes) map-side plus a shuffle
+  keyed on (band_id, band_hash) — candidate pairs only materialize within a
+  bucket, never the O(n²) cross join.
+- SimHash: 64-bit fingerprint map-side, then a 4×16-bit banded self-join
+  (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical).
+- Brute-force Jaccard is provided as the small-scale oracle-checkable
+  baseline; the banded variants are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    """Distinct lowercase whitespace tokens (the unit for set-similarity)."""
+    return F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+
+
+def fingerprint_col(text_col: str = "text"):
+    """Order-insensitive document fingerprint: md5 of sorted distinct tokens.
+
+    The OpenRefine-style "fingerprint" key: near-dups that permute/repeat
+    words collapse to one key. A 32-hex digest keeps the dedup shuffle narrow.
+    """
+    return F.md5(F.array_join(F.array_sort(tokens_col(text_col)), " "))
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups: one hash-shuffle, keep min id per group."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token-fingerprint dedup groups over a corpus."""
+    return (
+        df.select(F.col(id_col), fingerprint_col(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(tokens, n: int):
+    """Word n-gram shingles from a token array (JVM higher-order fns)."""
+    return F.when(F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        )
+    ).otherwise(F.array(F.array_join(tokens, " ")))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 1,
+) -> DataFrame:
+    """Brute-force exact Jaccard near-dup pairs (O(n²) — baseline/oracle path).
+
+    Token-set (ngram=1) or shingle-set (ngram>1) Jaccard. Use only on bounded
+    inputs; the scale path is :func:`minhash_lsh_pairs`.
+    """
+    toks = tokens_col(text_col)
+    sets = toks if ngram == 1 else F.array_distinct(_shingles(toks, ngram))
+    t = df.select(F.col(id_col).alias("id"), sets.alias("s"))
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(tokens, num_hashes: int = 64, ngram: int = 3):
+    """MinHash signature array over word-``ngram`` shingles.
+
+    ``sig[h] = min over shingles of murmur3(shingle, seed=h)`` — one pass,
+    pure codegen (transform + array_min), no UDF.
+    """
+    sh = _shingles(tokens, ngram)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda s: F.array_min(F.transform(sh, lambda x: F.hash(x, s))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 1,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs with exact-Jaccard verification.
+
+    shingle → minhash → band → bucket-join → verify (SURVEY build plan §7.1
+    step 7). Candidates come only from shared (band, band_hash) buckets, so
+    the join is an equi-shuffle, not a cross join; each candidate pair is then
+    verified with exact token-set Jaccard, so output ⊆ `jaccard_pairs` output
+    (recall < 1 is the LSH tradeoff, precision = 1 after verification).
+    """
+    rows = num_hashes // bands
+    toks = tokens_col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("s"),
+        minhash_signature(toks, num_hashes, ngram).alias("sig"),
+    )
+    banded = base.select(
+        "id",
+        "s",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.hash(F.array_join(F.slice("sig", j * rows + 1, rows), ",")),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size(F.array_union("s_a", "s_b"))
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_expr(tokens_field: str, bits: int = 64):
+    """SimHash fingerprint as BIGINT, fully JVM-side (no UDF).
+
+    Per token: xxhash64 → ±1 per bit position; sum across tokens; sign → bit.
+    Written as a SQL higher-order-function expression because the SQL
+    ``shiftleft``/``shiftright`` accept column shift amounts (the Python
+    wrappers only take ints). ``tokens_field`` names an array<string> column.
+    """
+    n = bits - 1
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate({tokens_field}, array_repeat(0, {bits}),
+              (acc, x) -> zip_with(acc,
+                transform(sequence(0, {n}),
+                          k -> IF((shiftright(xxhash64(x), k) & 1) = 1, 1, -1)),
+                (p, q) -> p + q)),
+            sequence(0, {n}),
+            (s, k) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (a, b) -> a + b)
+        """
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via 4×16-bit banded self-join + bit_count verify.
+
+    Pigeonhole: hamming(fp_a, fp_b) ≤ 3 ⇒ at least one of the 4 16-bit bands
+    is identical, so banding loses no true pairs while keeping the join an
+    equi-shuffle.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks")
+    ).select("id", simhash_expr("__toks").alias("fp"))
+    banded = base.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), j -> shiftright(fp, j * 16) & 65535)")
+        ).alias("band_id", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a typed metadata
+struct; decode / feature-extract / frame-sample run as Arrow-batched
+``mapInPandas`` operators. The image/audio decode libraries are NOT in this
+container, so the actual byte decoding is STUBBED (clearly marked below) with
+a deterministic fake — but everything Spark-side is real and tested: schema,
+partitioning, the mapInPandas batch shape, and the metadata contract.
+
+Scale notes: binary payloads ride in the same parquet row groups as their
+metadata; ``maxPartitionBytes`` controls batch size; mapInPandas streams
+Arrow record batches so a 100 MB image row never materializes per-row Python
+objects outside its batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, format string, width int, height int, channels int"
+)
+
+FRAME_SCHEMA = "doc_id long, n_bytes int, n_frames int, frame_index int, frame_offset int"
+
+REAL_DECODERS_AVAILABLE = False  # PIL / cv2 / torchaudio not in this image
+
+
+def attach_binary_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column + typed metadata struct.
+
+    In production this is the parquet binary column as landed; here the
+    payload is synthesized from the text bytes so the plumbing is exercised
+    end-to-end on the driver testdata.
+    """
+    binary = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        binary.alias("payload"),
+        F.struct(
+            F.length(binary).alias("n_bytes"),
+            F.lit("fake/png").alias("format"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_image_meta(n_bytes: int) -> tuple[int, int, int]:
+    """STUB: deterministic fake decode (real decoder unavailable in image).
+
+    Derives plausible dimensions purely from payload length so oracles can
+    reproduce it. Replace with PIL/cv2 in a container that has them.
+    """
+    width = (n_bytes % 640) + 16
+    height = ((n_bytes // 7) % 480) + 16
+    return width, height, 3
+
+
+def decode_image_meta(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """Arrow-batched image 'decode' extracting (width, height, channels).
+
+    ``use_real_decoder=True`` raises until a decode library is present —
+    the stub boundary is explicit, not silent.
+    """
+    if use_real_decoder and not REAL_DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "real image decoding requires PIL/cv2, not present in this container; "
+            "run with use_real_decoder=False for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = pdf["payload"].map(len)
+            meta = [_fake_image_meta(n) for n in n_bytes]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "format": [m["format"] for m in pdf["media_meta"]],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "channels": [m[2] for m in meta],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_stride: int = 1024) -> DataFrame:
+    """Frame-sampling plumbing for audio/video payloads.
+
+    Emits one row per sampled frame: ``n_frames = n_bytes div stride + 1``,
+    offsets at stride boundaries — the real sampler would seek/decode at each
+    offset (STUB: offsets only). Row-exploding inside mapInPandas keeps the
+    fan-out streaming (no collect, no driver loop).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "n_bytes", "n_frames", "frame_index", "frame_offset")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = n // frame_stride + 1
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["n_bytes"].append(n)
+                    out["n_frames"].append(n_frames)
+                    out["frame_index"].append(i)
+                    out["frame_offset"].append(i * frame_stride)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

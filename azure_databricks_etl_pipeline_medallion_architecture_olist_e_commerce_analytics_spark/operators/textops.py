@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (marker-token heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all pure
+``pyspark.sql.functions`` expressions (JVM-side, codegen'd, linearly
+partition-parallel; no UDFs in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import fingerprint_col, tokens_col
+
+# Public-knowledge high-frequency marker words per language (tiny heuristic
+# lexicons; the operator contract is deterministic scoring, not SOTA LID).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "für", "ein"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+
+# BPE-ish token regex: letter runs, digit runs, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_count_cols(text_col: str = "text"):
+    """(whitespace_tokens, bpe_ish_tokens) counts."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), F.lit(0)))
+    return ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+
+
+def lang_scores(text_col: str = "text"):
+    """Per-language marker-hit counts as individual columns."""
+    toks = tokens_col(text_col)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id_col(text_col: str = "text"):
+    """Deterministic argmax over marker scores (fixed tie-break order)."""
+    scores = lang_scores(text_col)
+    langs = list(LANG_MARKERS)
+    expr = None
+    # first language (in declaration order) whose score >= all others wins
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        for prior in langs[:i]:
+            c = scores[lang] > scores[prior]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr.otherwise(F.lit(langs[0]))
+
+
+def quality_score_col(text_col: str = "text"):
+    """Composite [0,1] quality score from cheap surface statistics.
+
+    0.4·length_score + 0.3·stopword_ratio_score + 0.3·alpha_ratio — the
+    classic pretraining-corpus heuristic family (length / punctuation /
+    stopword ratios), deterministic double arithmetic.
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS]))
+    ).cast("double")
+    length_score = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    stop_score = F.least(F.lit(1.0), (stop_hits / F.greatest(n_tokens, F.lit(1.0))) * F.lit(5.0))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.3) * stop_score + F.lit(0.3) * alpha_ratio, 6
+    )
+
+
+def analyze_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    ws, bpe = token_count_cols(text_col)
+    return df.select(
+        F.col(id_col),
+        ws,
+        bpe,
+        lang_id_col(text_col).alias("predicted_lang"),
+        quality_score_col(text_col).alias("quality_score"),
+        fingerprint_col(text_col).alias("fingerprint"),
+    )

@@ -24,9 +24,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators.textops import LANG_MARKERS
 from .plans.medallion import SEGMENT_DISPLAY, build_pipeline
 from .sources.loader import load_table
 from .tuning import tune_session
+
+_LANG_SCORE_SQL = ", ".join(
+    f"len(list_intersect(toks, {words!r})) AS s_{lang}"
+    for lang, words in LANG_MARKERS.items()
+)
 
 # --------------------------------------------------------------------------
 # DuckDB oracle fragments replicating the silver layer (shared by gold oracles)
@@ -372,6 +378,112 @@ def q_date_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Extension operators: dedup / similarity / text analysis / multimodal
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the full text."""
+    from .operators.dedup import exact_dedup
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id")
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-fingerprint dedup (order-insensitive near-dup groups)."""
+    from .operators.dedup import fingerprint_dedup
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_dedup(docs)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (bounded brute-force baseline)."""
+    from .operators.dedup import jaccard_pairs
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return jaccard_pairs(docs, threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (scale path; no SQL oracle — murmur3)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (no SQL oracle — xxhash64)."""
+    from .operators.dedup import simhash_pairs
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=8)
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID, quality score, token counts, fingerprint in one pass."""
+    from .operators.textops import analyze_documents
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return analyze_documents(docs)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors (exact ANN baseline)."""
+    from .operators.similarity import brute_force_topk
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, k=3, query_filter=F.col("vec_id") < 100)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (scale path; no oracle — approximate)."""
+    from .operators.similarity import ivf_topk
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, k=3, n_centroids=16, query_filter=F.col("vec_id") < 100)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
+    corpus — random vectors top out near 0.44 cosine)."""
+    from .operators.similarity import embedding_dup_pairs
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.4, query_filter=F.col("vec_id") < 200)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + mapInPandas decode plumbing (stubbed decoder)."""
+    from .operators.multimodal import attach_binary_payload, decode_image_meta
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(attach_binary_payload(docs))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out over binary payloads (mapInPandas)."""
+    from .operators.multimodal import attach_binary_payload, sample_frames
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return sample_frames(attach_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -395,6 +507,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join": q_semi_join,
     "scalar_matrix": q_scalar_matrix,
     "date_expr_join": q_date_expr_join,
+    # extensions: dedup / similarity / text / multimodal
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_analysis": q_text_analysis,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES: dict[str, str] = {
@@ -480,5 +604,107 @@ ORACLES: dict[str, str] = {
         SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS orders_that_day
         FROM orders GROUP BY 1
       ) od ON CAST(l.l_shipdate AS DATE) = od.d
+    """,
+    "dedup_exact": """
+      SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text
+    """,
+    "dedup_fingerprint": """
+      SELECT md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1
+    """,
+    "dedup_jaccard": """
+      WITH tok AS (
+        SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+        FROM documents WHERE doc_id < 300
+      ),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+        FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      )
+      SELECT * FROM pairs WHERE jaccard >= 0.8
+    """,
+    "text_analysis": f"""
+      WITH base AS (
+        SELECT doc_id, text,
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+        FROM documents
+      ),
+      scored AS (
+        SELECT doc_id, text, toks, n_chars, alpha_chars,
+               CAST(len(toks) AS DOUBLE) AS n_tokens,
+               {_LANG_SCORE_SQL},
+               CAST(len(list_intersect(toks, ['the','and','of','to','a','in','is','it','that','for'])) AS DOUBLE) AS stop_hits
+        FROM base
+      )
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+             CASE
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh AND s_es > s_en THEN 'es'
+               WHEN s_fr >= s_de AND s_fr >= s_zh AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+               WHEN s_de >= s_zh AND s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+               WHEN s_zh > s_en AND s_zh > s_es AND s_zh > s_fr AND s_zh > s_de THEN 'zh'
+               ELSE 'en'
+             END AS predicted_lang,
+             round(0.4 * least(1.0, n_chars / 500.0)
+                 + 0.3 * least(1.0, (stop_hits / greatest(n_tokens, 1.0)) * 5.0)
+                 + 0.3 * (alpha_chars / greatest(n_chars, 1.0)), 6) AS quality_score,
+             md5(array_to_string(list_sort(toks), ' ')) AS fingerprint
+      FROM scored
+    """,
+    "ann_topk": """
+      WITH t AS (SELECT vec_id, embedding AS e FROM embeddings),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               round(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * c.e[i]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * q.e[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))), 6) AS cosine
+        FROM t q JOIN t c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 100
+      )
+      SELECT query_id, nbr_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+        FROM pairs
+      ) r WHERE rank <= 3
+    """,
+    "embedding_dup_pairs": """
+      WITH t AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 200),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE)))), 6) AS cosine
+        FROM t a JOIN t b ON a.vec_id < b.vec_id
+      )
+      SELECT * FROM pairs WHERE cosine >= 0.4
+    """,
+    "multimodal_decode": """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             'fake/png' AS format,
+             CAST((octet_length(encode(text)) % 640) + 16 AS INTEGER) AS width,
+             CAST(((octet_length(encode(text)) // 7) % 480) + 16 AS INTEGER) AS height,
+             3 AS channels
+      FROM documents
+    """,
+    "multimodal_frames": """
+      WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE doc_id < 100
+      ),
+      f AS (SELECT doc_id, n, n // 1024 + 1 AS n_frames FROM b)
+      SELECT doc_id,
+             CAST(n AS INTEGER) AS n_bytes,
+             CAST(n_frames AS INTEGER) AS n_frames,
+             CAST(u AS INTEGER) AS frame_index,
+             CAST(u * 1024 AS INTEGER) AS frame_offset
+      FROM f, unnest(range(0, n_frames)) AS t(u)
     """,
 }

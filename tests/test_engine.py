@@ -1,0 +1,127 @@
+"""Unit tests for the pipeline engine: registry, DAG, expectations, run()."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans.expectations import (
+    Expectation,
+    apply_expectations,
+    enforce_fail,
+    expectation_metrics,
+)
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans.registry import (
+    ExpectationViolation,
+    Pipeline,
+)
+
+
+@pytest.fixture
+def sample_df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, -5.0), (3, "c", 7.5), (None, "d", 0.0)],
+        "id INT, name STRING, score DOUBLE",
+    )
+
+
+def test_expectation_warn_metrics(sample_df):
+    exps = [
+        Expectation("id_not_null", "id IS NOT NULL"),
+        Expectation("score_non_negative", "score >= 0"),
+        Expectation("name_not_null", "name IS NOT NULL"),
+    ]
+    m = expectation_metrics(sample_df, exps)
+    assert m == {"id_not_null": 1, "score_non_negative": 1, "name_not_null": 1}
+
+
+def test_expectation_drop(sample_df):
+    exps = [Expectation("score_non_negative", "score >= 0", "drop")]
+    out = apply_expectations(sample_df, exps)
+    assert out.count() == 3
+    assert out.filter(F.col("score") < 0).count() == 0
+
+
+def test_expectation_fail_raises(sample_df):
+    exps = [Expectation("id_not_null", "id IS NOT NULL", "fail")]
+    with pytest.raises(ExpectationViolation) as ei:
+        enforce_fail("ds", sample_df, exps)
+    assert ("id_not_null", 1) in ei.value.failed
+
+
+def test_expectation_fail_passes_clean(sample_df):
+    clean = sample_df.filter(F.col("id").isNotNull())
+    enforce_fail("ds", clean, [Expectation("id_not_null", "id IS NOT NULL", "fail")])
+
+
+def test_registry_dag_and_live_resolution(spark):
+    p = Pipeline("t")
+
+    @p.table(name="silver.base")
+    def base(ctx):
+        return ctx.spark_session.range(5).withColumnRenamed("id", "v")
+
+    p.materialized_view(
+        "gold.doubled", sql="SELECT v * 2 AS d FROM LIVE.base"
+    )
+    p.materialized_view(
+        "gold.sum_all", sql="SELECT CAST(SUM(d) AS BIGINT) AS s FROM gold.doubled"
+    )
+    out = p.dataframe(spark, "gold.sum_all").collect()
+    assert out[0].s == 20
+
+
+def test_registry_cycle_detection(spark):
+    p = Pipeline("t")
+    p.materialized_view("a.x", sql="SELECT * FROM a.y")
+    p.materialized_view("a.y", sql="SELECT * FROM a.x")
+    with pytest.raises(ValueError, match="cycle"):
+        p.dataframe(spark, "a.x")
+
+
+def test_registry_unknown_dataset(spark):
+    p = Pipeline("t")
+    with pytest.raises(KeyError):
+        p.dataframe(spark, "nope.missing")
+
+
+def test_registry_duplicate_rejected(spark):
+    p = Pipeline("t")
+
+    @p.table(name="s.t1")
+    def t1(ctx):  # pragma: no cover
+        return None
+
+    with pytest.raises(ValueError, match="duplicate"):
+
+        @p.table(name="s.t1")
+        def t1b(ctx):  # pragma: no cover
+            return None
+
+
+def test_run_materializes_tables(spark, tmp_path):
+    p = Pipeline("t")
+
+    @p.table(name="silver.nums", table_properties={"quality": "silver"})
+    @p.expect_all({"v_non_negative": "v >= 0"})
+    def nums(ctx):
+        return ctx.spark_session.range(10).withColumnRenamed("id", "v")
+
+    p.materialized_view("gold.total", sql="SELECT SUM(v) AS total FROM LIVE.nums")
+    report = p.run(spark)
+    assert report["silver.nums"]["rows"] == 10
+    assert report["silver.nums"]["expectations"] == {"v_non_negative": 0}
+    assert report["gold.total"]["rows"] == 1
+    assert spark.table("`gold`.`total`").collect()[0].total == 45
+    spark.sql("DROP TABLE `gold`.`total`")
+    spark.sql("DROP TABLE `silver`.`nums`")
+
+
+def test_run_fail_expectation_aborts(spark):
+    p = Pipeline("t")
+
+    @p.table(name="silver.bad")
+    @p.expect_all_or_fail({"v_small": "v < 5"})
+    def bad(ctx):
+        return ctx.spark_session.range(10).withColumnRenamed("id", "v")
+
+    with pytest.raises(ExpectationViolation):
+        p.run(spark)

@@ -1,0 +1,107 @@
+"""Quality/semantic tests for operators without SQL oracles."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_meta,
+    sample_frames,
+)
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+    load_table,
+)
+
+from conftest import SF_SMALL
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH pairs ⊆ exact pairs (precision 1 after verify) with decent recall."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain near-dup pairs"
+    assert set(lsh) <= set(exact)  # precision 1.0 (verified candidates)
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall:.2f}"
+    for k, v in lsh.items():
+        assert exact[k] == v  # same exact-jaccard verification values
+
+
+def test_simhash_flags_identical_token_sets(spark):
+    """Docs with identical token sets have hamming 0 → must be paired."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+        fingerprint_dedup,
+    )
+
+    groups = fingerprint_dedup(docs).filter(F.col("n_copies") > 1).collect()
+    pairs = simhash_pairs(docs, max_hamming=0).collect()
+    paired_ids = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    if groups:  # every multi-copy fingerprint group must appear in pairs
+        assert any(g.keep_id in paired_ids for g in groups)
+    for p in pairs:
+        assert p.hamming == 0
+
+
+def test_ivf_topk_recall(spark):
+    """Single-probe IVF hits a reasonable fraction of exact top-3 pairs."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = brute_force_topk(emb, k=3, query_filter=F.col("vec_id") < 50)
+    approx = ivf_topk(emb, k=3, n_centroids=8, query_filter=F.col("vec_id") < 50)
+    e = {(r.query_id, r.nbr_id) for r in exact.collect()}
+    a = {(r.query_id, r.nbr_id) for r in approx.collect()}
+    assert len(a) > 0
+    recall = len(e & a) / len(e)
+    # single-probe IVF on random vectors: recall is modest by design, but the
+    # operator must find a non-trivial fraction and never invent neighbors
+    # outside the corpus.
+    assert recall > 0.1, f"IVF recall suspiciously low: {recall:.2f}"
+
+
+def test_multimodal_decode_schema_and_determinism(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    out = decode_image_meta(attach_binary_payload(docs))
+    pdf = out.toPandas()
+    assert list(pdf.columns) == ["doc_id", "n_bytes", "format", "width", "height", "channels"]
+    assert (pdf["channels"] == 3).all()
+    assert (pdf["width"] >= 16).all() and (pdf["width"] < 656).all()
+    # deterministic: second run identical
+    pdf2 = decode_image_meta(attach_binary_payload(docs)).toPandas()
+    pd.testing.assert_frame_equal(
+        pdf.sort_values("doc_id").reset_index(drop=True),
+        pdf2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_multimodal_real_decoder_is_explicit_stub(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(5)
+    with pytest.raises(NotImplementedError):
+        decode_image_meta(attach_binary_payload(docs), use_real_decoder=True)
+
+
+def test_multimodal_frames_fanout(spark):
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 10)
+    frames = sample_frames(attach_binary_payload(docs)).toPandas()
+    per_doc = frames.groupby("doc_id")
+    for doc_id, g in per_doc:
+        n_frames = g["n_frames"].iloc[0]
+        assert len(g) == n_frames
+        assert sorted(g["frame_index"]) == list(range(n_frames))
+        assert (g["frame_offset"] == g["frame_index"] * 1024).all()
