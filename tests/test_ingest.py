@@ -1,0 +1,79 @@
+"""CSV ingestion: pinned schema, _rescued_data, incremental file ledger."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.csv_ingest import (
+    RESCUED_COL,
+    CsvIngestor,
+    ingest_csv_append,
+)
+
+
+def _write(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def test_initial_ingest_infers_and_pins_schema(spark, tmp_path):
+    src, state = tmp_path / "src", tmp_path / "state"
+    src.mkdir()
+    _write(src / "a.csv", "id,amount,city\n1, 10.5 ,Austin\n2,20.0,Boston\n")
+    ing = CsvIngestor(str(src), str(state))
+    res = ing.ingest(spark)
+    rows = res.df.orderBy("id").collect()
+    assert [r.id for r in rows] == [1, 2]
+    assert abs(rows[0].amount - 10.5) < 1e-9  # whitespace trimmed, typed
+    assert rows[0].city == "Austin"
+    assert all(r[RESCUED_COL] is None for r in rows)
+    assert os.path.exists(state / "schema.ddl")
+
+
+def test_incremental_reads_only_new_files(spark, tmp_path):
+    src, state = tmp_path / "src", tmp_path / "state"
+    src.mkdir()
+    _write(src / "a.csv", "id,amount,city\n1,10.5,Austin\n")
+    ing = CsvIngestor(str(src), str(state))
+    first = ing.ingest(spark)
+    assert len(first.new_files) == 1
+
+    _write(src / "b.csv", "id,amount,city\n2,20.0,Boston\n")
+    second = ing.ingest(spark)
+    assert len(second.new_files) == 1
+    assert second.df.collect()[0].id == 2  # only the new file's rows
+
+    third = ing.ingest(spark)
+    assert third.df is None and third.new_files == []
+
+
+def test_malformed_rows_land_in_rescued_data(spark, tmp_path):
+    src, state = tmp_path / "src", tmp_path / "state"
+    src.mkdir()
+    _write(src / "a.csv", "id,amount\n1,10.5\n2,20.0\n")
+    ing = CsvIngestor(str(src), str(state))
+    ing.ingest(spark)
+
+    # later file: non-numeric amount does not fit the pinned (int,double) schema
+    _write(src / "b.csv", "id,amount\n3,notanumber\n4,40.0\n")
+    res = ing.ingest(spark)
+    rows = {r.id: r for r in res.df.collect() if r.id is not None}
+    assert rows[4][RESCUED_COL] is None
+    bad = [r for r in res.df.collect() if r[RESCUED_COL] is not None]
+    assert len(bad) == 1 and "notanumber" in bad[0][RESCUED_COL]
+
+
+def test_append_run_accumulates_parquet(spark, tmp_path):
+    src, state, tgt = tmp_path / "src", tmp_path / "state", tmp_path / "bronze"
+    src.mkdir()
+    _write(src / "a.csv", "id,v\n1,1\n2,2\n")
+    n = ingest_csv_append(spark, str(src), str(state), str(tgt))
+    assert n == 1
+    _write(src / "b.csv", "id,v\n3,3\n")
+    n = ingest_csv_append(spark, str(src), str(state), str(tgt))
+    assert n == 1
+    out = spark.read.parquet(str(tgt))
+    assert out.count() == 3
+    assert "_ingested_at" in out.columns
+    # no-op third run
+    assert ingest_csv_append(spark, str(src), str(state), str(tgt)) == 0
