@@ -1,0 +1,85 @@
+-- The star fact (/root/reference/scripts/gold/fact_order_items.sql:1-116):
+-- fail-level constraints, liquid clustering keys, two aggregate CTEs, 6-way
+-- inner star join, date-expression joins, left joins to aggregates.
+CREATE OR REFRESH MATERIALIZED VIEW gold.fact_lineitem
+(
+  CONSTRAINT fk_part          EXPECT (part_key IS NOT NULL)                                        ON VIOLATION FAIL UPDATE,
+  CONSTRAINT fk_order         EXPECT (order_key IS NOT NULL)                                       ON VIOLATION FAIL UPDATE,
+  CONSTRAINT valid_item_price EXPECT (item_price IS NOT NULL AND item_price >= 0)                  ON VIOLATION FAIL UPDATE,
+  CONSTRAINT valid_item_total EXPECT (item_total_value IS NOT NULL AND item_total_value >= 0),
+  CONSTRAINT valid_order_date EXPECT (order_date_key IS NOT NULL)                                  ON VIOLATION FAIL UPDATE
+)
+CLUSTER BY (part_key, supplier_key, order_date_key, customer_key)
+COMMENT "Line-item fact with denormalized order/customer aggregates."
+TBLPROPERTIES (
+  'quality' = 'gold',
+  'layer' = 'analytics'
+)
+AS
+WITH order_totals AS (
+  SELECT
+    l_orderkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_value,
+    COUNT(DISTINCT l_returnflag) AS return_flag_count,
+    MAX(l_quantity) AS max_item_quantity,
+    array_join(sort_array(collect_set(l_returnflag)), ', ') AS return_flags
+  FROM LIVE.silver_lineitem
+  GROUP BY l_orderkey
+),
+event_summary AS (
+  SELECT
+    user_id,
+    MAX(value) AS last_event_value,
+    MAX(ts) AS last_event_ts
+  FROM LIVE.silver_events
+  GROUP BY user_id
+)
+SELECT
+  sha2(concat(CAST(li.l_orderkey AS STRING), '|', CAST(li.l_linenumber AS STRING)), 256) AS lineitem_key,
+  do.order_key,
+  dc.customer_key,
+  dp.part_key,
+  ds.supplier_key,
+  dd.date_key AS order_date_key,
+  dd_ship.date_key AS ship_date_key,
+  li.l_orderkey AS order_natural_key,
+  li.l_linenumber,
+  li.l_extendedprice AS item_price,
+  li.l_extendedprice * li.l_discount AS item_discount_value,
+  (COALESCE(li.l_extendedprice, 0) + COALESCE(li.l_tax, 0)) AS item_total_value,
+  ot.total_order_value,
+  ot.return_flag_count,
+  ot.max_item_quantity,
+  ot.return_flags,
+  es.last_event_value,
+  CASE WHEN es.last_event_value IS NOT NULL AND es.last_event_value >= 50 THEN TRUE ELSE FALSE END AS is_high_value_user,
+  CASE WHEN li.l_shipdate IS NOT NULL
+       THEN datediff(DATE(li.l_shipdate), DATE(o.o_orderdate))
+       ELSE NULL END AS ship_lag_days,
+  CASE WHEN o.o_approved_at IS NOT NULL
+       THEN datediff(DATE(o.o_approved_at), DATE(o.o_orderdate))
+       ELSE NULL END AS approval_lag_days,
+  li.l_shipdate,
+  o.o_orderdate AS order_purchase_timestamp
+FROM LIVE.silver_lineitem li
+INNER JOIN LIVE.silver_orders o
+  ON li.l_orderkey = o.o_orderkey
+INNER JOIN LIVE.silver_customer c
+  ON o.o_custkey = c.c_custkey
+INNER JOIN gold.dim_orders do
+  ON o.o_orderkey = do.order_natural_key
+INNER JOIN gold.dim_customers dc
+  ON c.c_custkey = dc.customer_natural_key
+INNER JOIN gold.dim_parts dp
+  ON li.l_partkey = dp.part_natural_key
+INNER JOIN gold.dim_suppliers ds
+  ON li.l_suppkey = ds.supplier_natural_key
+INNER JOIN gold.dim_date dd
+  ON DATE(o.o_orderdate) = dd.date_actual
+LEFT JOIN gold.dim_date dd_ship
+  ON DATE(li.l_shipdate) = dd_ship.date_actual
+LEFT JOIN order_totals ot
+  ON li.l_orderkey = ot.l_orderkey
+LEFT JOIN event_summary es
+  ON o.o_custkey = es.user_id
+WHERE li.l_orderkey IS NOT NULL

@@ -29,6 +29,8 @@ join key they are later joined on; window dedup partitions by the dedup key
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..functions.maps import mapping_column
@@ -281,235 +283,20 @@ def build_pipeline(sf_dir: str) -> Pipeline:
 
 
 def _register_gold(p: Pipeline) -> None:
-    from .expectations import Expectation
+    """Register the gold layer from SQL DDL files, exactly as the reference
+    ships its gold layer (scripts/gold/*.sql): each file is a
+    ``CREATE OR REFRESH MATERIALIZED VIEW`` wrapper (constraints, CLUSTER BY,
+    COMMENT, TBLPROPERTIES) over a SELECT with ``LIVE.`` references, parsed by
+    plans/sqlmv.py and executed as a full-refresh Spark SQL dataset."""
+    from .sqlmv import register_mv_file
 
-    # dim_orders — surrogate key + KPI flags (dim_orders.sql:12-37).
-    p.materialized_view(
-        "gold.dim_orders",
-        comment="Order dimension with deterministic surrogate keys and KPIs.",
-        table_properties={"quality": "gold", "layer": "analytics"},
-        sql="""
-SELECT
-  sha2(CAST(o_orderkey AS STRING), 256) AS order_key,
-  o_orderkey AS order_natural_key,
-  o_orderstatus,
-  o_orderpriority,
-  o_is_urgent,
-  DATE(o_orderdate) AS order_date,
-  CASE WHEN o_approved_at IS NOT NULL
-       THEN datediff(DATE(o_approved_at), DATE(o_orderdate))
-       ELSE NULL END AS approval_lag_days,
-  CASE WHEN o_orderstatus = 'F' THEN TRUE ELSE FALSE END AS is_fulfilled
-FROM LIVE.silver_orders
-""",
-    )
-
-    # dim_customers — geo-enriched via window-dedup subquery
-    # (dim_customers.sql:12-42: ROW_NUMBER ... WHERE rn=1 + ANY_VALUE + LEFT JOIN).
-    p.materialized_view(
-        "gold.dim_customers",
-        comment="Customer dimension enriched with first-event telemetry.",
-        table_properties={"quality": "gold", "layer": "analytics"},
-        sql="""
-WITH ranked_events AS (
-  SELECT user_id, value, event_type,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM LIVE.silver_events
-),
-first_event AS (
-  SELECT user_id,
-         ANY_VALUE(value) AS first_event_value,
-         ANY_VALUE(event_type) AS first_event_type
-  FROM ranked_events
-  WHERE rn = 1
-  GROUP BY user_id
-)
-SELECT
-  sha2(CAST(c.c_custkey AS STRING), 256) AS customer_key,
-  c.c_custkey AS customer_natural_key,
-  c.c_name,
-  c.c_mktsegment,
-  c.c_segment_display,
-  c.c_nation_name,
-  c.c_acctbal,
-  fe.first_event_value,
-  fe.first_event_type
-FROM LIVE.silver_customer c
-LEFT JOIN first_event fe
-  ON c.c_custkey = fe.user_id
-""",
-    )
-
-    # dim_suppliers — same geo-enrichment shape as dim_sellers.sql:12-38.
-    p.materialized_view(
-        "gold.dim_suppliers",
-        comment="Supplier dimension enriched with first-event telemetry.",
-        table_properties={"quality": "gold", "layer": "analytics"},
-        sql="""
-WITH ranked_events AS (
-  SELECT user_id, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM LIVE.silver_events
-),
-first_event AS (
-  SELECT user_id, ANY_VALUE(value) AS first_event_value
-  FROM ranked_events
-  WHERE rn = 1
-  GROUP BY user_id
-)
-SELECT
-  sha2(CAST(s.s_suppkey AS STRING), 256) AS supplier_key,
-  s.s_suppkey AS supplier_natural_key,
-  s.s_name,
-  s.s_nation_name,
-  s.s_acctbal,
-  fe.first_event_value
-FROM LIVE.silver_supplier s
-LEFT JOIN first_event fe
-  ON s.s_suppkey = fe.user_id
-""",
-    )
-
-    # dim_parts — plain projection dim (dim_products.sql:12-27).
-    p.materialized_view(
-        "gold.dim_parts",
-        comment="Part dimension.",
-        table_properties={"quality": "gold", "layer": "analytics"},
-        sql="""
-SELECT
-  sha2(CAST(p_partkey AS STRING), 256) AS part_key,
-  p_partkey AS part_natural_key,
-  p_name,
-  p_brand,
-  p_category,
-  p_size,
-  p_volume_index,
-  p_is_premium,
-  p_retailprice
-FROM LIVE.silver_part
-""",
-    )
-
-    # dim_date — generated calendar (dim_date.sql:13-40), but scale-safe:
-    # sequence(min,max) instead of the reference's LIMIT-1000 ROW_NUMBER hack
-    # (identical output semantics; SURVEY.md §7 step 3).
-    p.materialized_view(
-        "gold.dim_date",
-        comment="Generated date dimension with calendar attributes.",
-        table_properties={"quality": "gold", "layer": "analytics"},
-        sql="""
-WITH date_range AS (
-  SELECT
-    MIN(DATE(o_orderdate)) AS min_date,
-    MAX(DATE(COALESCE(o_approved_at, o_orderdate))) AS max_date
-  FROM LIVE.silver_orders
-),
-date_series AS (
-  SELECT explode(sequence(min_date, max_date, INTERVAL 1 DAY)) AS date_day
-  FROM date_range
-)
-SELECT
-  ROW_NUMBER() OVER (ORDER BY date_day) AS date_key,
-  date_day AS date_actual,
-  EXTRACT(YEAR FROM date_day) AS year,
-  EXTRACT(QUARTER FROM date_day) AS quarter,
-  EXTRACT(MONTH FROM date_day) AS month,
-  EXTRACT(DAY FROM date_day) AS day,
-  EXTRACT(DAYOFWEEK FROM date_day) AS day_of_week,
-  date_format(date_day, 'EEEE') AS day_name,
-  date_format(date_day, 'MMMM') AS month_name,
-  EXTRACT(WEEK FROM date_day) AS week_of_year,
-  CASE WHEN EXTRACT(DAYOFWEEK FROM date_day) IN (1, 7) THEN TRUE ELSE FALSE END AS is_weekend
-FROM date_series
-""",
-    )
-
-    # fact_lineitem — the star fact (fact_order_items.sql:19-116): two
-    # aggregate CTEs, 6-way inner star join, date-expression joins, left joins
-    # to aggregates, fail-level constraints, liquid clustering.
-    p.materialized_view(
-        "gold.fact_lineitem",
-        comment="Line-item fact with denormalized order/customer aggregates.",
-        table_properties={"quality": "gold", "layer": "analytics"},
-        cluster_by=("part_key", "supplier_key", "order_date_key", "customer_key"),
-        expectations=[
-            Expectation("fk_part", "part_key IS NOT NULL", "fail"),
-            Expectation("fk_order", "order_key IS NOT NULL", "fail"),
-            Expectation(
-                "valid_item_price", "item_price IS NOT NULL AND item_price >= 0", "fail"
-            ),
-            Expectation(
-                "valid_item_total", "item_total_value IS NOT NULL AND item_total_value >= 0", "warn"
-            ),
-            Expectation("valid_order_date", "order_date_key IS NOT NULL", "fail"),
-        ],
-        sql="""
-WITH order_totals AS (
-  SELECT
-    l_orderkey,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_value,
-    COUNT(DISTINCT l_returnflag) AS return_flag_count,
-    MAX(l_quantity) AS max_item_quantity,
-    array_join(sort_array(collect_set(l_returnflag)), ', ') AS return_flags
-  FROM LIVE.silver_lineitem
-  GROUP BY l_orderkey
-),
-event_summary AS (
-  SELECT
-    user_id,
-    MAX(value) AS last_event_value,
-    MAX(ts) AS last_event_ts
-  FROM LIVE.silver_events
-  GROUP BY user_id
-)
-SELECT
-  sha2(concat(CAST(li.l_orderkey AS STRING), '|', CAST(li.l_linenumber AS STRING)), 256) AS lineitem_key,
-  do.order_key,
-  dc.customer_key,
-  dp.part_key,
-  ds.supplier_key,
-  dd.date_key AS order_date_key,
-  dd_ship.date_key AS ship_date_key,
-  li.l_orderkey AS order_natural_key,
-  li.l_linenumber,
-  li.l_extendedprice AS item_price,
-  li.l_extendedprice * li.l_discount AS item_discount_value,
-  (COALESCE(li.l_extendedprice, 0) + COALESCE(li.l_tax, 0)) AS item_total_value,
-  ot.total_order_value,
-  ot.return_flag_count,
-  ot.max_item_quantity,
-  ot.return_flags,
-  es.last_event_value,
-  CASE WHEN es.last_event_value IS NOT NULL AND es.last_event_value >= 50 THEN TRUE ELSE FALSE END AS is_high_value_user,
-  CASE WHEN li.l_shipdate IS NOT NULL
-       THEN datediff(DATE(li.l_shipdate), DATE(o.o_orderdate))
-       ELSE NULL END AS ship_lag_days,
-  CASE WHEN o.o_approved_at IS NOT NULL
-       THEN datediff(DATE(o.o_approved_at), DATE(o.o_orderdate))
-       ELSE NULL END AS approval_lag_days,
-  li.l_shipdate,
-  o.o_orderdate AS order_purchase_timestamp
-FROM LIVE.silver_lineitem li
-INNER JOIN LIVE.silver_orders o
-  ON li.l_orderkey = o.o_orderkey
-INNER JOIN LIVE.silver_customer c
-  ON o.o_custkey = c.c_custkey
-INNER JOIN gold.dim_orders do
-  ON o.o_orderkey = do.order_natural_key
-INNER JOIN gold.dim_customers dc
-  ON c.c_custkey = dc.customer_natural_key
-INNER JOIN gold.dim_parts dp
-  ON li.l_partkey = dp.part_natural_key
-INNER JOIN gold.dim_suppliers ds
-  ON li.l_suppkey = ds.supplier_natural_key
-INNER JOIN gold.dim_date dd
-  ON DATE(o.o_orderdate) = dd.date_actual
-LEFT JOIN gold.dim_date dd_ship
-  ON DATE(li.l_shipdate) = dd_ship.date_actual
-LEFT JOIN order_totals ot
-  ON li.l_orderkey = ot.l_orderkey
-LEFT JOIN event_summary es
-  ON o.o_custkey = es.user_id
-WHERE li.l_orderkey IS NOT NULL
-""",
-    )
+    gold_dir = os.path.join(os.path.dirname(__file__), "gold_sql")
+    for fname in (
+        "dim_orders.sql",
+        "dim_customers.sql",
+        "dim_suppliers.sql",
+        "dim_parts.sql",
+        "dim_date.sql",
+        "fact_lineitem.sql",
+    ):
+        register_mv_file(p, os.path.join(gold_dir, fname))
