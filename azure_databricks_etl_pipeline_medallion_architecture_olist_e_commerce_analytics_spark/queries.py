@@ -484,6 +484,71 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming operators (S4, SURVEY.md §2.8)
+# --------------------------------------------------------------------------
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream, ts normalized to TimestampType.
+
+    Streaming analogue of sources/loader.py: under ``nanosAsLong`` the
+    TIMESTAMP(NANOS) column arrives as long; integer-div to microseconds
+    matches the batch loader and the DuckDB oracle exactly.
+    """
+    import os
+
+    from .streaming.incremental import stream_source
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    stream = stream_source(
+        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window agg, run as a real availableNow stream."""
+    from .streaming.incremental import run_to_memory, windowed_event_counts
+
+    tune_session(spark)
+    agg = windowed_event_counts(_stream_events(spark, sf_dir))
+    # complete mode so windows still open at end-of-input are emitted too
+    # (append mode would hold back the final watermark-uncommitted windows).
+    return run_to_memory(agg, "mem_stream_window_agg", output_mode="complete")
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window (30 min gap) per-user aggregation on a stream."""
+    from .streaming.incremental import run_to_memory, sessionized_event_counts
+
+    tune_session(spark)
+    agg = sessionized_event_counts(_stream_events(spark, sf_dir), gap="30 minutes")
+    return run_to_memory(agg, "mem_stream_sessionize", output_mode="complete")
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark).
+
+    The 60-day watermark exceeds the test corpus's 30-day span, so the output
+    equals a global DISTINCT (the oracle); on an unbounded production stream
+    the same operator expires state instead of growing forever — unlike the
+    reference's unwatermarked stream dedup (silver_products.py:119).
+    """
+    from .streaming.incremental import dedup_stream, run_to_memory
+
+    tune_session(spark)
+    deduped = dedup_stream(
+        _stream_events(spark, sf_dir), ["user_id", "event_type"], watermark="60 days"
+    )
+    out = run_to_memory(
+        deduped.select("user_id", "event_type"), "mem_stream_dedup"
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
 
@@ -519,6 +584,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
+    # structured streaming (availableNow incremental)
+    "streaming_window_agg": q_streaming_window_agg,
+    "streaming_sessionize": q_streaming_sessionize,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -706,5 +775,38 @@ ORACLES: dict[str, str] = {
              CAST(u AS INTEGER) AS frame_index,
              CAST(u * 1024 AS INTEGER) AS frame_offset
       FROM f, unnest(range(0, n_frames)) AS t(u)
+    """,
+    "streaming_window_agg": """
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2, 3
+    """,
+    "streaming_sessionize": """
+      WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ),
+      grp AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked
+      )
+      SELECT MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      FROM grp GROUP BY user_id, g
+    """,
+    "streaming_dedup": """
+      SELECT DISTINCT user_id, event_type FROM events
     """,
 }

@@ -1,0 +1,186 @@
+"""Structured Streaming incremental execution (S4, SURVEY.md §2.8).
+
+The reference's bronze and silver layers are *streaming tables*: incremental,
+append-driven, checkpointed (/root/reference/scripts/bronze/bronze_ingestion.py:21-31,
+README.md:36,45 "INCREMENTAL LOAD"). On Databricks that runs as DLT-managed
+Structured Streaming; this module is the open-source equivalent:
+
+- :func:`stream_source` / :func:`run_incremental` — a file-source stream with
+  an ``availableNow`` trigger: each call processes exactly the files that
+  arrived since the last run (checkpoint-tracked) and terminates. That is the
+  per-pipeline-run behavior of a DLT streaming table, and it is restartable
+  and exactly-once on the sink side via the checkpoint + _spark_metadata log.
+- :func:`windowed_event_counts` — watermarked tumbling-window aggregation.
+  The reference itself never sets a watermark (SURVEY.md §2.8: none anywhere)
+  because batch-incremental DLT sidesteps state growth; the engine surfaces
+  watermarks explicitly because at 100 TB/day an unbounded-state stream dies.
+- :func:`sessionized_event_counts` — session-window (gap-based) aggregation.
+- :func:`dedup_stream` — stateful streaming dedup with a bounded-state
+  watermark (``dropDuplicatesWithinWatermark``), the scale-safe version of the
+  reference's unbounded ``dropDuplicates`` on streams
+  (/root/reference/scripts/silver/silver_products.py:119,
+  order_reviews.py:52).
+
+Scale notes: every construct here keeps state bounded (watermark-expired
+state is dropped per microbatch) and shuffles once on the grouping keys;
+sinks are distributed file sinks — the driver never sees rows. The in-memory
+sink used by the correctness queries (``queries.py``) is a test harness
+convenience, not the production path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    path_glob_filter: str | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory (Auto Loader analogue).
+
+    Streaming reads require an explicit schema; when none is given, the
+    batch reader infers it once from the current directory contents — the
+    same infer-once contract as sources/csv_ingest.py. ``path`` must be a
+    directory (FileStreamSource contract); select files within it via
+    ``path_glob_filter``.
+    """
+    if schema is None:
+        reader = spark.read.format(fmt)
+        if path_glob_filter:
+            reader = reader.option("pathGlobFilter", path_glob_filter)
+        schema = reader.load(path).schema
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
+    return reader.load(path)
+
+
+def run_incremental(
+    df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    partition_by: tuple = (),
+) -> None:
+    """One ``availableNow`` microbatch run: process all unseen input, stop.
+
+    Parity with a DLT streaming-table update: incremental (checkpoint skips
+    files already processed), append-mode, exactly-once sink commit through
+    the streaming file sink's transaction log.
+    """
+    writer = (
+        df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint)
+        .option("path", target_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    q.awaitTermination()
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Run a stream to completion into an in-memory table (test/oracle path).
+
+    The memory sink collects to the driver — fine for the sf0.01 correctness
+    gate, never for production; use :func:`run_incremental` there.
+    """
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Watermarked stateful transformations
+# ---------------------------------------------------------------------------
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with a late-data watermark.
+
+    State per (window, event_type) is dropped once the watermark passes the
+    window end, so executor state stays O(active windows), not O(stream).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal accumulate → exact, order-independent sums (oracle-stable)
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows (activity separated by < ``gap``) per user.
+
+    ``session_window`` is Spark's native gap-based window — state closes when
+    the watermark passes a session's end, bounding memory on infinite streams.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with bounded state.
+
+    The reference calls plain ``dropDuplicates`` on streams, which keeps every
+    key seen forever (silver_products.py:119). With a watermark,
+    ``dropDuplicatesWithinWatermark`` expires state and survives unbounded
+    streams — duplicates arriving within the watermark interval are removed,
+    which is the practical contract for at-least-once sources.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
