@@ -96,16 +96,19 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature(tokens, num_hashes: int = 64, ngram: int = 3):
-    """MinHash signature array over word-``ngram`` shingles.
+def minhash_signature(shingles, num_hashes: int = 64):
+    """MinHash signature array over a shingle-array column/expression.
 
     ``sig[h] = min over shingles of murmur3(shingle, seed=h)`` — one pass,
-    pure codegen (transform + array_min), no UDF.
+    pure codegen (transform + array_min), no UDF. Pass a *column reference*
+    to an already-projected shingle array (not the raw shingle expression):
+    the lambda evaluates its input once per hash seed, and CollapseProject
+    keeps a separate projection for the non-cheap shingle construction, so
+    shingling runs once per document instead of ``num_hashes`` times.
     """
-    sh = _shingles(tokens, ngram)
     return F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda s: F.array_min(F.transform(sh, lambda x: F.hash(x, s))),
+        lambda s: F.array_min(F.transform(shingles, lambda x: F.hash(x, s))),
     )
 
 
@@ -125,17 +128,28 @@ def minhash_lsh_pairs(
     the join is an equi-shuffle, not a cross join; each candidate pair is then
     verified with exact token-set Jaccard, so output ⊆ `jaccard_pairs` output
     (recall < 1 is the LSH tradeoff, precision = 1 after verification).
+
+    Shuffle discipline (the 100 TB path): the banded self-join and the
+    candidate dedup move only ``(id, band_id, band_hash)`` / ``(id_a, id_b)``
+    rows — never token arrays. Token sets are re-attached afterwards by two
+    id-keyed joins against the compact ``(id, tokens)`` projection, so the
+    wide data is shuffled O(candidates), not O(candidates × bucket width).
     """
     rows = num_hashes // bands
-    toks = tokens_col(text_col)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("s"),
-        minhash_signature(toks, num_hashes, ngram).alias("sig"),
-    )
-    banded = base.select(
+    base = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("s"))
+    shingled = base.select(
         "id",
-        "s",
+        (
+            F.col("s")
+            if ngram == 1
+            else F.array_distinct(_shingles(F.col("s"), ngram))
+        ).alias("sh"),
+    )
+    sig = shingled.select(
+        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -152,18 +166,16 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.s").alias("s_a"),
-            F.col("b.s").alias("s_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    pairs = cand.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("s_a", "s_b"))
     union = F.size(F.array_union("s_a", "s_b"))
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 
