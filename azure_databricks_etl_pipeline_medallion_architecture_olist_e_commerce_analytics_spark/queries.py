@@ -483,6 +483,22 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global ORDER BY + LIMIT top-k (deterministic tie-break on key).
+
+    Spark executes this as TakeOrderedAndProject — a per-partition top-k heap
+    plus a k-row merge on the driver — so the cost is O(n) scan + O(k) result
+    regardless of data size; no global sort materializes.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming operators (S4, SURVEY.md §2.8)
 # --------------------------------------------------------------------------
@@ -526,6 +542,17 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     agg = sessionized_event_counts(_stream_events(spark, sf_dir), gap="30 minutes")
     return run_to_memory(agg, "mem_stream_sessionize", output_mode="complete")
+
+
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (exact integer-micro accumulation)."""
+    from .streaming.incremental import run_to_memory
+    from .streaming.stateful import running_user_totals
+
+    tune_session(spark)
+    out = running_user_totals(_stream_events(spark, sf_dir))
+    return run_to_memory(out, "mem_stream_running_totals")
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,6 +615,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_running_totals": q_streaming_running_totals,
+    "topk_orders": q_topk_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -808,5 +837,19 @@ ORACLES: dict[str, str] = {
     """,
     "streaming_dedup": """
       SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "streaming_running_totals": """
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value,
+             CAST(COUNT(*) OVER w AS BIGINT) AS running_events
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    """,
+    "topk_orders": """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10
     """,
 }
