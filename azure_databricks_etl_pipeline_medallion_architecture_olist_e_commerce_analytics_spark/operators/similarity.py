@@ -56,11 +56,25 @@ def brute_force_topk(
     the corpus side stays full. Sim is rounded to 6dp before ranking so the
     id tie-break is deterministic across engines.
     """
-    corpus = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
-    queries = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    # Norms are per-vector, not per-pair: compute them once on each side so
+    # the O(n·m) join evaluates one fold (the dot product) per pair, not three.
+    corpus = df.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        norm_col(F.col(vec_col)).alias("nbr_norm"),
+    )
+    queries = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm_col(F.col(vec_col)).alias("query_norm"),
+    )
     if query_filter is not None:
         queries = queries.filter(query_filter)
-    sim = F.round(cosine_col(F.col("query_vec"), F.col("nbr_vec")), 6)
+    sim = F.round(
+        dot_col(F.col("query_vec"), F.col("nbr_vec"))
+        / (F.col("query_norm") * F.col("nbr_norm")),
+        6,
+    )
     pairs = (
         queries.join(corpus, F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id", sim.alias("cosine"))
@@ -120,14 +134,24 @@ def ivf_topk(
     """
     assigned = ivf_assign(df, id_col, vec_col, n_centroids)
     corpus = assigned.select(
-        F.col("centroid_id"), F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec")
+        F.col("centroid_id"),
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        norm_col(F.col(vec_col)).alias("nbr_norm"),
     )
     queries = assigned.select(
-        F.col("centroid_id"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col("centroid_id"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm_col(F.col(vec_col)).alias("query_norm"),
     )
     if query_filter is not None:
         queries = queries.filter(query_filter)
-    sim = F.round(cosine_col(F.col("query_vec"), F.col("nbr_vec")), 6)
+    sim = F.round(
+        dot_col(F.col("query_vec"), F.col("nbr_vec"))
+        / (F.col("query_norm") * F.col("nbr_norm")),
+        6,
+    )
     pairs = (
         queries.join(corpus, on="centroid_id")
         .filter(F.col("query_id") != F.col("nbr_id"))
@@ -153,11 +177,17 @@ def embedding_dup_pairs(
     The scale path reuses :func:`ivf_assign`: near-dups almost always share a
     bucket, so dedup becomes per-bucket pair generation.
     """
-    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_col(F.col(vec_col)).alias("n"),
+    )
     if query_filter is not None:
         t = t.filter(query_filter)
     a, b = t.alias("a"), t.alias("b")
-    sim = F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6)
+    sim = F.round(
+        dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cosine"))

@@ -125,3 +125,43 @@ def test_run_fail_expectation_aborts(spark):
 
     with pytest.raises(ExpectationViolation):
         p.run(spark)
+
+
+def test_full_medallion_run_materializes_warehouse(spark):
+    """Production (tables) mode over the full flagship pipeline at sf0.001:
+    every bronze/silver/gold dataset lands in the warehouse, counts line up
+    with views-mode, and warn metrics report zero violations."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans.medallion import (
+        build_pipeline,
+    )
+
+    from conftest import SF_SMALL
+
+    p = build_pipeline(SF_SMALL)
+    expected_fact = p.dataframe(spark, "gold.fact_lineitem").count()
+    try:
+        report = p.run(spark)
+        names = set(report)
+        assert "bronze.bronze_orders" in names
+        assert "silver.silver_orders" in names
+        assert "gold.fact_lineitem" in names
+        assert all(entry["rows"] > 0 for entry in report.values())
+        assert report["gold.fact_lineitem"]["rows"] == expected_fact
+        # the fact's fail-level constraints passed (run would have raised);
+        # warn metrics flow through: the synthetic corpus prices exceed the
+        # "reasonable price" cap for some rows, and those are counted while
+        # the rows are kept (warn semantics)
+        metrics = {
+            k: v
+            for entry in report.values()
+            for k, v in entry.get("expectations", {}).items()
+        }
+        assert metrics["positive_reasonable_price"] > 0
+        assert metrics["order_key_not_null"] == 0
+        # materialized tables are queryable through the catalog afterwards
+        assert (
+            spark.table("gold.fact_lineitem").count() == expected_fact
+        )
+    finally:
+        for db in ("bronze", "silver", "gold"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

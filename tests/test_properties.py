@@ -1,0 +1,144 @@
+"""Property tests: DDL-parser round-trip (hypothesis) and LSH banding claims
+verified exhaustively against brute force on bounded samples."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans.expectations import (
+    DROP,
+    FAIL,
+    WARN,
+)
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans.sqlmv import (
+    parse_mv_ddl,
+)
+
+from conftest import SF_SMALL
+
+_ident = st.from_regex(re.compile(r"[a-z][a-z0-9_]{0,15}"), fullmatch=True)
+_action = st.sampled_from(
+    [("", WARN), ("ON VIOLATION FAIL UPDATE", FAIL), ("ON VIOLATION DROP ROW", DROP)]
+)
+_constraint = st.tuples(_ident, _ident, _action)
+
+
+@given(
+    schema=_ident,
+    table=_ident,
+    constraints=st.lists(_constraint, max_size=4),
+    cluster=st.lists(_ident, max_size=3, unique=True),
+    comment=st.text(
+        alphabet=st.characters(blacklist_characters="\"'\\", min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    ),
+    props=st.dictionaries(_ident, _ident, max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_mv_ddl_parse_roundtrip(schema, table, constraints, cluster, comment, props):
+    name = f"{schema}.{table}"
+    parts = [f"CREATE OR REFRESH MATERIALIZED VIEW {name}"]
+    if constraints:
+        lines = ",\n".join(
+            f"  CONSTRAINT {cname} EXPECT ({col} IS NOT NULL) {act_txt}"
+            for cname, col, (act_txt, _) in constraints
+        )
+        parts.append(f"(\n{lines}\n)")
+    if cluster:
+        parts.append(f"CLUSTER BY ({', '.join(cluster)})")
+    parts.append(f'COMMENT "{comment}"')
+    if props:
+        kv = ",\n".join(f"  '{k}' = '{v}'" for k, v in props.items())
+        parts.append(f"TBLPROPERTIES (\n{kv}\n)")
+    parts.append("AS\nSELECT 1 AS x")
+    spec = parse_mv_ddl("\n".join(parts))
+
+    assert spec.name == name
+    assert spec.comment == comment
+    assert spec.cluster_by == tuple(cluster)
+    assert spec.table_properties == props
+    assert spec.select_sql == "SELECT 1 AS x"
+    assert [(e.name, e.action) for e in spec.expectations] == [
+        (cname, act) for cname, _, (_, act) in constraints
+    ]
+
+
+def test_simhash_banding_finds_every_bounded_hamming_pair(spark):
+    """Pigeonhole claim: banded join loses no pair with hamming ≤ 3 —
+    verified against an exhaustive cross-join on a bounded sample."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+        simhash_expr,
+        simhash_pairs,
+        tokens_col,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 200)
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+
+    fp = docs.select(
+        F.col("doc_id").alias("id"), tokens_col("text").alias("__toks")
+    ).select("id", simhash_expr("__toks").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = {
+        (r.id_a, r.id_b): r.hamming
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """Signature agreement rate ≈ true Jaccard (MinHash's defining property),
+    within binomial tolerance at 64 hashes, over real near-dup pairs."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_signature,
+        tokens_col,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 150)
+    sig = docs.select(
+        F.col("doc_id").alias("id"), tokens_col("text").alias("s")
+    ).select("id", minhash_signature(F.col("s"), 64).alias("sig"))
+
+    true_pairs = jaccard_pairs(docs, threshold=0.5).limit(50)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    est = (
+        true_pairs.join(a, true_pairs.id_a == F.col("a.id"))
+        .join(b, true_pairs.id_b == F.col("b.id"))
+        .select(
+            "jaccard",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(64.0)
+            ).alias("estimate"),
+        )
+        .collect()
+    )
+    assert est, "need near-dup pairs to test against"
+    for r in est:
+        # 64 Bernoulli trials: 4 sigma ≈ 4*sqrt(p(1-p)/64) ≤ 0.25
+        assert abs(r.jaccard - r.estimate) < 0.25, (r.jaccard, r.estimate)
