@@ -499,6 +499,43 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the user's latest order day at-or-before
+    the event (union + last_value window — one shuffle, no pair explosion)."""
+    from .operators.asof import as_of_join
+
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    per_day = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_totalprice").alias("max_order_price"),
+    )
+    return as_of_join(
+        events, per_day, ["user_id"], "ts", "order_ts", ["n_orders", "max_order_price"]
+    )
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: per (year, status) with subtotals + grand total."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming operators (S4, SURVEY.md §2.8)
 # --------------------------------------------------------------------------
@@ -617,6 +654,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_running_totals": q_streaming_running_totals,
     "topk_orders": q_topk_orders,
+    "asof_join": q_asof_join,
+    "rollup_sales": q_rollup_sales,
 }
 
 ORACLES: dict[str, str] = {
@@ -851,5 +890,27 @@ ORACLES: dict[str, str] = {
       FROM orders
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 10
+    """,
+    "asof_join": """
+      WITH per_day AS (
+        SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MAX(o_totalprice) AS max_order_price
+        FROM orders GROUP BY 1, 2
+      )
+      SELECT e.event_id, e.user_id, e.ts, r.n_orders, r.max_order_price
+      FROM events e
+      ASOF LEFT JOIN per_day r
+        ON e.user_id = r.user_id AND e.ts >= r.order_ts
+    """,
+    "rollup_sales": """
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+             o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate)) * 2
+                  + GROUPING(o_orderstatus) AS INTEGER) AS gid
+      FROM orders
+      GROUP BY ROLLUP(EXTRACT(YEAR FROM o_orderdate), o_orderstatus)
     """,
 }
