@@ -519,6 +519,30 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: pairs of same-user events within one hour, via bucket
+    decomposition (equi-shuffle on (user, hour-bucket), never a nested loop)."""
+    from .operators.rangejoin import point_in_interval_join
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select(
+        "user_id", F.col("event_id").alias("dst_event"), F.col("ts").alias("dst_ts")
+    )
+    intervals = ev.select(
+        "user_id",
+        F.col("event_id").alias("src_event"),
+        F.col("ts").alias("src_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("src_end"),
+    )
+    joined = point_in_interval_join(
+        points, intervals, ["user_id"], "dst_ts", "src_ts", "src_end", 3600
+    )
+    return joined.filter(F.col("src_event") != F.col("dst_event")).select(
+        "user_id", "src_event", "dst_event", "src_ts", "dst_ts"
+    )
+
+
 def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: per (year, status) with subtotals + grand total."""
     tune_session(spark)
@@ -655,6 +679,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_running_totals": q_streaming_running_totals,
     "topk_orders": q_topk_orders,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "rollup_sales": q_rollup_sales,
 }
 
@@ -902,6 +927,15 @@ ORACLES: dict[str, str] = {
       FROM events e
       ASOF LEFT JOIN per_day r
         ON e.user_id = r.user_id AND e.ts >= r.order_ts
+    """,
+    "range_join": """
+      SELECT a.user_id, a.event_id AS src_event, b.event_id AS dst_event,
+             a.ts AS src_ts, b.ts AS dst_ts
+      FROM events a
+      JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+       AND a.event_id != b.event_id
     """,
     "rollup_sales": """
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
