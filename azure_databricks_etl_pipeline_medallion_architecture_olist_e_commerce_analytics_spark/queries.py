@@ -543,6 +543,55 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per year × status as columns (explicit value list
+    keeps the plan one-pass — no distinct-values pre-scan)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "order_year",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}") for s in ("O", "F", "P")],
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION: event users with orders vs customers
+    without orders, tagged and unioned."""
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    order_users = orders.select(F.col("o_custkey").alias("id"))
+    active = events.select(F.col("user_id").alias("id")).intersect(order_users)
+    dormant = customer.select(F.col("c_custkey").alias("id")).exceptAll(
+        order_users
+    ).distinct()
+    return active.withColumn("kind", F.lit("active_with_orders")).unionByName(
+        dormant.withColumn("kind", F.lit("no_orders"))
+    )
+
+
+def q_ntile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of order value within status (deterministic order)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("value_quartile"),
+    )
+
+
 def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: per (year, status) with subtotals + grand total."""
     tune_session(spark)
@@ -681,6 +730,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "rollup_sales": q_rollup_sales,
+    "pivot_status": q_pivot_status,
+    "set_ops": q_set_ops,
+    "ntile_window": q_ntile_window,
 }
 
 ORACLES: dict[str, str] = {
@@ -936,6 +988,33 @@ ORACLES: dict[str, str] = {
         ON a.user_id = b.user_id
        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
        AND a.event_id != b.event_id
+    """,
+    "pivot_status": """
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      FROM orders GROUP BY 1
+    """,
+    "set_ops": """
+      SELECT id, 'active_with_orders' AS kind FROM (
+        SELECT user_id AS id FROM events
+        INTERSECT
+        SELECT o_custkey FROM orders
+      )
+      UNION ALL
+      SELECT id, 'no_orders' AS kind FROM (
+        SELECT c_custkey AS id FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders
+      )
+    """,
+    "ntile_window": """
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice DESC, o_orderkey)
+                  AS INTEGER) AS value_quartile
+      FROM orders
     """,
     "rollup_sales": """
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
