@@ -87,26 +87,95 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic distributed Lloyd iterations for IVF coarse centroids.
+
+    Seeds = the first ``k`` vectors by id; each iteration assigns every vector
+    to its nearest centroid (broadcast cross join — k rows broadcast, one pass
+    over the data) and recomputes centroids as per-cluster means (one shuffle
+    keyed on centroid_id, map-side partial aggregation via
+    ``array-position-wise`` sums). Driver holds only k centroid vectors per
+    iteration — never data rows — so the loop scales to any corpus size.
+    """
+    spark = df.sparkSession
+    dims = df.select(F.size(vec_col).alias("d")).first().d
+    seeds = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i + 1, [float(x) for x in row[0]]) for i, row in enumerate(seeds)
+    ]
+    points = df.select(F.col(vec_col).alias("v"))
+    for _ in range(iterations):
+        # centroids are a k×dims literal (the "model"); assignment is a pure
+        # projection — greatest (sim, -cid) struct picks the nearest centroid
+        # deterministically with zero shuffle and zero join.
+        candidates = [
+            F.struct(
+                cosine_col(
+                    F.col("v"), F.array(*[F.lit(x) for x in vec])
+                ).alias("s"),
+                F.lit(-cid).alias("n"),
+            )
+            for cid, vec in cents
+        ]
+        assigned = points.select(
+            (-F.greatest(*candidates).getField("n")).alias("centroid_id"), "v"
+        )
+        # per-cluster mean: ONE narrow shuffle keyed on centroid_id with
+        # map-side partial sums; k result rows come back to the driver.
+        rows = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                *[
+                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    for i in range(dims)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        cents = sorted(
+            (r.centroid_id, [float(r[f"s{i}"] / r.n) for i in range(dims)])
+            for r in rows
+        )
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        "centroid_id int, centroid_vec array<float>",
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """Assign each vector to its nearest coarse centroid (broadcast join).
 
-    Centroids are the first ``n_centroids`` vectors by id — deterministic and
-    cheap; swap in k-means centroids for production recall without changing
-    the plan shape.
+    ``kmeans_iterations=0`` uses the first ``n_centroids`` vectors by id as
+    centroids — deterministic and cheap; ``> 0`` refines them with
+    distributed Lloyd iterations (:func:`kmeans_centroids`) for better
+    bucket balance/recall, same plan shape either way.
     """
-    centroids = (
-        df.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+    if kmeans_iterations > 0:
+        centroids = kmeans_centroids(
+            df, vec_col, id_col, n_centroids, kmeans_iterations
         )
-    )
+    else:
+        centroids = (
+            df.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+        )
     sim = cosine_col(F.col(vec_col), F.col("centroid_vec"))
     w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
     return (
@@ -125,6 +194,7 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int = 16,
     query_filter=None,
+    kmeans_iterations: int = 0,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's own IVF bucket.
 
@@ -132,7 +202,7 @@ def ivf_topk(
     on ``centroid_id`` — the 100 TB-safe shape. Increase ``nprobe`` by
     unioning neighboring buckets for higher recall at linear extra cost.
     """
-    assigned = ivf_assign(df, id_col, vec_col, n_centroids)
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids, kmeans_iterations)
     corpus = assigned.select(
         F.col("centroid_id"),
         F.col(id_col).alias("nbr_id"),

@@ -40,6 +40,10 @@ HEADLINE = [
     "text_analysis",
     "ann_topk",
     "streaming_window_agg",
+    "streaming_running_totals",
+    "asof_join",
+    "range_join",
+    "rollup_sales",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -105,3 +105,39 @@ def test_multimodal_frames_fanout(spark):
         assert len(g) == n_frames
         assert sorted(g["frame_index"]) == list(range(n_frames))
         assert (g["frame_offset"] == g["frame_index"] * 1024).all()
+
+
+def test_kmeans_centroids_shape_and_determinism(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    c1 = kmeans_centroids(emb, k=8, iterations=2).collect()
+    c2 = kmeans_centroids(emb, k=8, iterations=2).collect()
+    assert len(c1) == 8
+    assert all(len(r.centroid_vec) == 64 for r in c1)
+    assert [r.centroid_vec for r in sorted(c1, key=lambda r: r.centroid_id)] == [
+        r.centroid_vec for r in sorted(c2, key=lambda r: r.centroid_id)
+    ]
+
+
+def test_ivf_with_kmeans_refinement_recall(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    flt = F.col("vec_id") < 50
+    exact = {(r.query_id, r.nbr_id) for r in brute_force_topk(emb, k=3, query_filter=flt).collect()}
+    approx = {
+        (r.query_id, r.nbr_id)
+        for r in ivf_topk(
+            emb, k=3, n_centroids=8, query_filter=flt, kmeans_iterations=2
+        ).collect()
+    }
+    # single-probe IVF: every hit must be a true pair's id (precision on the
+    # candidate set), recall bounded below loosely
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.2, f"kmeans-IVF recall collapsed: {recall:.2f}"
