@@ -77,3 +77,46 @@ def test_append_run_accumulates_parquet(spark, tmp_path):
     assert "_ingested_at" in out.columns
     # no-op third run
     assert ingest_csv_append(spark, str(src), str(state), str(tgt)) == 0
+
+
+def test_csv_roundtrip_matches_parquet_source(spark, tmp_path):
+    """Export a real table to CSV, re-ingest through the Auto-Loader-
+    equivalent path, and verify type recovery + content parity."""
+    from pyspark.sql import functions as F
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    from conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    landing = tmp_path / "landing"
+    orders.coalesce(2).write.option("header", True).csv(str(landing))
+    # CsvIngestor discovers Spark's part-files by .csv suffix
+    res = CsvIngestor(str(landing), str(tmp_path / "state")).ingest(spark)
+    ingested = res.df
+
+    assert ingested.count() == orders.count()
+    types = dict(ingested.dtypes)
+    assert types["o_orderkey"] in ("int", "bigint")
+    assert types["o_totalprice"] == "double"
+    assert types["o_orderdate"] == "timestamp"
+    # content checksum parity on a stable projection
+    def checksum(df):
+        return (
+            df.select(
+                F.sum(F.col("o_orderkey")).alias("k"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias("v"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+        )
+
+    assert checksum(ingested.select(orders.columns)) == checksum(orders)
+    # rescued-column scans must reference a data column too (Spark forbids
+    # corrupt-record-only queries over raw CSV)
+    bad = ingested.agg(
+        F.sum(F.when(F.col(RESCUED_COL).isNotNull(), 1).otherwise(0)).alias("bad"),
+        F.count("o_orderkey").alias("n"),
+    ).collect()[0]
+    assert bad.bad == 0
