@@ -78,6 +78,8 @@ class DatasetDef:
     streaming: bool = False
     cluster_by: tuple = ()
     partition_by: tuple = ()
+    bucket_by: tuple = ()  # (n_buckets, col, ...) — hash-bucketed table layout
+    sort_by: tuple = ()  # within-bucket sort columns (requires bucket_by)
 
 
 class _Resolver:
@@ -182,9 +184,16 @@ class Pipeline:
         streaming: bool = False,
         partition_by: tuple = (),
         cluster_by: tuple = (),
+        bucket_by: tuple = (),
+        sort_by: tuple = (),
     ):
         """Register a (streaming) table. Equivalent of ``@dlt.table``
-        (Silver_orders.py:16-21, bronze_ingestion.py:38-45)."""
+        (Silver_orders.py:16-21, bronze_ingestion.py:38-45).
+
+        ``bucket_by=(n, col, ...)`` hash-buckets the stored table so joins
+        and aggregations on those columns read pre-shuffled data (Spark's
+        bucketed-table optimization — no Exchange at query time).
+        """
         return self._decorator(
             kind="table",
             name=name,
@@ -193,6 +202,8 @@ class Pipeline:
             streaming=streaming,
             partition_by=tuple(partition_by),
             cluster_by=tuple(cluster_by),
+            bucket_by=tuple(bucket_by),
+            sort_by=tuple(sort_by),
         )
 
     def materialized_view(

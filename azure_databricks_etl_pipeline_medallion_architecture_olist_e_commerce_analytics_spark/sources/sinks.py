@@ -51,7 +51,8 @@ def write_table(
         _ensure_database(spark, schema)
 
     out = df
-    if dataset.cluster_by:
+    bucket_by = tuple(getattr(dataset, "bucket_by", ()) or ())
+    if dataset.cluster_by and not bucket_by:
         # Liquid-clustering fallback: co-locate + sort files on cluster keys
         # so parquet min/max stats prune scans on those predicates.
         cols = list(dataset.cluster_by)
@@ -61,6 +62,15 @@ def write_table(
     writer = out.write.format(use_fmt).mode("overwrite")
     if dataset.partition_by:
         writer = writer.partitionBy(*dataset.partition_by)
+    if bucket_by:
+        # Hash-bucketed layout: every read of this table is pre-shuffled on
+        # the bucket columns, so joins/aggs between tables bucketed the same
+        # way run with ZERO Exchange — the co-located-join strategy for a
+        # star schema at 100 TB.
+        n, *cols = bucket_by
+        writer = writer.bucketBy(int(n), *cols)
+        sort_cols = tuple(getattr(dataset, "sort_by", ()) or ()) or tuple(cols)
+        writer = writer.sortBy(*sort_cols)
     for k, v in dataset.table_properties.items():
         writer = writer.option(k, str(v))
     writer.saveAsTable(ident)

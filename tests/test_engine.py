@@ -165,3 +165,46 @@ def test_full_medallion_run_materializes_warehouse(spark):
     finally:
         for db in ("bronze", "silver", "gold"):
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed the same way on the join key: Spark's bucketed
+    scan satisfies the join's distribution requirement, so the query plan
+    has NO shuffle (Exchange) — the co-located star-join layout at scale."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    from conftest import SF_SMALL
+
+    p = Pipeline("bkt")
+
+    @p.table(name="wh.lineitem_b", bucket_by=(8, "l_orderkey"))
+    def lineitem_b(ctx):
+        return load_table(ctx.spark_session, SF_SMALL, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+
+    @p.table(name="wh.orders_b", bucket_by=(8, "o_orderkey"))
+    def orders_b(ctx):
+        return load_table(ctx.spark_session, SF_SMALL, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        p.run(spark)
+        joined = spark.table("wh.lineitem_b").join(
+            spark.table("wh.orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketed layout replaced the shuffle
+        # and the join result is still correct
+        assert joined.count() == spark.table("wh.lineitem_b").count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP DATABASE IF EXISTS wh CASCADE")
