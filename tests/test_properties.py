@@ -71,6 +71,7 @@ def test_simhash_banding_finds_every_bounded_hamming_pair(spark):
     from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
         simhash_expr,
         simhash_pairs,
+        token_hashes,
         tokens_col,
     )
     from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
@@ -83,9 +84,11 @@ def test_simhash_banding_finds_every_bounded_hamming_pair(spark):
         for r in simhash_pairs(docs, max_hamming=3).collect()
     }
 
-    fp = docs.select(
-        F.col("doc_id").alias("id"), tokens_col("text").alias("__toks")
-    ).select("id", simhash_expr("__toks").alias("fp"))
+    fp = (
+        docs.select(F.col("doc_id").alias("id"), tokens_col("text").alias("__toks"))
+        .select("id", token_hashes("__toks").alias("__hs"))
+        .select("id", simhash_expr("__hs").alias("fp"))
+    )
     a, b = fp.alias("a"), fp.alias("b")
     brute = {
         (r.id_a, r.id_b): r.hamming
