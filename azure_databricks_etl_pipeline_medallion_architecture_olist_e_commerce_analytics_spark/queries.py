@@ -610,6 +610,273 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Breadth: analytic window frames, multi-dim aggregates, join/subquery forms,
+# lateral explode, string-function matrix, skew-safe physical variants
+# --------------------------------------------------------------------------
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frames: lag/lead, running total (ROWS UNBOUNDED), moving
+    average (ROWS 2 PRECEDING), value-range count (RANGE 1000 PRECEDING).
+
+    Sums/averages accumulate in DECIMAL(18,2) so the result is independent
+    of row order within the frame (bit-exact vs the oracle). The RANGE frame
+    orders by value only — frame membership depends on values, not tie
+    order, so it is deterministic by construction.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    run = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mov = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    rng = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(dec).over(run).cast("double").alias("running_total"),
+        (F.sum(dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias("moving_avg3"),
+        F.count(F.lit(1)).over(rng).alias("n_within_1000"),
+    )
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all 4 grouping combinations of (year, status)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .cube("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: per-year and per-status marginals in one pass (no
+    grand total, no cross cells — the two cube slices a report actually
+    wants, at half the aggregate rows)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn("order_year", F.year("o_orderdate")).createOrReplaceTempView(
+        "__gs_orders"
+    )
+    return spark.sql(
+        """
+        SELECT order_year, o_orderstatus,
+               COUNT(1) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               CAST(grouping_id() AS INT) AS gid
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((order_year), (o_orderstatus))
+        """
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: orders with no line items (referential orphans)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join: the (region × order-status) reporting scaffold."""
+    tune_session(spark)
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = orders.select(F.col("o_orderstatus").alias("status")).distinct()
+    return region.crossJoin(statuses).select("r_regionkey", "r_name", "status")
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the global average price.
+
+    The one-row global aggregate is broadcast (Catalyst turns the crossJoin
+    into BroadcastNestedLoopJoin with a 1-row build side) — no shuffle of the
+    probe side. The average is computed identically on both engines
+    (exact DECIMAL sum ÷ count, then one double division).
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    avg_df = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("global_avg")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("global_avg"))
+        .select("o_orderkey", "o_totalprice", "global_avg")
+    )
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral fan-out: posexplode of the per-document token array.
+
+    The array is sorted before exploding so positions are deterministic —
+    Spark's array_distinct keeps first-occurrence order while other engines
+    don't guarantee any order for distinct.
+    """
+    from .operators.dedup import tokens_col
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.array_sort(tokens_col("text"))).alias("pos", "token")
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function matrix beyond the reference's trim/upper/concat:
+    regexp_extract, substring, split→join, lpad, reverse, strpos,
+    levenshtein (fuzzy-match primitive for entity resolution)."""
+    tune_session(spark)
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.array_join(F.split("p_name", " "), "_").alias("snake_name"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+    )
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py): result is identical to the plain
+    equi-join — the oracle IS the plain join — only the shuffle key space is
+    16× wider so a hot order key cannot straggle one reducer."""
+    from .operators.skew import salted_join
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_totalprice"
+    )
+    return salted_join(li, orders, ["okey"], salt=16)
+
+
+# --------------------------------------------------------------------------
+# Warehouse maintenance: MERGE upsert, SCD Type-2, JSON extraction, sketches
+# --------------------------------------------------------------------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE/upsert: a deterministic change-batch (every 10th order
+    re-priced and flagged) merged into the orders table — matched rows
+    replaced, the rest untouched."""
+    from .operators.merge import merge_upsert
+
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    source = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+    )
+    return merge_upsert(orders, source, ["o_orderkey"])
+
+
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2: a segment-change batch applied to a customer dimension —
+    changed keys get their open row closed out and a new current version;
+    update rows whose tracked attributes match are no-ops."""
+    from .operators.merge import scd2_apply
+
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    t0 = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    current = (
+        cust.withColumn("valid_from", t0)
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = cust.filter(
+        (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0)
+    ).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    return scd2_apply(
+        current,
+        updates,
+        ["c_custkey"],
+        ["c_mktsegment"],
+        F.lit("1996-06-01 00:00:00").cast("timestamp"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON round-trip: to_json(struct) → get_json_object path extraction +
+    from_json typed parse (semi-structured payload handling, all JVM-side)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    payload = F.to_json(
+        F.struct("o_orderkey", "o_orderstatus", "o_orderpriority")
+    ).alias("j")
+    j = F.from_json(
+        F.col("j"), "o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING"
+    )
+    return (
+        orders.select("o_orderkey", payload)
+        .select(
+            "o_orderkey",
+            F.get_json_object("j", "$.o_orderstatus").alias("status_json"),
+            j.getField("o_orderpriority").alias("priority_json"),
+            j.getField("o_orderkey").alias("key_roundtrip"),
+        )
+    )
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch vs exact: per-status approximate distinct customers next
+    to the exact count (rows-only — sketch values are Spark-internal; the
+    error bound is asserted in tests/test_operators.py)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_nd"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_nd"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch): single-pass,
+    mergeable across partitions — the scale path for quantiles (rows-only;
+    accuracy asserted vs exact percentile in tests)."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
+    return orders.agg(
+        q.getItem(0).alias("p50"),
+        q.getItem(1).alias("p90"),
+        q.getItem(2).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming operators (S4, SURVEY.md §2.8)
 # --------------------------------------------------------------------------
 
@@ -733,6 +1000,22 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_status": q_pivot_status,
     "set_ops": q_set_ops,
     "ntile_window": q_ntile_window,
+    # breadth: frames / multi-dim aggs / join forms / lateral / strings / skew
+    "window_frames": q_window_frames,
+    "cube_sales": q_cube_sales,
+    "grouping_sets": q_grouping_sets,
+    "anti_join": q_anti_join,
+    "cross_join": q_cross_join,
+    "scalar_subquery": q_scalar_subquery,
+    "explode_tokens": q_explode_tokens,
+    "string_funcs": q_string_funcs,
+    "skew_salted_join": q_skew_salted_join,
+    # warehouse maintenance + semi-structured + sketches
+    "merge_upsert": q_merge_upsert,
+    "scd2_customers": q_scd2_customers,
+    "json_extract": q_json_extract,
+    "sketch_distinct": q_sketch_distinct,
+    "approx_quantiles": q_approx_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -1015,6 +1298,119 @@ ORACLES: dict[str, str] = {
                                  ORDER BY o_totalprice DESC, o_orderkey)
                   AS INTEGER) AS value_quartile
       FROM orders
+    """,
+    "window_frames": """
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             lag(o_totalprice) OVER w AS prev_price,
+             lead(o_totalprice) OVER w AS next_price,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS moving_avg3,
+             COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "cube_sales": """
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+             o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate)) * 2
+                  + GROUPING(o_orderstatus) AS INTEGER) AS gid
+      FROM orders
+      GROUP BY CUBE(EXTRACT(YEAR FROM o_orderdate), o_orderstatus)
+    """,
+    "grouping_sets": """
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+             o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             CAST(GROUPING(EXTRACT(YEAR FROM o_orderdate)) * 2
+                  + GROUPING(o_orderstatus) AS INTEGER) AS gid
+      FROM orders
+      GROUP BY GROUPING SETS ((EXTRACT(YEAR FROM o_orderdate)), (o_orderstatus))
+    """,
+    "anti_join": """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+    "cross_join": """
+      SELECT r_regionkey, r_name, status
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    """,
+    "scalar_subquery": """
+      SELECT o_orderkey, o_totalprice, global_avg
+      FROM orders CROSS JOIN (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS global_avg
+        FROM orders
+      ) g
+      WHERE o_totalprice > global_avg
+    """,
+    "explode_tokens": """
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, s[i] AS token
+      FROM (
+        SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS s
+        FROM documents WHERE doc_id < 50
+      ) t, unnest(range(1, len(s) + 1)) AS u(i)
+    """,
+    "string_funcs": """
+      SELECT p_partkey,
+             regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+             substring(p_name, 1, 5) AS prefix5,
+             array_to_string(string_split(p_name, ' '), '_') AS snake_name,
+             lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+             reverse(p_brand) AS brand_rev,
+             CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+             CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_dist
+      FROM part
+    """,
+    "skew_salted_join": """
+      SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "merge_upsert": """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 != 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    "scd2_customers": """
+      SELECT c_custkey, c_name, c_mktsegment,
+             TIMESTAMP '1995-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer WHERE c_custkey % 7 != 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment,
+             TIMESTAMP '1995-01-01', TIMESTAMP '1996-06-01', FALSE
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, 'MOVED',
+             TIMESTAMP '1996-06-01', CAST(NULL AS TIMESTAMP), TRUE
+      FROM customer WHERE c_custkey % 7 = 0
+    """,
+    "json_extract": """
+      SELECT o_orderkey,
+             json_extract_string(j, '$.o_orderstatus') AS status_json,
+             json_extract_string(j, '$.o_orderpriority') AS priority_json,
+             CAST(json_extract(j, '$.o_orderkey') AS BIGINT) AS key_roundtrip
+      FROM (
+        SELECT o_orderkey,
+               to_json(struct_pack(o_orderkey := o_orderkey,
+                                   o_orderstatus := o_orderstatus,
+                                   o_orderpriority := o_orderpriority)) AS j
+        FROM orders
+      ) t
     """,
     "rollup_sales": """
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,

@@ -141,3 +141,80 @@ def test_ivf_with_kmeans_refinement_recall(spark):
     # candidate set), recall bounded below loosely
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.2, f"kmeans-IVF recall collapsed: {recall:.2f}"
+
+
+def test_sketch_distinct_error_bound(spark):
+    """HLL++ approx distinct within 5% of exact per group (rsd=0.02)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        q_sketch_distinct,
+    )
+
+    rows = q_sketch_distinct(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_nd - r.exact_nd) / max(r.exact_nd, 1) < 0.05
+
+
+def test_approx_quantiles_error_bound(spark):
+    """GK-sketch percentiles within 1% rank error of exact percentiles."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        q_approx_quantiles,
+    )
+
+    approx = q_approx_quantiles(spark, SF_SMALL).collect()[0]
+    orders = load_table(spark, SF_SMALL, "orders")
+    exact = orders.selectExpr(
+        "percentile(o_totalprice, array(0.5, 0.9, 0.99)) AS q"
+    ).collect()[0].q
+    lo, hi = min(r for r in exact), max(r for r in exact)
+    span = hi - lo if hi > lo else 1.0
+    for got, want in zip((approx.p50, approx.p90, approx.p99), exact):
+        assert abs(got - want) / span < 0.05, (got, want)
+
+
+def test_merge_upsert_semantics(spark):
+    """Upsert: updated rows replaced, inserts added, untouched rows intact."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, v STRING, x DOUBLE"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k INT, v STRING, x DOUBLE"
+    )
+    got = {r.k: (r.v, r.x) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_versions_and_noops(spark):
+    """SCD2: changed key gets closed+reopened, unchanged update is a no-op,
+    brand-new key is inserted open, history rows pass through."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.merge import (
+        scd2_apply,
+    )
+    import datetime
+
+    TS = datetime.datetime
+    current = spark.createDataFrame(
+        [
+            (1, "seg_a", TS(1995, 1, 1), None, True),
+            (2, "seg_b", TS(1995, 1, 1), None, True),
+            (1, "seg_old", TS(1990, 1, 1), TS(1995, 1, 1), False),  # history
+        ],
+        "k INT, seg STRING, valid_from TIMESTAMP, valid_to TIMESTAMP, is_current BOOLEAN",
+    )
+    updates = spark.createDataFrame(
+        [(1, "seg_NEW"), (2, "seg_b"), (9, "seg_fresh")], "k INT, seg STRING"
+    )
+    out = scd2_apply(current, updates, ["k"], ["seg"], F.lit("1996-06-01").cast("timestamp"))
+    rows = {(r.k, r.seg, r.is_current, r.valid_to is None) for r in out.collect()}
+    assert rows == {
+        (1, "seg_old", False, False),     # history untouched
+        (1, "seg_a", False, False),       # closed out
+        (1, "seg_NEW", True, True),       # new current version
+        (2, "seg_b", True, True),         # unchanged no-op stays open
+        (9, "seg_fresh", True, True),     # brand-new key inserted open
+    }
+    assert out.filter(F.col("is_current")).count() == 3
