@@ -97,3 +97,86 @@ def analyze_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         quality_score_col(text_col).alias("quality_score"),
         fingerprint_col(text_col).alias("fingerprint"),
     )
+
+
+def all_tokens_col(text_col: str = "text"):
+    """ALL lowercase whitespace tokens, duplicates kept in order (the unit
+    for frequency statistics — `tokens_col` deduplicates, this doesn't)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by frequency (deterministic tie-break
+    on the n-gram string).
+
+    Map-side: per-doc n-gram construction with JVM higher-order functions and
+    an explode — no Python. The count is a hash aggregation with map-side
+    partial combine, and the top-k is TakeOrderedAndProject (per-partition
+    heap + k-row driver merge), so nothing materializes a global sort at
+    corpus scale.
+    """
+    from .dedup import _shingles
+
+    toks = all_tokens_col(text_col)
+    grams = _shingles(toks, n)
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(document, term) TF-IDF over the corpus.
+
+    tf = term count within the document; idf = ln(N / df_t) with N the
+    corpus size and df_t the number of documents containing the term.
+    Two shuffles total: one per-(doc, term) count, one per-term document
+    frequency, joined back on the term — the corpus size N is a broadcast
+    1-row aggregate, never a driver-side collect.
+    """
+    toks = all_tokens_col(text_col)
+    term_rows = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = term_rows.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df_t")),
+                6,
+            ).alias("tf_idf"),
+        )
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_score: float = 0.5,
+    lang: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The pretraining-corpus filter chain: quality threshold + optional
+    language gate, emitting the surviving docs with their scores."""
+    out = analyze_documents(df, id_col=id_col, text_col=text_col).filter(
+        F.col("quality_score") >= min_score
+    )
+    if lang is not None:
+        out = out.filter(F.col("predicted_lang") == lang)
+    return out

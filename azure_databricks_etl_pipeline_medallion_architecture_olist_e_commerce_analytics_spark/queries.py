@@ -775,6 +775,51 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus analytics: n-gram frequencies, TF-IDF, quality filtering, sampling
+# --------------------------------------------------------------------------
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams (explode → hash agg → TakeOrdered top-k)."""
+    from .operators.textops import top_ngrams
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=50)
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, term) on a bounded slice (value-level oracle)."""
+    from .operators.textops import tf_idf
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 200)
+    return tf_idf(corpus).filter(F.col("doc_id") < 50)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining filter chain: quality ≥ 0.5 AND predicted English."""
+    from .operators.textops import quality_filter
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter(docs, min_score=0.5, lang="en")
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/8 sample via md5 bucket of the key — the same rows on
+    every engine and every run (unlike rand()-based sampling), and the same
+    rows for a key across tables, which is what makes joins of samples line
+    up at 100 TB."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return orders.filter(bucket.isin("0", "1")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
 # Warehouse maintenance: MERGE upsert, SCD Type-2, JSON extraction, sketches
 # --------------------------------------------------------------------------
 
@@ -1010,6 +1055,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explode_tokens": q_explode_tokens,
     "string_funcs": q_string_funcs,
     "skew_salted_join": q_skew_salted_join,
+    # corpus analytics
+    "top_ngrams": q_top_ngrams,
+    "tf_idf": q_tf_idf,
+    "quality_filter": q_quality_filter,
+    "deterministic_sample": q_deterministic_sample,
     # warehouse maintenance + semi-structured + sketches
     "merge_upsert": q_merge_upsert,
     "scd2_customers": q_scd2_customers,
@@ -1124,6 +1174,37 @@ ORACLES: dict[str, str] = {
         FROM tok a JOIN tok b ON a.doc_id < b.doc_id
       )
       SELECT * FROM pairs WHERE jaccard >= 0.8
+    """,
+    "top_ngrams": """
+      WITH toks AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS s FROM documents
+      ),
+      grams AS (
+        SELECT unnest(CASE WHEN len(s) >= 2
+          THEN list_transform(range(1, len(s)), i -> array_to_string(s[i:i+1], ' '))
+          ELSE [array_to_string(s, ' ')] END) AS ngram
+        FROM toks
+      )
+      SELECT ngram, CAST(COUNT(*) AS BIGINT) AS freq FROM grams GROUP BY ngram
+      ORDER BY freq DESC, ngram LIMIT 50
+    """,
+    "tf_idf": """
+      WITH term_rows AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents WHERE doc_id < 200
+      ),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM term_rows GROUP BY doc_id, term),
+      dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM term_rows GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 200)
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df_t), 6) AS tf_idf
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+      WHERE tf.doc_id < 50
+    """,
+    "deterministic_sample": """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
     """,
     "text_analysis": f"""
       WITH base AS (
@@ -1423,3 +1504,10 @@ ORACLES: dict[str, str] = {
       GROUP BY ROLLUP(EXTRACT(YEAR FROM o_orderdate), o_orderstatus)
     """,
 }
+
+# The filter chain is the text-analysis projection + predicates, so its oracle
+# wraps the same SQL (one definition, no drift between the two).
+ORACLES["quality_filter"] = (
+    f"SELECT * FROM ({ORACLES['text_analysis']}) t "
+    "WHERE quality_score >= 0.5 AND predicted_lang = 'en'"
+)

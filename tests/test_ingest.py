@@ -120,3 +120,57 @@ def test_csv_roundtrip_matches_parquet_source(spark, tmp_path):
         F.count("o_orderkey").alias("n"),
     ).collect()[0]
     assert bad.bad == 0
+
+
+def test_jsonl_incremental_ingest_with_rescue(spark, tmp_path):
+    """JSONL: infer-once-then-pin, ledger-based incremental discovery, and
+    malformed/mismatched rows rescued into _rescued_data."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.json_ingest import (
+        JsonlIngestor,
+    )
+
+    src = tmp_path / "landing"
+    state = tmp_path / "state"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "name": "x", "score": 1.5}\n{"id": 2, "name": "y", "score": 2.0}\n'
+    )
+    ing = JsonlIngestor(str(src), str(state))
+    r1 = ing.ingest(spark)
+    assert len(r1.new_files) == 1
+    got1 = r1.df.collect()
+    assert {r.id: r.name for r in got1} == {1: "x", 2: "y"}
+    # (filtering on the corrupt-record column alone is disallowed on raw
+    # JSON scans — inspect the collected rows instead)
+    assert all(r._rescued_data is None for r in got1)
+
+    # no new files -> no-op run
+    assert ing.ingest(spark).df is None
+
+    # second drop: one good row, one malformed line -> rescued
+    (src / "b.jsonl").write_text('{"id": 3, "name": "z", "score": 3.0}\nnot-json-at-all\n')
+    r2 = ing.ingest(spark)
+    assert len(r2.new_files) == 1
+    got = r2.df.collect()
+    assert {r.id for r in got if r.id is not None} == {3}
+    rescued = [r for r in got if r._rescued_data is not None]
+    assert len(rescued) == 1 and "not-json-at-all" in rescued[0]._rescued_data
+
+
+def test_jsonl_append_run(spark, tmp_path):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.json_ingest import (
+        ingest_jsonl_append,
+    )
+
+    src = tmp_path / "landing"
+    state = tmp_path / "state"
+    tgt = tmp_path / "bronze_tbl"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"k": 1}\n{"k": 2}\n')
+    assert ingest_jsonl_append(spark, str(src), str(state), str(tgt)) == 1
+    (src / "b.jsonl").write_text('{"k": 3}\n')
+    assert ingest_jsonl_append(spark, str(src), str(state), str(tgt)) == 1
+    assert ingest_jsonl_append(spark, str(src), str(state), str(tgt)) == 0
+    df = spark.read.parquet(str(tgt))
+    assert sorted(r.k for r in df.collect()) == [1, 2, 3]
+    assert "_ingested_at" in df.columns
