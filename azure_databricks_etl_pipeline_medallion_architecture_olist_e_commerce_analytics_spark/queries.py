@@ -445,6 +445,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def q_ann_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute-force top-k (BLAS matmul per corpus partition,
+    per-partition top-k, O(k·q) merge) — same oracle as ann_topk."""
+    from .operators.similarity import brute_force_topk_np
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk_np(emb, k=3, query_filter=F.col("vec_id") < 100)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (scale path; no oracle — approximate)."""
     from .operators.similarity import ivf_topk
@@ -1029,6 +1040,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "text_analysis": q_text_analysis,
     "ann_topk": q_ann_topk,
+    "ann_topk_np": q_ann_topk_np,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "multimodal_decode": q_multimodal_decode,
@@ -1511,3 +1523,6 @@ ORACLES["quality_filter"] = (
     f"SELECT * FROM ({ORACLES['text_analysis']}) t "
     "WHERE quality_score >= 0.5 AND predicted_lang = 'en'"
 )
+
+# The vectorized scorer computes the same exact top-k as the fold-based one.
+ORACLES["ann_topk_np"] = ORACLES["ann_topk"]

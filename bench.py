@@ -39,11 +39,17 @@ HEADLINE = [
     "dedup_simhash",
     "text_analysis",
     "ann_topk",
+    "ann_topk_np",
     "streaming_window_agg",
     "streaming_running_totals",
     "asof_join",
     "range_join",
     "rollup_sales",
+    "window_frames",
+    "merge_upsert",
+    "scd2_customers",
+    "top_ngrams",
+    "tf_idf",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -218,3 +218,18 @@ def test_scd2_versions_and_noops(spark):
         (9, "seg_fresh", True, True),     # brand-new key inserted open
     }
     assert out.filter(F.col("is_current")).count() == 3
+
+
+def test_brute_force_topk_np_matches_fold_scorer(spark):
+    """The BLAS scorer and the JVM fold scorer agree exactly (same rounded
+    cosines, same tie-breaks) — including boundary ties across partitions."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        brute_force_topk_np,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").repartition(8)
+    a = brute_force_topk(emb, k=3, query_filter=F.col("vec_id") < 40)
+    b = brute_force_topk_np(emb, k=3, query_filter=F.col("vec_id") < 40)
+    ra = sorted((r.query_id, r.rank, r.nbr_id, r.cosine) for r in a.collect())
+    rb = sorted((r.query_id, r.rank, r.nbr_id, r.cosine) for r in b.collect())
+    assert ra == rb
