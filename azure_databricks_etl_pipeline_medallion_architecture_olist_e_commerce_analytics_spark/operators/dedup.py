@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.loader import spread_partitions
+
 
 def tokens_col(text_col: str = "text"):
     """Distinct lowercase whitespace tokens (the unit for set-similarity)."""
@@ -180,6 +182,7 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     margin = 3.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
+    df = spread_partitions(df)
     base = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("s"))
     if ngram == 1:
         keyed = base.select(
@@ -355,7 +358,8 @@ def simhash_pairs(
     equi-shuffle.
     """
     base = (
-        df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
+        spread_partitions(df)
+        .select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
         .select("id", token_hashes("__toks").alias("__hs"))
         .select("id", simhash_expr("__hs").alias("fp"))
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.loader import spread_partitions
+
 
 def dot_col(a, b):
     """Σ aᵢ·bᵢ as a left-fold (deterministic summation order)."""
@@ -58,6 +60,7 @@ def brute_force_topk(
     """
     # Norms are per-vector, not per-pair: compute them once on each side so
     # the O(n·m) join evaluates one fold (the dot product) per pair, not three.
+    df = spread_partitions(df)
     corpus = df.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
@@ -152,7 +155,8 @@ def brute_force_topk_np(
             )
 
     partials = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        spread_partitions(df)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
         .mapInPandas(score, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.loader import spread_partitions
+
 from .dedup import fingerprint_col, tokens_col
 
 # Public-knowledge high-frequency marker words per language (tiny heuristic
@@ -122,7 +124,8 @@ def top_ngrams(
     toks = all_tokens_col(text_col)
     grams = _shingles(toks, n)
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        spread_partitions(df)
+        .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("ngram"))
@@ -144,7 +147,9 @@ def tf_idf(
     1-row aggregate, never a driver-side collect.
     """
     toks = all_tokens_col(text_col)
-    term_rows = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    term_rows = spread_partitions(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+    )
     tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_t = term_rows.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df_t")

@@ -63,6 +63,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition an under-split input up to the session's parallelism.
+
+    Parquet splits at row-group granularity, so a small corpus written as one
+    file/row-group arrives as ONE partition and any CPU-heavy per-row stage
+    (fingerprinting, signature computation, Arrow-batch scoring) serializes
+    onto a single core no matter how many the cluster has. One narrow shuffle
+    here decouples compute parallelism from the file layout. At production
+    scale inputs arrive in thousands of row-group splits, `getNumPartitions
+    >= defaultParallelism` holds, and this is a no-op — it exists for the
+    small-file edge, which is also exactly the local-test shape.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
