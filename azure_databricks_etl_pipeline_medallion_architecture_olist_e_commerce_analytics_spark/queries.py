@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .operators.textops import LANG_MARKERS
 from .plans.medallion import SEGMENT_DISPLAY, build_pipeline
-from .sources.loader import load_table
+from .sources.loader import load_table, spread_partitions
 from .tuning import tune_session
 
 _LANG_SCORE_SQL = ", ".join(
@@ -274,7 +274,10 @@ def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A4: groupBy sum / countDistinct / max / collect_set→sort→join."""
     tune_session(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    # Single-row-group input ⇒ one scan task; the ObjectHashAggregate
+    # (collect_set is object-based, no codegen) would run single-threaded.
+    # Aggregate results are partitioning-independent, so spreading is safe.
+    li = spread_partitions(load_table(spark, sf_dir, "lineitem"))
     return li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double")
