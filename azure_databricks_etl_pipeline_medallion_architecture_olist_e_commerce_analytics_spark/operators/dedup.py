@@ -123,6 +123,7 @@ def minhash_lsh_pairs(
     bands: int = 10,
     ngram: int = 1,
     cache: bool = True,
+    screen: bool | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
@@ -150,13 +151,20 @@ def minhash_lsh_pairs(
        per matching band (measured 3× blow-up: 19M mentions → 6.4M pairs at
        sf0.1) and paid a full ``dropDuplicates`` shuffle to collapse them —
        that shuffle was >50% of end-to-end runtime and is now simply gone.
-    3. **Screen-then-verify in one join pass.** Candidates join the compact
-       per-representative payload (signature + xxhash64 token hashes +
-       set size) once per side; the signature-estimated Jaccard (matching
-       positions / num_hashes, est ≥ threshold − 3σ of the
-       Binomial(num_hashes, j) estimator) gates the exact intersect so
-       <0.1% of true pairs are screened out, and the exact union size is
-       derived as ``|A| + |B| − |A∩B|`` (one array_intersect per pair).
+    3. **Adaptive screen-then-verify in one join pass.** Candidates join
+       the compact per-representative payload (signature + xxhash64 token
+       hashes + set size) once per side. When ``screen`` is on, the
+       signature-estimated Jaccard (matching positions / num_hashes,
+       est ≥ threshold − 3σ of the Binomial(num_hashes, j) estimator)
+       gates the exact intersect at the cost of screening out <0.1% of
+       true pairs. The estimate is an interpreted ``num_hashes``-element
+       fold per pair, so it only pays when token sets are much wider than
+       the signature; ``screen=None`` decides from the data (one cheap
+       aggregate over the cached per-representative payload: screen iff
+       mean set size > 2×num_hashes — for short-doc corpora the exact
+       intersect is cheaper than its own estimate AND loses zero pairs).
+       The exact union size is derived as ``|A| + |B| − |A∩B|``
+       (one array_intersect per pair).
        The intersect runs over xxhash64 *token hashes* (fixed-width
        bigints), not token strings: set Jaccard is invariant under an
        injective map, a 64-bit in-document collision is ~|tokens|²/2⁶⁵,
@@ -260,6 +268,16 @@ def minhash_lsh_pairs(
         F.col("hs").alias("s_b"),
         F.col("n").alias("n_b"),
     )
+    if screen is None:
+        # Decide from the data when the payload is cached (the aggregate
+        # forces the cached plan once; everything downstream reuses it).
+        # Without a cache, default to screening — the conservative wide-doc
+        # assumption, and no extra recompute.
+        if cache:
+            mean_n = prepared.agg(F.avg("n")).first()[0] or 0.0
+            screen = mean_n > 2.0 * num_hashes
+        else:
+            screen = True
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -268,12 +286,11 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("s_a", "s_b"))
     union = F.col("n_a") + F.col("n_b") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    rep_pairs = (
-        cand.join(info_a, "id_a")
-        .join(info_b, "id_b")
-        .filter(est >= threshold - margin)
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    rep_pairs = cand.join(info_a, "id_a").join(info_b, "id_b")
+    if screen:
+        rep_pairs = rep_pairs.filter(est >= threshold - margin)
+    rep_pairs = rep_pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
     mem_a = groups.select(F.col("rid").alias("id_a"), F.col("members").alias("mem_a"))
     mem_b = groups.select(F.col("rid").alias("id_b"), F.col("members").alias("mem_b"))
