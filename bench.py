@@ -69,20 +69,22 @@ def main() -> None:
     spark = get_spark("bench")
 
     names = [n for n in HEADLINE if n in SPARK_QUERIES]
-    if WARMUP and os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
-        for name in names:
-            SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+    warmup = WARMUP and os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
 
-    # Two timed passes, keep the per-query minimum: one pass is exposed to
-    # one-off noise (GC pause, codegen-cache eviction from the 20+ other
-    # plans, OS scheduling) that can inflate a single query 5-8x; the min of
-    # two is the steady-state plan cost a long-running cluster sees.
+    # Per query: one untimed warmup run immediately followed by two timed
+    # runs, keeping the minimum. Warm-then-time back-to-back (rather than a
+    # separate full warmup pass) keeps the query's generated classes hot —
+    # the JVM codegen cache holds ~100 entries, so 20+ intervening plans
+    # evict them and a later timed pass re-pays cold janino+JIT cost (5-8x).
+    # The min of two absorbs one-off noise (GC pause, OS scheduling). The
+    # result is the steady-state plan cost a long-running cluster sees.
     timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in names:
-            fn = SPARK_QUERIES[name]
+    for name in names:
+        fn = SPARK_QUERIES[name]
+        runs = 2
+        if warmup:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 3)
