@@ -57,10 +57,20 @@ BRONZE_TABLES = (
     "events",
 )
 
+# Fact-side tables big enough that a one-partition scan (single-row-group
+# parquet) serializes the whole silver/gold pipeline onto one core. Safe to
+# repartition: every downstream construct is value-deterministic under any
+# physical order — the rn-dedup windows order by (ts, event_id) with event_id
+# unique (total order), dropDuplicates keys are unique in the source data, and
+# all fact aggregates are order-insensitive (decimal SUM, MAX, COUNT DISTINCT,
+# sort_array'd collect_set). Dim-side tables stay as-is: they are broadcast
+# joined, so an extra shuffle would cost more than it buys.
+_SPREAD_TABLES = frozenset({"lineitem", "orders", "events"})
+
 
 def build_pipeline(sf_dir: str) -> Pipeline:
     """Construct the full medallion pipeline bound to a testdata directory."""
-    from ..sources.loader import load_table
+    from ..sources.loader import load_table, spread_partitions
 
     p = Pipeline("olist_analog_medallion")
 
@@ -75,7 +85,10 @@ def build_pipeline(sf_dir: str) -> Pipeline:
             streaming=True,
         )
         def _bronze(ctx, _tbl=tbl):
-            return load_table(ctx.spark_session, sf_dir, _tbl)
+            df = load_table(ctx.spark_session, sf_dir, _tbl)
+            if _tbl in _SPREAD_TABLES:
+                df = spread_partitions(df)
+            return df
 
     for t in BRONZE_TABLES:
         _make_bronze(t)
@@ -280,6 +293,35 @@ def build_pipeline(sf_dir: str) -> Pipeline:
     # ---------------- gold: SQL materialized views -------------------------
     _register_gold(p)
     return p
+
+
+# One resolved-plan cache per (Spark application, testdata dir). DLT resolves
+# the pipeline graph ONCE per update and serves every dataset from that
+# resolution (SURVEY.md §3.1 step 2); re-running the recursive resolver for
+# each dataset request would instead re-pay Catalyst analysis of the whole
+# medallion (~0.9s for the fact at any SF — pure driver-side cost that grows
+# with plan width, not data). DataFrames are immutable logical plans, so
+# serving a memoized one is semantically identical.
+_RESOLVERS: dict = {}
+
+
+def pipeline_dataframe(spark, sf_dir: str, dataset: str):
+    """Resolve ``dataset`` against the shared per-session pipeline resolution.
+
+    Datasets resolved while building another one (the fact pulls in every
+    silver table and all five dims) are served from the same cache, so e.g.
+    ``gold.dim_customers`` after ``gold.fact_lineitem`` costs zero analysis.
+    """
+    from .registry import _Resolver
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    resolver = _RESOLVERS.get(key)
+    if resolver is None:
+        # Drop resolutions belonging to stopped sessions.
+        _RESOLVERS.clear()
+        resolver = _Resolver(build_pipeline(sf_dir), spark)
+        _RESOLVERS[key] = resolver
+    return resolver.read(dataset)
 
 
 def _register_gold(p: Pipeline) -> None:

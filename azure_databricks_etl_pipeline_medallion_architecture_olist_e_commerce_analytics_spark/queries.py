@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.textops import LANG_MARKERS
-from .plans.medallion import SEGMENT_DISPLAY, build_pipeline
+from .plans.medallion import SEGMENT_DISPLAY, pipeline_dataframe
 from .sources.loader import load_table, spread_partitions
 from .tuning import tune_session
 
@@ -216,7 +216,7 @@ _FACT_LINEITEM = f"""
 def _pipeline_q(dataset: str, drop: tuple[str, ...] = ()) -> Callable:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tune_session(spark)
-        df = build_pipeline(sf_dir).dataframe(spark, dataset)
+        df = pipeline_dataframe(spark, sf_dir, dataset)
         return df.drop(*drop) if drop else df
 
     q.__name__ = f"q_{dataset.replace('.', '_')}"
@@ -226,7 +226,7 @@ def _pipeline_q(dataset: str, drop: tuple[str, ...] = ()) -> Callable:
 def _cast_dim_date_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date_key is row_number (int in Spark); oracle casts its BIGINT to INTEGER.
     tune_session(spark)
-    return build_pipeline(sf_dir).dataframe(spark, "gold.dim_date")
+    return pipeline_dataframe(spark, sf_dir, "gold.dim_date")
 
 
 # --------------------------------------------------------------------------
