@@ -315,6 +315,133 @@ def ivf_topk(
     )
 
 
+def srp_band_keys(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits_per_band: int = 8,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-random-projection band keys per vector (Arrow/BLAS map-side).
+
+    Each vector is projected onto ``bits_per_band * num_bands`` fixed
+    hyperplanes (seeded Gaussian — regenerated identically inside every Arrow
+    batch, so no broadcast and no driver round-trip) and the sign bits are
+    packed per band into an int64 key. P(sign match) for a pair at cosine
+    ``s`` is ``1 − arccos(s)/π``, so banding gives the classic LSH S-curve
+    over *angular* similarity. One ``V @ P`` matmul per batch — per-batch
+    BLAS, never per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    nbits = bits_per_band * num_bands
+    out_schema = "id bigint, " + ", ".join(f"h{k} bigint" for k in range(num_bands))
+
+    def sig(batches):
+        planes = None
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf["_vec"]], dtype=np.float64)
+            if planes is None:
+                planes = np.random.default_rng(seed).standard_normal((V.shape[1], nbits))
+            B = (V @ planes) > 0
+            out = {"id": pdf["_id"].to_numpy(dtype=np.int64)}
+            for k in range(num_bands):
+                out[f"h{k}"] = B[:, k * bits_per_band : (k + 1) * bits_per_band] @ weights
+            yield pd.DataFrame(out)
+
+    return (
+        spread_partitions(df)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .mapInPandas(sig, out_schema)
+    )
+
+
+def srp_lsh_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits_per_band: int = 8,
+    num_bands: int = 16,
+    seed: int = 42,
+    query_filter=None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via SRP-LSH buckets + exact verify.
+
+    The LSH-bucketed scale path for :func:`embedding_dup_pairs`: instead of
+    the O(n²) self-join, vectors shuffle once as ``(id, h0..h{nb-1})`` keyed
+    by (band, band_hash); a pair is emitted only in the *first* band where
+    its keys collide (short-circuit comparison chain — no candidate-dedup
+    shuffle), then verified with the exact cosine and filtered to
+    ``threshold``. Precision is exactly 1 (every emitted pair is verified);
+    recall follows the S-curve ``1 − (1 − p^b)^nb`` with
+    ``p = 1 − arccos(s)/π`` — defaults (8×16) give >0.99 at s ≥ 0.9.
+    For lower thresholds use fewer bits per band / more bands (the catalog
+    query runs 4×24 for its 0.4-threshold corpus).
+
+    Scale notes (100 TB / billions of vectors): signature computation is
+    map-side BLAS; the bucket shuffle carries nb int64s per vector, not the
+    vector; the verify join re-attaches vectors by id (narrow equi-joins);
+    giant buckets stream through the pairwise explode without materializing
+    a cross product on the driver.
+    """
+    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if query_filter is not None:
+        t = t.filter(query_filter)
+    keys = srp_band_keys(t, "id", "v", bits_per_band, num_bands, seed)
+    member = F.struct(F.col("id"), *[F.col(f"h{k}") for k in range(num_bands)])
+    banded = keys.select(
+        member.alias("mb"),
+        F.posexplode(F.array(*[F.col(f"h{k}") for k in range(num_bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("mb")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    e1 = buckets.select("band_id", "ms", F.posexplode("ms").alias("i", "a"))
+    e2 = e1.select(
+        "band_id",
+        "a",
+        F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"),
+    )
+    matched_earlier = F.lit(False)
+    for k in range(num_bands - 1):
+        matched_earlier = matched_earlier | (
+            (F.lit(k) < F.col("band_id")) & (F.col(f"a.h{k}") == F.col(f"b.h{k}"))
+        )
+    cand = e2.filter(~matched_earlier).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    side = t.select(F.col("id"), F.col("v"), norm_col(F.col("v")).alias("n"))
+    info_a = side.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a")
+    )
+    info_b = side.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b")
+    )
+    sim = F.round(
+        dot_col(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+    )
+    return (
+        cand.join(info_a, "id_a")
+        .join(info_b, "id_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -479,6 +479,23 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(emb, threshold=0.4, query_filter=F.col("vec_id") < 200)
 
 
+def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed near-dup pairs (scale path; no oracle — approximate
+    recall, exact precision). 4 bits × 24 bands puts the S-curve low enough
+    for the corpus's 0.4-threshold regime (recall ≈ 0.98 at s = 0.4)."""
+    from .operators.similarity import srp_lsh_dup_pairs
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_lsh_dup_pairs(
+        emb,
+        threshold=0.4,
+        bits_per_band=4,
+        num_bands=24,
+        query_filter=F.col("vec_id") < 200,
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + mapInPandas decode plumbing (stubbed decoder)."""
     from .operators.multimodal import attach_binary_payload, decode_image_meta
@@ -1046,6 +1063,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_np": q_ann_topk_np,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     # structured streaming (availableNow incremental)

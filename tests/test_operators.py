@@ -233,3 +233,77 @@ def test_brute_force_topk_np_matches_fold_scorer(spark):
     ra = sorted((r.query_id, r.rank, r.nbr_id, r.cosine) for r in a.collect())
     rb = sorted((r.query_id, r.rank, r.nbr_id, r.cosine) for r in b.collect())
     assert ra == rb
+
+
+def test_srp_lsh_planted_near_dups(spark):
+    """SRP-LSH finds planted near-duplicates: recall >= 0.95 at s >= 0.9
+    (S-curve 1-(1-p^8)^16 with p = 1 - arccos(s)/pi), precision exactly 1."""
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        embedding_dup_pairs,
+        srp_lsh_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 32))
+    jitter = base + 0.05 * rng.standard_normal((40, 32))  # cosine ~0.995+
+    vecs = np.concatenate([base, jitter])
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    lsh = srp_lsh_dup_pairs(df, threshold=0.9, bits_per_band=8, num_bands=16)
+    got = {(r.id_a, r.id_b) for r in lsh.collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(df, threshold=0.9).collect()
+    }
+    planted = {(i, i + 40) for i in range(40)}
+    assert planted <= exact  # sanity: the jittered copies really are near-dups
+    assert got <= exact, "LSH emitted a pair below threshold (precision < 1)"
+    assert len(got & exact) / len(exact) >= 0.95, (
+        f"recall {len(got & exact)}/{len(exact)} too low"
+    )
+
+
+def test_srp_lsh_exactly_once_emission(spark):
+    """A colliding pair appears exactly once even when it collides in many
+    bands (identical vectors collide in all of them)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        srp_lsh_dup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # identical to 1 — collides in every band
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = srp_lsh_dup_pairs(df, threshold=0.9, bits_per_band=4, num_bands=8)
+    pairs = [(r.id_a, r.id_b, r.cosine) for r in out.collect()]
+    assert pairs == [(1, 2, 1.0)]
+
+
+def test_srp_lsh_subset_of_exact_on_testdata(spark):
+    """Catalog-query configuration: LSH output is a subset of the exact
+    self-join pairs with non-trivial recall on the synthetic embeddings."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        embedding_dup_pairs,
+        srp_lsh_dup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    flt = F.col("vec_id") < 200
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in srp_lsh_dup_pairs(
+            emb, threshold=0.4, bits_per_band=4, num_bands=24, query_filter=flt
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(emb, threshold=0.4, query_filter=flt).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.8, f"recall {len(lsh)}/{len(exact)} too low"
