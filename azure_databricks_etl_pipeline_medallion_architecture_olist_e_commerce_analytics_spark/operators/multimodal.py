@@ -113,3 +113,78 @@ def sample_frames(df: DataFrame, frame_stride: int = 1024) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, resized_width int, resized_height int, "
+    "resized_bytes int"
+)
+
+FEATURE_SCHEMA = "doc_id long, n_bytes int, byte_histogram array<double>"
+
+
+def resize_image_meta(df: DataFrame, target: int = 256) -> DataFrame:
+    """Aspect-preserving resize plumbing (STUB: metadata-only scaling).
+
+    Consumes the decode output; the real operator would rescale pixel
+    buffers (PIL/cv2 — absent here), so the stub scales the *geometry* with
+    pure integer math (``new = dim * target div max(w, h)``), which keeps the
+    whole chain reproducible by an integer-division SQL oracle. The
+    mapInPandas batch shape, schema, and row-per-image contract match what
+    the real kernel would use.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            mx = w.where(w >= h, h)
+            scale_needed = mx > target
+            rw = (w * target // mx).where(scale_needed, w).astype("int32")
+            rh = (h * target // mx).where(scale_needed, h).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "resized_width": rw,
+                    "resized_height": rh,
+                    "resized_bytes": (rw.astype("int64") * rh * pdf["channels"]).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def extract_byte_features(df: DataFrame, bins: int = 16) -> DataFrame:
+    """REAL feature extraction: normalized byte-value histogram per payload.
+
+    Unlike the decode/resize stubs this computes on the actual bytes —
+    a 16-bin histogram of byte values (np.bincount over the buffer, one
+    vectorized pass per Arrow batch), L1-normalized. The cheap, universal
+    content fingerprint for binary columns: no decode library needed, and
+    the same mapInPandas shape a CNN/CLIP embedder would use.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload in pdf["payload"]:
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(buf) == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                hist = np.bincount(buf >> (8 - bins.bit_length() + 1), minlength=bins)
+                feats.append((hist / len(buf)).round(6).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "byte_histogram": feats,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -185,3 +185,54 @@ def quality_filter(
     if lang is not None:
         out = out.filter(F.col("predicted_lang") == lang)
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash + window-min).
+
+    The MOSS algorithm (Schleimer/Wilkerson/Aiken, SIGMOD'03) at token
+    granularity: hash every k-token gram (the rolling-hash step), then slide
+    a w-gram window and select each window's minimum hash. Guarantee: two
+    documents sharing a run of >= w + k - 1 tokens share at least one
+    selected fingerprint, while only ~2/(w+1) of gram hashes are kept.
+
+    Entirely JVM-side higher-order functions — ``transform`` over a position
+    ``sequence`` builds the gram hashes, a second ``transform`` +
+    ``array_min`` does window selection; no Python in the row path. The
+    exploded (fingerprint, doc) output is the join-ready inverted index: a
+    containment-dedup self-join groups by fingerprint — shuffle keyed on a
+    bigint, same shape as the MinHash band join.
+
+    Documents shorter than k tokens fingerprint their whole token array;
+    fewer than w grams selects the global minimum (standard winnowing edge
+    behavior).
+    """
+    toks = all_tokens_col(text_col)
+    prepared = spread_partitions(df).select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    )
+    grams = F.when(
+        F.col("_n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice("_toks", i, k), " ")),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join("_toks", " "))))
+    hashed = prepared.select(id_col, grams.alias("_gh"), F.size(grams).alias("_g"))
+    selected = F.when(
+        F.col("_g") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_g") - (w - 1)),
+            lambda j: F.array_min(F.slice("_gh", j, w)),
+        ),
+    ).otherwise(F.array(F.array_min("_gh")))
+    return hashed.select(
+        id_col,
+        F.explode(F.array_sort(F.array_distinct(selected))).alias("fingerprint"),
+    )

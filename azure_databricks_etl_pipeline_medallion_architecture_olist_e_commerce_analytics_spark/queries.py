@@ -514,6 +514,38 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing over decoded metadata (stub kernel,
+    integer-exact geometry — oracle-able)."""
+    from .operators.multimodal import (
+        attach_binary_payload,
+        decode_image_meta,
+        resize_image_meta,
+    )
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image_meta(decode_image_meta(attach_binary_payload(docs)), target=256)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-histogram feature extraction over binary payloads."""
+    from .operators.multimodal import attach_binary_payload, extract_byte_features
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_byte_features(attach_binary_payload(docs), bins=16)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash + window-min) document fingerprints."""
+    from .operators.textops import winnow_fingerprints
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: global ORDER BY + LIMIT top-k (deterministic tie-break on key).
 
@@ -1066,6 +1098,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_features": q_multimodal_features,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # structured streaming (availableNow incremental)
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_sessionize": q_streaming_sessionize,
@@ -1305,6 +1340,24 @@ ORACLES: dict[str, str] = {
              CAST(((octet_length(encode(text)) // 7) % 480) + 16 AS INTEGER) AS height,
              3 AS channels
       FROM documents
+    """,
+    "multimodal_resize": """
+      WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      d AS (SELECT doc_id, (n % 640) + 16 AS w, ((n // 7) % 480) + 16 AS h FROM b),
+      m AS (SELECT *, greatest(w, h) AS mx FROM d),
+      r AS (
+        SELECT doc_id, w, h,
+               CASE WHEN mx > 256 THEN w * 256 // mx ELSE w END AS rw,
+               CASE WHEN mx > 256 THEN h * 256 // mx ELSE h END AS rh
+        FROM m
+      )
+      SELECT doc_id,
+             CAST(w AS INTEGER) AS width,
+             CAST(h AS INTEGER) AS height,
+             CAST(rw AS INTEGER) AS resized_width,
+             CAST(rh AS INTEGER) AS resized_height,
+             CAST(rw * rh * 3 AS INTEGER) AS resized_bytes
+      FROM r
     """,
     "multimodal_frames": """
       WITH b AS (

@@ -307,3 +307,81 @@ def test_srp_lsh_subset_of_exact_on_testdata(spark):
     assert lsh <= exact
     assert len(exact) > 0
     assert len(lsh) / len(exact) >= 0.8, f"recall {len(lsh)}/{len(exact)} too low"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Docs sharing a run of >= w + k - 1 tokens share >= 1 fingerprint;
+    disjoint-vocabulary docs share none."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.textops import (
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"common{i}" for i in range(8))  # 8 >= w + k - 1 = 8
+    rows = [
+        (1, "alpha beta gamma " + shared + " delta"),
+        (2, "zeta eta " + shared + " theta iota kappa"),
+        (3, "completely different vocabulary with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=5, w=4)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fp.groupBy("doc_id").agg(F.collect_set("fingerprint").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_short_docs(spark):
+    """Docs shorter than k tokens / with fewer than w grams still fingerprint."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.textops import (
+        winnow_fingerprints,
+    )
+
+    rows = [(1, "tiny doc"), (2, "six tokens but fewer than w grams")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=5, w=4).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+
+
+def test_byte_histogram_matches_numpy(spark):
+    """Byte-histogram features equal a direct numpy computation."""
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_byte_features,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 50)
+    got = {
+        r.doc_id: (r.n_bytes, r.byte_histogram)
+        for r in extract_byte_features(attach_binary_payload(docs), bins=16).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        buf = np.frombuffer(r.text.encode("utf-8"), dtype=np.uint8)
+        want = np.bincount(buf >> 4, minlength=16) / len(buf)
+        n, hist = got[r.doc_id]
+        assert n == len(buf)
+        assert np.allclose(hist, want.round(6))
+
+
+def test_resize_never_upscales_and_preserves_aspect(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image_meta,
+        resize_image_meta,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 200)
+    out = resize_image_meta(decode_image_meta(attach_binary_payload(docs)), target=256)
+    for r in out.collect():
+        assert max(r.resized_width, r.resized_height) <= max(256, min(r.width, r.height))
+        assert r.resized_width <= r.width and r.resized_height <= r.height
+        if max(r.width, r.height) <= 256:
+            assert (r.resized_width, r.resized_height) == (r.width, r.height)
+        else:
+            # integer-floor aspect preservation
+            assert r.resized_width == r.width * 256 // max(r.width, r.height)
+            assert r.resized_height == r.height * 256 // max(r.width, r.height)
