@@ -672,6 +672,46 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate matrix: stddev/variance/corr/covar/exact median
+    per group. All second-moment aggregates are numerically partition-order
+    sensitive at the ulp level, so results round to 6dp (the engine's
+    cross-engine comparison convention)."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("price_p90"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function matrix (transform/filter/aggregate/
+    sequence/slice/reverse/contains) — all JVM-side lambda expressions,
+    whole-stage-codegen friendly; no UDFs."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    seq = F.sequence(F.lit(1), F.col("l_linenumber").cast("int"))
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        # arrays are emitted joined-to-string: the comparison harness
+        # canonicalizes cells via str(), and numpy-array vs list reprs differ.
+        F.array_join(seq, ",").alias("seq"),
+        F.array_join(F.transform(seq, lambda x: x * 2), ",").alias("doubled"),
+        F.array_join(F.filter(seq, lambda x: x % 2 == 0), ",").alias("evens"),
+        F.aggregate(seq, F.lit(0), lambda acc, x: acc + x).alias("seq_sum"),
+        F.array_join(F.slice(F.reverse(seq), 1, 2), ",").alias("last_two_desc"),
+        F.array_contains(seq, 3).alias("has_three"),
+        F.size(seq).alias("seq_len"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Breadth: analytic window frames, multi-dim aggregates, join/subquery forms,
 # lateral explode, string-function matrix, skew-safe physical variants
@@ -1114,6 +1154,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "ntile_window": q_ntile_window,
     # breadth: frames / multi-dim aggs / join forms / lateral / strings / skew
+    "stat_aggregates": q_stat_aggregates,
+    "array_functions": q_array_functions,
     "window_frames": q_window_frames,
     "cube_sales": q_cube_sales,
     "grouping_sets": q_grouping_sets,
@@ -1465,6 +1507,34 @@ ORACLES: dict[str, str] = {
                                  ORDER BY o_totalprice DESC, o_orderkey)
                   AS INTEGER) AS value_quartile
       FROM orders
+    """,
+    "stat_aggregates": """
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+             ROUND(var_samp(l_quantity), 6) AS qty_var,
+             ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+             ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS price_median,
+             ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+      FROM lineitem
+      GROUP BY l_returnflag
+    """,
+    "array_functions": """
+      WITH t AS (
+        SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+               range(1, CAST(l_linenumber AS INTEGER) + 1) AS seq
+        FROM lineitem WHERE l_orderkey < 2000
+      )
+      SELECT l_orderkey, l_linenumber,
+             array_to_string(seq, ',') AS seq,
+             array_to_string(list_transform(seq, x -> x * 2), ',') AS doubled,
+             COALESCE(array_to_string(list_filter(seq, x -> x % 2 = 0), ','), '') AS evens,
+             CAST(list_sum(seq) AS INTEGER) AS seq_sum,
+             array_to_string(list_slice(list_reverse(seq), 1, 2), ',') AS last_two_desc,
+             list_contains(seq, 3) AS has_three,
+             CAST(len(seq) AS INTEGER) AS seq_len
+      FROM t
     """,
     "window_frames": """
       SELECT o_orderkey, o_custkey, o_totalprice,
