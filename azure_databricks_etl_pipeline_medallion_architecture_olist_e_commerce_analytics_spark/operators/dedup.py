@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 
 from ..sources.loader import spread_partitions
 
+# Vocabulary cap for the dictionary-bitmap verify representation in
+# minhash_lsh_pairs: ≤ 256 distinct tokens → sets pack into ≤ 4 longs.
+_BITMAP_MAX_VOCAB = 256
+
 
 def tokens_col(text_col: str = "text"):
     """Distinct lowercase whitespace tokens (the unit for set-similarity)."""
@@ -217,12 +221,65 @@ def minhash_lsh_pairs(
     )
     if cache:
         groups = groups.persist()
-    prepared = groups.select(
-        "rid",
-        F.transform("s", lambda x: F.xxhash64(x)).alias("hs"),
-        F.size("s").alias("n"),
-        minhash_signature(F.col("s" if ngram == 1 else "sh"), num_hashes).alias("sig"),
-    )
+    # The similarity set: tokens for ngram=1, shingles otherwise (banding AND
+    # verification must measure the same sets — matching jaccard_pairs).
+    set_col = "s" if ngram == 1 else "sh"
+    # Adaptive set representation for the verify intersect. When the corpus
+    # vocabulary is dictionary-encodable (≤ _BITMAP_MAX_VOCAB distinct
+    # tokens — one cheap distinct probe over the cached groups), each set
+    # packs into (vocab+63)/64 bitmap words: the per-pair intersect becomes
+    # zip_with AND + bit_count (a handful of integer ops) instead of an
+    # array_intersect hash probe over every element, and the verify-join
+    # payload narrows from |set| hashes to a few longs per side. Real corpora
+    # blow past the cap and keep the xxhash64-array path — this is the same
+    # trade Parquet makes with dictionary-encoded columns.
+    vocab: list | None = None
+    n_reps: int | None = None
+    if cache:
+        # Fills the groups cache and prices the rep table for the verify-join
+        # build-side decision below. Catalyst misprices the candidate stream
+        # here: its size estimate derives from the tiny cached rep relation,
+        # so without a hint it can pick the *pair explosion* as the broadcast
+        # build side (measured: a 3M-row broadcast at sf0.1).
+        n_reps = groups.count()
+    small_reps = n_reps is not None and n_reps <= 100_000
+    if cache and ngram == 1:
+        probe = (
+            groups.select(F.explode(set_col).alias("t"))
+            .distinct()
+            .limit(_BITMAP_MAX_VOCAB + 1)
+            .collect()
+        )
+        if len(probe) <= _BITMAP_MAX_VOCAB:
+            vocab = sorted(r.t for r in probe)
+    if vocab is not None:
+        n_words = (len(vocab) + 63) // 64
+        tid = F.create_map(
+            *[F.lit(x) for i, t in enumerate(vocab) for x in (t, i)]
+        )
+        words = [
+            F.expr(
+                f"aggregate(filter(_ids, i -> i div 64 = {w}), 0L,"
+                " (acc, i) -> acc | shiftleft(1L, int(i % 64)))"
+            ).alias(f"w{w}")
+            for w in range(n_words)
+        ]
+        prepared = (
+            groups.select(
+                "rid",
+                F.transform(set_col, lambda x: tid[x]).alias("_ids"),
+                F.size(set_col).alias("n"),
+                minhash_signature(F.col(set_col), num_hashes).alias("sig"),
+            )
+            .select("rid", F.array(*words).alias("hs"), "n", "sig")
+        )
+    else:
+        prepared = groups.select(
+            "rid",
+            F.transform(set_col, lambda x: F.xxhash64(x)).alias("hs"),
+            F.size(set_col).alias("n"),
+            minhash_signature(F.col(set_col), num_hashes).alias("sig"),
+        )
     if cache:
         prepared = prepared.persist()
     band_hashes = [
@@ -241,6 +298,14 @@ def minhash_lsh_pairs(
         banded.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("mb")).alias("ms"))
         .filter(F.size("ms") >= 2)
+    )
+    # AQE coalesces the bucket shuffle to a couple of partitions (the bucket
+    # rows are few bytes) but everything downstream of the explode — O(Σm²)
+    # pair generation, the first-collision chain, the verify join — fans out
+    # to millions of rows inside that same stage. Re-spread the buckets so
+    # the heavy exploded stage uses every core (cheap: only bucket rows move).
+    buckets = buckets.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
     e1 = buckets.select("band_id", "ms", F.posexplode("ms").alias("i", "a"))
     e2 = e1.select(
@@ -268,6 +333,10 @@ def minhash_lsh_pairs(
         F.col("hs").alias("s_b"),
         F.col("n").alias("n_b"),
     )
+    if vocab is not None:
+        # Bitmap intersect is a few integer ops — always cheaper than the
+        # signature estimate, so the screen never pays.
+        screen = False
     if screen is None:
         # Decide from the data when the payload is cached (the aggregate
         # forces the cached plan once; everything downstream reuses it).
@@ -283,9 +352,20 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     ).cast("double") / F.lit(float(num_hashes))
-    inter = F.size(F.array_intersect("s_a", "s_b"))
+    if vocab is not None:
+        inter = F.expr(
+            "aggregate(zip_with(s_a, s_b, (x, y) -> bit_count(x & y)), 0,"
+            " (acc, v) -> acc + v)"
+        )
+    else:
+        inter = F.size(F.array_intersect("s_a", "s_b"))
     union = F.col("n_a") + F.col("n_b") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    if small_reps:
+        # Rep payload is the provably-small side — pin it as the broadcast
+        # build so the candidate stream is never collected. At scale (reps
+        # beyond the threshold) fall through to Catalyst's shuffled join.
+        info_a, info_b = F.broadcast(info_a), F.broadcast(info_b)
     rep_pairs = cand.join(info_a, "id_a").join(info_b, "id_b")
     if screen:
         rep_pairs = rep_pairs.filter(est >= threshold - margin)
@@ -294,6 +374,8 @@ def minhash_lsh_pairs(
     )
     mem_a = groups.select(F.col("rid").alias("id_a"), F.col("members").alias("mem_a"))
     mem_b = groups.select(F.col("rid").alias("id_b"), F.col("members").alias("mem_b"))
+    if small_reps:
+        mem_a, mem_b = F.broadcast(mem_a), F.broadcast(mem_b)
     expanded = (
         rep_pairs.join(mem_a, "id_a")
         .join(mem_b, "id_b")
