@@ -16,15 +16,26 @@ TBLPROPERTIES (
   'layer' = 'analytics'
 )
 AS
-WITH order_totals AS (
+WITH order_totals_sets AS (
+  -- COUNT(DISTINCT) derived from the collect_set built in the same pass
+  -- (size of the null-skipping distinct set == count distinct) — avoids the
+  -- Expand + extra aggregation phase of Spark's distinct rewrite.
   SELECT
     l_orderkey,
     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_value,
-    COUNT(DISTINCT l_returnflag) AS return_flag_count,
     MAX(l_quantity) AS max_item_quantity,
-    array_join(sort_array(collect_set(l_returnflag)), ', ') AS return_flags
+    sort_array(collect_set(l_returnflag)) AS _flags
   FROM LIVE.silver_lineitem
   GROUP BY l_orderkey
+),
+order_totals AS (
+  SELECT
+    l_orderkey,
+    total_order_value,
+    CAST(size(_flags) AS BIGINT) AS return_flag_count,
+    max_item_quantity,
+    array_join(_flags, ', ') AS return_flags
+  FROM order_totals_sets
 ),
 event_summary AS (
   SELECT

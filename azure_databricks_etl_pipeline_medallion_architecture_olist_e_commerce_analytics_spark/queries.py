@@ -278,13 +278,24 @@ def q_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (collect_set is object-based, no codegen) would run single-threaded.
     # Aggregate results are partitioning-independent, so spreading is safe.
     li = spread_partitions(load_table(spark, sf_dir, "lineitem"))
-    return li.groupBy("l_orderkey").agg(
+    # COUNT(DISTINCT) is derived from the collect_set this aggregate already
+    # builds (size of the distinct set == count distinct, both null-skipping):
+    # a standalone countDistinct would add Spark's distinct-rewrite (Expand +
+    # extra aggregation phase) for a value the set aggregation has computed.
+    # The standalone operator form stays exercised by skew.two_stage_distinct.
+    g = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_order_value"),
-        F.countDistinct("l_returnflag").alias("return_flag_count"),
         F.max("l_quantity").alias("max_item_quantity"),
-        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ", ").alias("return_flags"),
+        F.sort_array(F.collect_set("l_returnflag")).alias("_flags"),
+    )
+    return g.select(
+        "l_orderkey",
+        "total_order_value",
+        F.size("_flags").cast("long").alias("return_flag_count"),
+        "max_item_quantity",
+        F.array_join("_flags", ", ").alias("return_flags"),
     )
 
 
