@@ -64,11 +64,30 @@ class CsvIngestor:
 
     ``state_dir`` plays the role of Auto Loader's ``schemaLocation`` +
     checkpoint: it holds the pinned schema and the processed-file ledger.
+
+    ``schema_evolution``:
+
+    - ``"none"`` (default): infer-once-then-pin — files whose shape drifts
+      surface rows in ``_rescued_data``.
+    - ``"add_new_columns"``: Auto Loader's default evolution mode
+      (``cloudFiles.schemaEvolutionMode=addNewColumns``). Each run, headers
+      of unseen files are compared with the pinned schema; never-seen column
+      names are appended (types inferred from the files that introduced
+      them) and the pinned schema file is rewritten. Files are then read in
+      per-header groups and aligned BY NAME (a file that omits evolved
+      columns yields NULLs; a file that reorders columns still maps
+      correctly), so old data needs no rewrite — exactly the semantics of an
+      evolving cloudFiles stream. Existing columns never change type; rows
+      that do not parse under the pinned type still land in
+      ``_rescued_data``.
     """
 
-    def __init__(self, source_dir: str, state_dir: str):
+    def __init__(self, source_dir: str, state_dir: str, schema_evolution: str = "none"):
+        if schema_evolution not in ("none", "add_new_columns"):
+            raise ValueError(f"unknown schema_evolution mode: {schema_evolution!r}")
         self.source_dir = source_dir
         self.state_dir = state_dir
+        self.schema_evolution = schema_evolution
         os.makedirs(state_dir, exist_ok=True)
 
     # --- state files ---------------------------------------------------
@@ -122,24 +141,112 @@ class CsvIngestor:
             if n.endswith(".csv") and not n.startswith(".")
         )
 
+    @staticmethod
+    def _file_header(path: str) -> tuple[str, ...]:
+        """Column names from a file's header line (driver-side, O(1) bytes).
+
+        Same order of work as the directory listing itself — one small read
+        per NEW file, never per row.
+        """
+        import csv as _csv
+
+        with open(path, newline="") as f:
+            first = f.readline()
+        return tuple(c.strip() for c in next(_csv.reader([first], delimiter=",")))
+
+    def _evolve_schema(
+        self, spark: SparkSession, schema: T.StructType, new: list[str]
+    ) -> T.StructType:
+        """Append never-seen columns (types inferred from their files)."""
+        known = {f.name for f in schema.fields}
+        introducers: dict[str, list[str]] = {}
+        for p in new:
+            for col in self._file_header(p):
+                if col not in known:
+                    introducers.setdefault(col, []).append(p)
+        if not introducers:
+            return schema
+        inferred = (
+            spark.read.options(**CSV_OPTIONS)
+            .option("inferSchema", "true")
+            .csv(sorted({p for ps in introducers.values() for p in ps}))
+            .schema
+        )
+        by_name = {f.name: f for f in inferred.fields}
+        added = [
+            T.StructField(c, by_name[c].dataType if c in by_name else T.StringType())
+            for c in sorted(introducers)
+        ]
+        evolved = T.StructType(list(schema.fields) + added)
+        with open(self._schema_path, "w") as f:
+            f.write(evolved.simpleString())
+        return evolved
+
+    def _read_aligned(
+        self, spark: SparkSession, schema: T.StructType, files: list[str]
+    ) -> DataFrame:
+        """Read ``files`` aligned BY NAME to the evolved schema.
+
+        Files are grouped by header signature; each group reads with a
+        schema in the group's own column order (pinned types by name), then
+        projects to the evolved column list with NULLs for absent columns.
+        """
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for p in files:
+            groups.setdefault(self._file_header(p), []).append(p)
+        out: DataFrame | None = None
+        for header, paths in sorted(groups.items()):
+            group_schema = T.StructType(
+                [T.StructField(c, types.get(c, T.StringType())) for c in header]
+                + [T.StructField(RESCUED_COL, T.StringType())]
+            )
+            df = (
+                spark.read.options(**CSV_OPTIONS)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", RESCUED_COL)
+                .schema(group_schema)
+                .csv(paths)
+            )
+            projected = df.select(
+                *[
+                    F.col(f.name) if f.name in header else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                    if f.name != RESCUED_COL
+                ],
+                F.col(RESCUED_COL),
+            )
+            out = projected if out is None else out.unionByName(projected)
+        return out
+
     def ingest(self, spark: SparkSession) -> IngestResult:
         """Read rows from files not yet in the ledger; advance the ledger."""
         seen = self._load_ledger()
         new = [p for p in self._list_files() if p not in seen]
         if not new:
             return IngestResult(df=None, new_files=[], total_seen=len(seen))
+        had_schema = os.path.exists(self._schema_path)
         schema = self._pinned_schema(spark, new)
-        read_schema = T.StructType(
-            [f for f in schema.fields if f.name != RESCUED_COL]
-            + [T.StructField(RESCUED_COL, T.StringType())]
-        )
-        df = (
-            spark.read.options(**CSV_OPTIONS)
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", RESCUED_COL)
-            .schema(read_schema)
-            .csv(new)
-        )
+        if self.schema_evolution == "add_new_columns" and had_schema:
+            schema = self._evolve_schema(spark, schema, new)
+        if self.schema_evolution == "add_new_columns":
+            df = self._read_aligned(
+                spark,
+                T.StructType([f for f in schema.fields if f.name != RESCUED_COL]),
+                new,
+            )
+        else:
+            read_schema = T.StructType(
+                [f for f in schema.fields if f.name != RESCUED_COL]
+                + [T.StructField(RESCUED_COL, T.StringType())]
+            )
+            df = (
+                spark.read.options(**CSV_OPTIONS)
+                .option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", RESCUED_COL)
+                .schema(read_schema)
+                .csv(new)
+            )
         seen.update(new)
         self._save_ledger(seen)
         return IngestResult(df=df, new_files=new, total_seen=len(seen))

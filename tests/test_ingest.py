@@ -174,3 +174,51 @@ def test_jsonl_append_run(spark, tmp_path):
     df = spark.read.parquet(str(tgt))
     assert sorted(r.k for r in df.collect()) == [1, 2, 3]
     assert "_ingested_at" in df.columns
+
+
+def test_schema_evolution_adds_new_columns(spark, tmp_path):
+    """addNewColumns mode: a later file's never-seen column is appended to
+    the pinned schema; earlier-shape files in the same run yield NULLs."""
+    src, state = tmp_path / "src", tmp_path / "state"
+    src.mkdir()
+    _write(src / "a.csv", "id,amount\n1,10.5\n")
+    ing = CsvIngestor(str(src), str(state), schema_evolution="add_new_columns")
+    first = ing.ingest(spark)
+    assert sorted(first.df.columns) == ["_rescued_data", "amount", "id"]
+
+    _write(src / "b.csv", "id,amount,city\n2,20.0,Boston\n")
+    _write(src / "c.csv", "id,amount\n3,30.0\n")  # old shape, same run
+    second = ing.ingest(spark)
+    rows = {r.id: r for r in second.df.collect()}
+    assert sorted(second.df.columns) == ["_rescued_data", "amount", "city", "id"]
+    assert rows[2].city == "Boston"
+    assert rows[3].city is None
+    # pinned schema file evolved on disk
+    with open(state / "schema.ddl") as f:
+        assert "city" in f.read()
+
+
+def test_schema_evolution_maps_reordered_columns_by_name(spark, tmp_path):
+    src, state = tmp_path / "src", tmp_path / "state"
+    src.mkdir()
+    _write(src / "a.csv", "id,amount,city\n1,10.5,Austin\n")
+    ing = CsvIngestor(str(src), str(state), schema_evolution="add_new_columns")
+    ing.ingest(spark)
+    _write(src / "b.csv", "city,id,amount\nBoston,2,20.0\n")  # reordered
+    res = ing.ingest(spark)
+    r = res.df.collect()[0]
+    assert (r.id, r.city) == (2, "Boston")
+    assert abs(r.amount - 20.0) < 1e-9
+
+
+def test_schema_evolution_keeps_pinned_types(spark, tmp_path):
+    """Existing columns never change type; unparsable rows still rescue."""
+    src, state = tmp_path / "src", tmp_path / "state"
+    src.mkdir()
+    _write(src / "a.csv", "id,amount\n1,10.5\n")
+    ing = CsvIngestor(str(src), str(state), schema_evolution="add_new_columns")
+    ing.ingest(spark)
+    _write(src / "b.csv", "id,amount\n2,not-a-number\n")
+    res = ing.ingest(spark)
+    r = res.df.collect()[0]
+    assert r.amount is None and r[RESCUED_COL] is not None
