@@ -1071,6 +1071,16 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "mem_stream_window_agg", output_mode="complete")
 
 
+def q_streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window agg (1h window / 30m slide) as a real
+    availableNow stream — each event lands in two overlapping windows."""
+    from .streaming.incremental import run_to_memory, sliding_event_counts
+
+    tune_session(spark)
+    agg = sliding_event_counts(_stream_events(spark, sf_dir))
+    return run_to_memory(agg, "mem_stream_sliding_agg", output_mode="complete")
+
+
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window (30 min gap) per-user aggregation on a stream."""
     from .streaming.incremental import run_to_memory, sessionized_event_counts
@@ -1154,6 +1164,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     # structured streaming (availableNow incremental)
     "streaming_window_agg": q_streaming_window_agg,
+    "streaming_sliding_agg": q_streaming_sliding_agg,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_dedup": q_streaming_dedup,
     "streaming_running_totals": q_streaming_running_totals,
@@ -1431,6 +1442,20 @@ ORACLES: dict[str, str] = {
              CAST(COUNT(*) AS BIGINT) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM events
+      GROUP BY 1, 2, 3
+    """,
+    "streaming_sliding_agg": """
+      WITH ev AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - (o * INTERVAL 30 MINUTE) AS window_start,
+               event_type, value
+        FROM events, unnest([0, 1]) AS t(o)
+      )
+      SELECT window_start,
+             window_start + INTERVAL 1 HOUR AS window_end,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM ev
       GROUP BY 1, 2, 3
     """,
     "streaming_sessionize": """

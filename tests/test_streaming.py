@@ -4,6 +4,9 @@ import datetime as dt
 import os
 import shutil
 
+import pytest
+from pyspark.sql import functions as F
+
 from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental import (
     dedup_stream,
     run_incremental,
@@ -138,3 +141,72 @@ def test_watermark_advances_across_microbatches_and_gates_emission(spark, tmp_pa
     assert emitted[t] == (2, 3.0)
     # the 12:00 window is still open at end-of-input → withheld in append mode
     assert t + h(hours=2) not in emitted
+
+
+def test_foreach_batch_expectations_warn_drop_per_microbatch(spark, tmp_path):
+    """maxFilesPerTrigger=1 → one microbatch per file; warn metrics recorded
+    per batch, drop rows filtered from the sink, nothing computed twice."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans.expectations import (
+        DROP,
+        WARN,
+        Expectation,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental import (
+        run_incremental_with_expectations,
+        stream_source,
+    )
+
+    src, tgt, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _drop(spark, [(1, 5.0, dt.datetime(2024, 1, 1, 0, 0)), (2, -1.0, dt.datetime(2024, 1, 1, 0, 1))], src)
+    _drop(spark, [(3, -2.0, dt.datetime(2024, 1, 1, 0, 2)), (4, 7.0, dt.datetime(2024, 1, 1, 0, 3))], src)
+    exps = [
+        Expectation("v_not_null", "v IS NOT NULL", WARN),
+        Expectation("v_positive", "v >= 0", DROP),
+    ]
+    metrics = run_incremental_with_expectations(
+        stream_source(spark, src, max_files_per_trigger=1), tgt, ckpt, exps
+    )
+    assert len(metrics) == 2  # one entry per microbatch
+    assert all(m["v_not_null"] == 0 for m in metrics)
+    kept = {r.id for r in spark.read.parquet(tgt).collect()}
+    assert kept == {1, 4}  # negative-v rows dropped in their own batches
+
+
+def test_foreach_batch_fail_expectation_aborts_stream(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans.expectations import (
+        FAIL,
+        Expectation,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental import (
+        run_incremental_with_expectations,
+        stream_source,
+    )
+
+    src, tgt, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _drop(spark, [(1, -5.0, dt.datetime(2024, 1, 1, 0, 0))], src)
+    with pytest.raises(StreamingQueryException, match="v_positive"):
+        run_incremental_with_expectations(
+            stream_source(spark, src), tgt, ckpt,
+            [Expectation("v_positive", "v >= 0", FAIL)],
+        )
+
+
+def test_sliding_windows_overlap(spark, tmp_path):
+    """An event at :45 belongs to the [:00,1:00) and [:30,1:30) windows."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental import (
+        run_to_memory,
+        sliding_event_counts,
+        stream_source,
+    )
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "click", 2.0, "2024-01-01 00:45:00")],
+        "event_id int, event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    agg = sliding_event_counts(stream_source(spark, src))
+    out = run_to_memory(agg, "mem_t_sliding", output_mode="complete").collect()
+    starts = sorted(str(r.window_start) for r in out)
+    assert starts == ["2024-01-01 00:00:00", "2024-01-01 00:30:00"]
