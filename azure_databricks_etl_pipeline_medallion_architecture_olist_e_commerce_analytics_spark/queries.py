@@ -1035,6 +1035,173 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-based session assignment via lag + running
+    sum (the batch twin of ``session_window``; A7/W1 composition).
+
+    A new session starts when the per-user gap exceeds 30 minutes. The
+    running SUM over the session-start flags is the classic "islands"
+    construction — one shuffle on user_id serves both windows and the final
+    aggregate. Gaps compare in integer microseconds (exact in both engines);
+    session totals accumulate in DECIMAL so they are order-independent.
+    """
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    tagged = events.withColumn("is_new", is_new).withColumn(
+        "session_seq", F.sum("is_new").over(w)
+    )
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+    )
+
+
+def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward fill: per-user daily calendar from
+    ``sequence()``/explode, left-joined to observed daily totals, missing
+    days filled with ``last(..., ignorenulls)`` (LOCF).
+
+    The calendar generation is distributed (one array per user, exploded on
+    executors — no driver-side date loop), and the forward fill is a single
+    window pass over the same user_id partitioning the join already
+    shuffled on. Standard feature-engineering primitive for training
+    pipelines (regular time grids from irregular event data).
+    """
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("day_value_dec"))
+    cal = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    wff = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.col("day_value_dec").isNotNull().alias("is_observed"),
+        F.last("day_value_dec", ignorenulls=True).over(wff).cast("double").alias(
+            "day_value_ffill"
+        ),
+    )
+
+
+def q_rank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function matrix: dense_rank / percent_rank / cume_dist /
+    first_value / nth_value over one fully-ordered window (W1 family).
+
+    The ORDER BY includes the unique o_orderkey tie-break, so every rank is
+    deterministic; percent_rank and cume_dist are integer ratios computed in
+    double — bit-identical across engines for identical orderings.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_percent_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+        F.first("o_totalprice").over(w).alias("status_min_price"),
+        F.nth_value("o_totalprice", 3).over(wfull).alias("status_third_price"),
+    )
+
+
+def q_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware NOT IN subquery: orders with no high-quantity line item.
+
+    ``NOT IN (subquery)`` has three-valued-logic semantics (one NULL in the
+    subquery empties the result), so Catalyst plans it as a null-aware anti
+    join rather than a plain left-anti — the one anti-join variant the
+    catalog didn't yet exercise.
+    """
+    tune_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__nin_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__nin_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM __nin_orders
+        WHERE o_orderkey NOT IN (
+          SELECT l_orderkey FROM __nin_lineitem WHERE l_quantity >= 45
+        )
+        """
+    )
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligning union: two differently-shaped activity feeds merged
+    by column NAME with missing columns null-filled
+    (``unionByName(allowMissingColumns=True)``).
+
+    The position-based UNION of the set-ops query breaks the moment one side
+    adds a column; by-name union is the schema-evolution-safe way to merge
+    heterogeneous sources into one training feed.
+    """
+    tune_session(spark)
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("value").alias("metric"),
+            F.col("event_type").alias("kind"),
+            F.lit("events").alias("src"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_totalprice").alias("metric"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit("orders").alias("src"),
+    )
+    return purchases.unionByName(orders, allowMissingColumns=True)
+
+
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram: 20 bins over the global [min, max] price range.
+
+    The 1-row min/max aggregate broadcasts into the binning pass (same
+    pattern as the scalar-subquery query), so the whole histogram is one
+    scan + one 20-group aggregate — no second pass over the data and no
+    driver round-trip for the range. Bin edges are computed with identical
+    IEEE double arithmetic in both engines.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    bin_idx = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    ).cast("int")
+    return (
+        orders.join(F.broadcast(stats))
+        .groupBy(bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bin_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming operators (S4, SURVEY.md §2.8)
 # --------------------------------------------------------------------------
@@ -1121,6 +1288,59 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True watermarked stream-stream inner join (J2 in streaming mode):
+    click→purchase attribution — for each purchase, the same user's clicks
+    in the preceding hour.
+
+    The reference's stream-stream join runs unwatermarked
+    (order_reviews.py:39-53); here both sides carry watermarks and the join
+    condition time-bounds the two event times, so Spark evicts join state
+    once the watermark passes the range — bounded memory on an unbounded
+    stream. Two independent file-stream sources (a genuine self-join of the
+    stream, not a cached batch).
+    """
+    from .streaming.incremental import run_to_memory, stream_interval_join
+
+    tune_session(spark)
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    cond = (
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    joined = stream_interval_join(
+        clicks, purchases, cond, "click_ts", "purchase_ts", watermark="2 hours"
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "gap_us"
+        ),
+    )
+    return run_to_memory(joined, "mem_stream_stream_join")
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -1168,6 +1388,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_dedup": q_streaming_dedup,
     "streaming_running_totals": q_streaming_running_totals,
+    "streaming_stream_join": q_streaming_stream_join,
     "topk_orders": q_topk_orders,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1198,6 +1419,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "sketch_distinct": q_sketch_distinct,
     "approx_quantiles": q_approx_quantiles,
+    # time-series / schema-evolution / anti-join variants / histogram
+    "sessionize_batch": q_sessionize_batch,
+    "gap_fill_ffill": q_gap_fill_ffill,
+    "rank_matrix": q_rank_matrix,
+    "not_in_subquery": q_not_in_subquery,
+    "union_by_name": q_union_by_name,
+    "histogram_bins": q_histogram_bins,
 }
 
 ORACLES: dict[str, str] = {
@@ -1706,3 +1934,100 @@ ORACLES["quality_filter"] = (
 
 # The vectorized scorer computes the same exact top-k as the fold-based one.
 ORACLES["ann_topk_np"] = ORACLES["ann_topk"]
+
+ORACLES["sessionize_batch"] = """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS session_seq
+      FROM seq
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM tagged GROUP BY user_id, session_seq
+"""
+
+ORACLES["gap_fill_ffill"] = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS day_value_dec
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT c.user_id, c.day,
+           d.day_value_dec IS NOT NULL AS is_observed,
+           CAST(last_value(d.day_value_dec IGNORE NULLS) OVER (
+                  PARTITION BY c.user_id ORDER BY c.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS day_value_ffill
+    FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+"""
+
+ORACLES["rank_matrix"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(dense_rank() OVER w AS INTEGER) AS price_dense_rank,
+           percent_rank() OVER w AS price_percent_rank,
+           cume_dist() OVER w AS price_cume_dist,
+           first_value(o_totalprice) OVER w AS status_min_price,
+           nth_value(o_totalprice, 3) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS status_third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+ORACLES["not_in_subquery"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (
+      SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+    )
+"""
+
+ORACLES["union_by_name"] = """
+    SELECT user_id, value AS metric, event_type AS kind, 'events' AS src
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL BY NAME
+    SELECT o_custkey AS user_id, o_totalprice AS metric,
+           o_orderstatus AS status, 'orders' AS src
+    FROM orders
+"""
+
+ORACLES["histogram_bins"] = """
+    WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / CAST(20 AS DOUBLE))),
+                      CAST(19 AS DOUBLE)) AS INTEGER) AS bin,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_value
+    FROM orders, s
+    GROUP BY 1
+"""
+
+ORACLES["streaming_stream_join"] = """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts,
+           date_diff('microsecond', c.ts, p.ts) AS gap_us
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""

@@ -220,6 +220,34 @@ def sliding_event_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    join_cond,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join (J2, SURVEY.md §2.3, in true stream mode).
+
+    The reference joins two streams with no watermark
+    (/root/reference/scripts/silver/order_reviews.py:39-53) — on an unbounded
+    stream that buffers both sides forever. Here both inputs carry an
+    event-time watermark and ``join_cond`` must range-bound the two event
+    times (e.g. ``left.ts BETWEEN right.ts - INTERVAL 1 HOUR AND right.ts``);
+    Spark then derives a state-eviction bound for each side, keeping join
+    state O(watermark window), not O(stream).
+
+    Inner-join matches emit as soon as both rows arrive (no watermark delay);
+    the watermark only governs state cleanup — so an ``availableNow`` run
+    emits the complete join of the files processed.
+    """
+    return left.withWatermark(left_ts, watermark).join(
+        right.withWatermark(right_ts, watermark), join_cond, how
+    )
+
+
 def run_incremental_with_expectations(
     df: DataFrame,
     target_path: str,

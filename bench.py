@@ -42,6 +42,9 @@ HEADLINE = [
     "ann_topk_np",
     "streaming_window_agg",
     "streaming_running_totals",
+    "streaming_stream_join",
+    "sessionize_batch",
+    "gap_fill_ffill",
     "asof_join",
     "range_join",
     "rollup_sales",
