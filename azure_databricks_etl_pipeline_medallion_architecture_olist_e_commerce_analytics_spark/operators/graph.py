@@ -1,0 +1,135 @@
+"""Distributed connected components (large-star / small-star contraction).
+
+Groups near-duplicate PAIRS into duplicate CLUSTERS — the missing step
+between pair generation (operators/dedup.py: MinHash LSH / Jaccard /
+SimHash emit edges) and the actual dedup decision a training-data pipeline
+makes (keep one canonical document per cluster). Duplicate similarity is
+not transitive, but dedup policy treats it as if it were: A~B and B~C
+means A, B, C are one cluster even when A≁C — exactly a connected-
+components problem on the pair graph.
+
+Algorithm: alternating large-star/small-star edge contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+literature), chosen over plain min-label propagation because its round
+count is O(log² n) regardless of graph shape, while label propagation
+needs DIAMETER rounds — and near-dup graphs contain long transitive
+chains (v1~v2~…~vk from gradually-drifting documents) that would turn a
+100 TB run into thousands of rounds.
+
+Spark mapping: pure DataFrame ops. Each half-round is one groupBy (min
+neighbor per center node) + one join back to the symmetrized edge list —
+both shuffle on the node key, partial aggregation map-side, no
+driver-side graph state, no RDDs. The edge set is ``localCheckpoint``-ed
+every round to truncate the exponentially-growing iterative lineage (the
+classic iterative-algorithm pitfall in Spark), and the loop early-exits
+on a cheap count+hash fixpoint probe (one tiny aggregate per round — the
+only driver round-trip, O(1) rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(edges: DataFrame) -> DataFrame:
+    """Undirected edge canonical form: (a = max endpoint, b = min), no
+    self-loops, no nulls, no duplicates."""
+    return (
+        edges.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .select(
+            F.greatest(F.col("a"), F.col("b")).alias("a"),
+            F.least(F.col("a"), F.col("b")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _half_star(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect bigger neighbors to the center's min) or
+    small-star (connect smaller neighbors to the center's min) pass.
+
+    Every node also keeps its own edge to its local minimum, which only ever
+    adds intra-component edges (m ∈ N(u) ∪ {u} is in u's component by
+    construction), so components are preserved exactly while convergence to
+    the star form proceeds.
+    """
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    mins = mins.select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
+    j = sym.join(mins, "a")
+    keep = F.col("b") > F.col("a") if large else F.col("b") < F.col("a")
+    moved = j.filter(keep).select(F.col("b").alias("a"), F.col("m").alias("b"))
+    center = j.select("a", F.col("m").alias("b"))
+    return _normalize(moved.union(center))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected graph given as an edge list.
+
+    Returns ``(node, component)`` where ``component`` is the smallest node
+    id in the node's component. Nodes that appear in no edge are absent
+    (a singleton is its own component — join the node universe back and
+    ``coalesce(component, node)``, as :func:`dedup_clusters` does).
+
+    ``max_iter`` is a safety bound, not the expected round count: the
+    alternation reaches the star fixpoint in O(log² n) rounds (2-4 in
+    practice for dedup graphs) and the loop exits as soon as the edge set
+    stops changing.
+    """
+    cur = _normalize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _half_star(cur, large=True)
+        cur = _half_star(cur, large=False).localCheckpoint()
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulate: ANSI-safe (no long overflow), order-free
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.groupBy("a").agg(F.min("b").alias("mn")).select(
+        F.col("a").alias("node"), F.least(F.col("a"), F.col("mn")).alias("component")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster near-dup pairs and pick one canonical doc per cluster.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair output (jaccard_pairs,
+    minhash_lsh_pairs, simhash_pairs, embedding_dup_pairs). Returns every
+    document with its cluster id (the cluster's smallest doc id) and an
+    ``is_canonical`` keep/drop flag — the dedup decision a training
+    pipeline applies downstream. Singletons are their own cluster. The
+    node→component map is a few rows per duplicate cluster — broadcast-
+    sized relative to the corpus — but we leave join strategy to Catalyst
+    (AQE converts to broadcast when the map is small).
+    """
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        docs.select(id_col)
+        .join(cc, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component_id"),
+        )
+        .withColumn("is_canonical", F.col("component_id") == F.col(id_col))
+    )

@@ -422,6 +422,19 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.8)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters → canonical-doc decision:
+    connected components (large-star/small-star contraction) over the exact
+    Jaccard pair graph, one keep/drop flag per document."""
+    from .operators.dedup import jaccard_pairs
+    from .operators.graph import dedup_clusters
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = jaccard_pairs(docs, threshold=0.8)
+    return dedup_clusters(docs, pairs)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (scale path; no SQL oracle — murmur3)."""
     from .operators.dedup import minhash_lsh_pairs
@@ -1369,6 +1382,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "text_analysis": q_text_analysis,
@@ -2018,6 +2032,36 @@ ORACLES["histogram_bins"] = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_value
     FROM orders, s
     GROUP BY 1
+"""
+
+# Connected components via transitive closure (recursive CTE) — tractable at
+# oracle scale because near-dup components are small; the Spark side uses
+# star contraction instead, which is the 100 TB path.
+ORACLES["dedup_components"] = """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+      FROM documents WHERE doc_id < 300
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, other) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other
+    )
+    SELECT node AS doc_id,
+           MIN(other) AS component_id,
+           MIN(other) = node AS is_canonical
+    FROM reach GROUP BY node
 """
 
 ORACLES["streaming_stream_join"] = """

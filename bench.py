@@ -37,6 +37,7 @@ HEADLINE = [
     "date_expr_join",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_components",
     "text_analysis",
     "ann_topk",
     "ann_topk_np",

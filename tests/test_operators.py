@@ -385,3 +385,44 @@ def test_resize_never_upscales_and_preserves_aspect(spark):
             # integer-floor aspect preservation
             assert r.resized_width == r.width * 256 // max(r.width, r.height)
             assert r.resized_height == r.height * 256 // max(r.width, r.height)
+
+
+def test_connected_components_shapes(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # long chain (the label-propagation worst case), a cycle, an isolated pair,
+    # plus reversed/duplicate/self edges
+    edges = (
+        [(i, i + 1) for i in range(1, 40)]
+        + [(60, 61), (61, 62), (62, 60), (70, 71), (71, 70), (70, 70)]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    comp = {r.node: r.component for r in connected_components(df).collect()}
+    assert all(comp[i] == 1 for i in range(1, 41))
+    assert comp[60] == comp[61] == comp[62] == 60
+    assert comp[70] == comp[71] == 70
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 99)], ["doc_id"])
+    pairs = spark.createDataFrame([(2, 1), (2, 3)], ["id_a", "id_b"])
+    rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert rows[1].component_id == rows[2].component_id == rows[3].component_id == 1
+    assert rows[99].component_id == 99 and rows[99].is_canonical
+    assert rows[1].is_canonical and not rows[2].is_canonical
+
+
+def test_connected_components_converges_logarithmically(spark):
+    """A 200-node chain must converge well under the diameter (199 rounds) —
+    the property star contraction buys over label propagation."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["src", "dst"]
+    )
+    comp = {r.node: r.component for r in connected_components(chain, max_iter=12).collect()}
+    assert len(comp) == 201
+    assert set(comp.values()) == {0}
