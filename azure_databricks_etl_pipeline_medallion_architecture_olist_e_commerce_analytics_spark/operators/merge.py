@@ -93,3 +93,35 @@ def scd2_apply(
     return cur_hist.unionByName(unchanged).unionByName(closed).unionByName(
         opened.select(cur_hist.columns)
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare: list[str]
+) -> DataFrame:
+    """Change-data-capture between two keyed snapshots.
+
+    Emits one row per changed key with ``change_type`` ∈
+    {'insert','update','delete'}; unchanged keys are omitted. This is the
+    batch CDC primitive for pipelines whose sources deliver full snapshots
+    (the reference re-reads full CSVs per run;
+    /root/reference/scripts/bronze/bronze_ingestion.py:20-32) but whose
+    downstream wants deltas — feed the output to :func:`merge_upsert` or
+    :func:`scd2_apply`.
+
+    One full-outer join shuffled on ``keys``; each side carries only the
+    keys plus one md5 digest of the ``compare`` columns, so wide snapshots
+    diff without shuffling their payloads.
+    """
+    oh = old.select(*keys, _tracked_hash(compare).alias("__h_old"))
+    nh = new.select(*keys, _tracked_hash(compare).alias("__h_new"))
+    j = oh.join(nh, keys, "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("__h_old").isNull(), F.lit("insert"))
+            .when(F.col("__h_new").isNull(), F.lit("delete"))
+            .when(F.col("__h_old") != F.col("__h_new"), F.lit("update")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

@@ -1215,6 +1215,57 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two keyed snapshots: a deterministic "next-day" customer
+    snapshot (every 97th key deleted, every 13th re-balanced, every 101st
+    re-inserted under a new key) diffed against the original — one
+    insert/update/delete row per changed key."""
+    from .operators.merge import snapshot_diff
+
+    tune_session(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    survivors = customer.filter(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 10.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    inserts = customer.filter(F.col("c_custkey") % 101 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    new_snap = survivors.unionByName(inserts)
+    return snapshot_diff(customer, new_snap, ["c_custkey"], ["c_acctbal"])
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: per-order last ship date pulled from
+    lineitem inside the select list. Catalyst de-correlates it into an
+    aggregate + left outer join — the rewrite this entry pins down."""
+    tune_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__cs_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__cs_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice,
+               (SELECT MAX(l.l_shipdate) FROM __cs_lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS last_shipdate
+        FROM __cs_orders o
+        """
+    )
+
+
+def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling through the grouped-map Pandas UDF path
+    (applyInPandas): min-max normalize event values within each event type."""
+    from .operators.grouped import group_minmax_normalize
+
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+    return group_minmax_normalize(events, ["event_type"], "value")
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming operators (S4, SURVEY.md §2.8)
 # --------------------------------------------------------------------------
@@ -1440,6 +1491,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "not_in_subquery": q_not_in_subquery,
     "union_by_name": q_union_by_name,
     "histogram_bins": q_histogram_bins,
+    "snapshot_diff": q_snapshot_diff,
+    "correlated_subquery": q_correlated_subquery,
+    "group_normalize": q_group_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2032,6 +2086,46 @@ ORACLES["histogram_bins"] = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bin_value
     FROM orders, s
     GROUP BY 1
+"""
+
+ORACLES["snapshot_diff"] = """
+    WITH new_snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, c_acctbal
+      FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update'
+           END AS change_type
+    FROM customer o
+    FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+    WHERE CASE WHEN o.c_custkey IS NULL THEN 'insert'
+               WHEN n.c_custkey IS NULL THEN 'delete'
+               WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update'
+          END IS NOT NULL
+"""
+
+ORACLES["correlated_subquery"] = """
+    SELECT o.o_orderkey, o.o_totalprice,
+           (SELECT MAX(l.l_shipdate) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS last_shipdate
+    FROM orders o
+"""
+
+ORACLES["group_normalize"] = """
+    SELECT event_id, event_type, value,
+           CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
+                ELSE (value - MIN(value) OVER w)
+                     / (MAX(value) OVER w - MIN(value) OVER w) END AS normalized
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type)
 """
 
 # Connected components via transitive closure (recursive CTE) — tractable at
