@@ -90,21 +90,44 @@ def run_incremental(
     q.awaitTermination()
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Run a stream to completion into an in-memory table (test/oracle path).
 
     The memory sink collects to the driver — fine for the sf0.01 correctness
     gate, never for production; use :func:`run_incremental` there.
+
+    ``state_partitions`` sizes the stateful-operator partitioning (state
+    store count = ``spark.sql.shuffle.partitions`` at FIRST run, pinned by
+    the checkpoint thereafter; AQE never touches streaming plans). It is a
+    per-stream knob sized to stream volume, not cluster width: every
+    microbatch — including the zero-row finalization batch availableNow
+    runs for watermark advancement — pays one state-store load/commit per
+    partition per stateful operator, so an oversized count turns into pure
+    fixed overhead (32→8 partitions cut the test streams 4-5×), while a
+    100 TB/day stream genuinely needs thousands. The session value is
+    restored afterwards so batch queries keep the cluster-width setting.
     """
     spark = df.sparkSession
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
