@@ -55,10 +55,14 @@ def _half_star(edges: DataFrame, large: bool) -> DataFrame:
     construction), so components are preserved exactly while convergence to
     the star form proceeds.
     """
+    from pyspark.sql import Window
+
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
-    mins = mins.select("a", F.least(F.col("a"), F.col("mn")).alias("m"))
-    j = sym.join(mins, "a")
+    # per-center min via a partition-only window: one shuffle on the center
+    # key computes m for every neighbor row in place — no separate aggregate
+    # + join back (half the shuffles of the groupBy formulation)
+    m = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+    j = sym.withColumn("m", m)
     keep = F.col("b") > F.col("a") if large else F.col("b") < F.col("a")
     moved = j.filter(keep).select(F.col("b").alias("a"), F.col("m").alias("b"))
     center = j.select("a", F.col("m").alias("b"))
