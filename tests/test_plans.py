@@ -70,3 +70,54 @@ def test_hot_path_is_whole_stage_codegen(spark):
 def test_topk_uses_partial_topk_not_global_sort(spark):
     plan = _formatted_plan(SPARK_QUERIES["topk_orders"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """A write partitioned on a derived key must prune to matching
+    directories at read time — the #1 scan-elimination lever at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("order_year") == 1995)
+    plan = _formatted_plan(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "order_year" in m.group(1), plan
+    # partition filter must NOT degrade to a post-scan row filter
+    assert pruned.count() == orders.filter(F.col("order_year") == 1995).count()
+
+
+def test_dynamic_partition_pruning_through_join(spark, tmp_path):
+    """Joining a partitioned fact to a filtered dim must inject a runtime
+    partition filter (DPP) into the fact scan — without it, every partition
+    of a 100 TB fact is read to serve a one-month query."""
+    from pyspark.sql import functions as F
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    fact = spark.read.parquet(path)
+
+    dim = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(F.year("o_orderdate").alias("order_year"))
+        .distinct()
+        .filter(F.col("order_year").isin(1995, 1996))
+    )
+    joined = fact.join(dim, "order_year")
+    plan = _formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower() or "dynamicpruningexpression" in plan.lower(), plan
