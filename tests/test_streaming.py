@@ -5,8 +5,14 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from conftest import SF_SMALL
+
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+    load_table,
+)
 from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental import (
     dedup_stream,
     run_incremental,
@@ -210,3 +216,50 @@ def test_sliding_windows_overlap(spark, tmp_path):
     out = run_to_memory(agg, "mem_t_sliding", output_mode="complete").collect()
     starts = sorted(str(r.window_start) for r in out)
     assert starts == ["2024-01-01 00:00:00", "2024-01-01 00:30:00"]
+
+
+def test_first_seen_events_transform_with_state(spark):
+    """Forward-path stateful API (transformWithStateInPandas): first event
+    per (user, event_type) must equal the batch ROW_NUMBER()=1 twin.
+
+    The TWS driver worker imports google.protobuf, which this image lacks —
+    the test runs the full comparison wherever it exists.
+    """
+    pytest.importorskip("google.protobuf")
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        _stream_events,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental import (
+        run_to_memory,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.stateful import (
+        first_seen_events,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory(
+            first_seen_events(_stream_events(spark, SF_SMALL)), "mem_first_seen"
+        )
+        got = {
+            (r.user_id, r.event_type): (r.first_event_id, r.first_ts, r.first_value)
+            for r in out.collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    events = load_table(spark, SF_SMALL, "events").filter("event_type IS NOT NULL")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    twin = events.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    want = {
+        (r.user_id, r.event_type): (r.event_id, r.ts, r.value)
+        for r in twin.collect()
+    }
+    assert got == want
