@@ -90,6 +90,36 @@ def expectation_metrics(df: DataFrame, expectations: list[Expectation]) -> dict[
     return {e.name: int(row[e.name] or 0) for e in checked}
 
 
+def observe_expectations(df: DataFrame, expectations: list[Expectation]):
+    """Attach warn-expectation violation counters plus a row count to the
+    plan as an :class:`~pyspark.sql.Observation` — the metrics ride whatever
+    action materializes the DataFrame next (normally the table write), so
+    expectation reporting costs ZERO additional scans. This is the mechanism
+    DLT itself uses for its expectation metrics (``observe`` feeds the
+    Spark listener bus), where :func:`expectation_metrics` pays one extra
+    aggregate job.
+
+    Returns ``(df_observed, observation)``; read ``observation.get`` only
+    AFTER an action that scans every row. In particular, do not run the
+    short-circuiting :func:`enforce_fail` on the observed plan — its
+    ``isEmpty`` probe stops early and would freeze the observation at
+    partial counts.
+    """
+    from pyspark.sql import Observation
+
+    checked = [e for e in expectations if e.action == WARN]
+    aggs = [F.count(F.lit(1)).alias("__rows")] + [
+        F.sum(
+            F.when(
+                F.coalesce(e.as_column().cast("boolean"), F.lit(False)), F.lit(0)
+            ).otherwise(F.lit(1))
+        ).alias(e.name)
+        for e in checked
+    ]
+    obs = Observation()
+    return df.observe(obs, *aggs), obs
+
+
 def enforce_fail(dataset: str, df: DataFrame, expectations: list[Expectation]) -> None:
     """Raise :class:`ExpectationViolation` if any fail-level predicate has violations.
 

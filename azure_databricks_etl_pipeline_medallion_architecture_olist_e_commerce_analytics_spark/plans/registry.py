@@ -45,6 +45,7 @@ from .expectations import (
     apply_expectations,
     enforce_fail,
     expectation_metrics,
+    observe_expectations,
 )
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*){0,2}$")
@@ -350,15 +351,27 @@ class Pipeline:
             if d.kind == "view":
                 continue
             df = resolver.read(d.name)
+            # fail gate runs on the UN-observed plan: its isEmpty probe
+            # short-circuits, which would freeze an observation at partial
+            # counts (see observe_expectations docstring)
             enforce_fail(d.name, df, d.expectations)
-            n = write_table(spark, df, d, warehouse=warehouse, fmt=fmt)
-            entry: dict = {"rows": n}
+            obs = None
             if collect_metrics:
-                warns = [e for e in d.expectations if e.action == WARN]
-                if warns:
-                    entry["expectations"] = expectation_metrics(
-                        spark.table(_table_ident(d.name)), warns
-                    )
+                # row count + warn violation counts ride the write job —
+                # one scan materializes the table AND its metrics
+                df, obs = observe_expectations(df, d.expectations)
+            n = write_table(
+                spark, df, d, warehouse=warehouse, fmt=fmt, count=obs is None
+            )
+            entry: dict = {}
+            if obs is not None:
+                m = obs.get
+                entry["rows"] = int(m["__rows"])
+                warn_counts = {k: int(v or 0) for k, v in m.items() if k != "__rows"}
+                if warn_counts:
+                    entry["expectations"] = warn_counts
+            else:
+                entry["rows"] = n
             report[d.name] = entry
         return report
 

@@ -38,12 +38,17 @@ def write_table(
     dataset,
     warehouse: str | None = None,
     fmt: str = "parquet",
+    count: bool = True,
 ) -> int:
     """Full-refresh write of a dataset to the warehouse; returns row count.
 
     MVs and tables both overwrite here (the engine's batch mode re-derives
     every table per run, mirroring the reference's full-refresh gold layer);
     incremental appends are the streaming runner's job.
+
+    ``count=False`` skips the post-write count scan and returns -1 — used
+    when the caller already gets the row count from an Observation riding
+    the write job itself (plans/registry.py).
     """
     schema, _, table = dataset.name.rpartition(".")
     ident = f"`{schema}`.`{table}`" if schema else f"`{table}`"
@@ -74,4 +79,4 @@ def write_table(
     for k, v in dataset.table_properties.items():
         writer = writer.option(k, str(v))
     writer.saveAsTable(ident)
-    return spark.table(ident).count()
+    return spark.table(ident).count() if count else -1
