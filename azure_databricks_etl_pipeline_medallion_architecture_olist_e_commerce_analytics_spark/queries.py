@@ -1405,6 +1405,89 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "mem_stream_stream_join")
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: lineitem is split into a standing
+    history and a new batch; the history's aggregate *state* (per
+    returnflag/linestatus count, exact decimal sum, min, max) is merged with
+    the batch's partial state and finalized — without rescanning history.
+
+    The oracle recomputes the same aggregate over the full table, proving
+    merge(state(history), state(batch)) == aggregate(history ∪ batch) —
+    the invariant that makes O(batch) refreshes sound at 100 TB (the
+    reference's full-refresh MVs are O(history) per run,
+    /root/reference/scripts/gold/fact_order_items.sql:1)."""
+    from .operators.incremental_agg import aggregate_state, finalize, merge_states
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    history = li.filter(F.col("l_orderkey") % 10 != 0)
+    batch = li.filter(F.col("l_orderkey") % 10 == 0)
+    state = aggregate_state(history, keys, "l_extendedprice")
+    merged = merge_states(state, aggregate_state(batch, keys, "l_extendedprice"), keys)
+    return finalize(merged)
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 5 highest-balance customers per nation, rank filter
+    over a partitioned window. Spark ≥3.5 rewrites the post-window rank
+    predicate into WindowGroupLimit — each shuffle partition keeps only k
+    rows per group *before* the full sort/window evaluation, so the window
+    state never materializes beyond k per group (the plan guard in
+    tests/test_plans.py pins the rewrite). The per-group limit is what makes
+    grouped top-k viable on billions of rows per group."""
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        cust.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 5)
+        .select("c_nationkey", "rank_in_nation", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (``sampleBy`` semantics, md5-bucket
+    mechanics): per-status sampling fractions — 'F' keeps 4/16, 'O' keeps
+    2/16, everything else passes — decided by the first hex digit of
+    md5(key), so the sample is identical on every engine/run/partitioning
+    (rand()-based sampleBy is not), and a key samples consistently across
+    tables. Pure map-side filter: no shuffle, prunes at the scan."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    keep = (
+        F.when(F.col("o_orderstatus") == "F", h.isin("0", "1", "2", "3"))
+        .when(F.col("o_orderstatus") == "O", h.isin("0", "1"))
+        .otherwise(F.lit(True))
+    )
+    return orders.filter(keep).select(
+        "o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice"
+    )
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an extra correlated inequality: customers
+    holding at least one urgent order above 100k. Catalyst plans it as a
+    left-semi hash join with the non-equi conjunct folded into the join
+    condition — no subquery re-execution per row."""
+    tune_session(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__ex_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__ex_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM __ex_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM __ex_orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+            AND o.o_totalprice > c.c_acctbal
+        )
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -1494,6 +1577,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "correlated_subquery": q_correlated_subquery,
     "group_normalize": q_group_normalize,
+    # incremental maintenance / grouped top-k / sampling / EXISTS
+    "incremental_agg": q_incremental_agg,
+    "group_topk": q_group_topk,
+    "stratified_sample": q_stratified_sample,
+    "exists_subquery": q_exists_subquery,
 }
 
 ORACLES: dict[str, str] = {
@@ -2168,4 +2256,47 @@ ORACLES["streaming_stream_join"] = """
       ON p.event_type = 'purchase' AND c.event_type = 'click'
      AND c.user_id = p.user_id
      AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
+ORACLES["incremental_agg"] = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS min_value,
+           MAX(l_extendedprice) AS max_value,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value_d,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["group_topk"] = """
+    SELECT c_nationkey, rank_in_nation, c_custkey, c_name, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS INTEGER) AS rank_in_nation
+      FROM customer
+    ) r WHERE rank_in_nation <= 5
+"""
+
+ORACLES["stratified_sample"] = """
+    SELECT o_orderkey, o_orderstatus, o_custkey, o_totalprice
+    FROM orders
+    WHERE CASE
+      WHEN o_orderstatus = 'F' THEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      WHEN o_orderstatus = 'O' THEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1')
+      ELSE TRUE END
+"""
+
+ORACLES["exists_subquery"] = """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
+        AND o.o_totalprice > c.c_acctbal
+    )
 """

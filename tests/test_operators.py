@@ -426,3 +426,37 @@ def test_connected_components_converges_logarithmically(spark):
     comp = {r.node: r.component for r in connected_components(chain, max_iter=12).collect()}
     assert len(comp) == 201
     assert set(comp.values()) == {0}
+
+
+def test_incremental_agg_state_merge_invariance(spark):
+    """merge(state(a), state(b)) must equal state(a ∪ b) for ANY split of the
+    data, and re-merging daily states into coarser states must be lossless
+    (closure) — the invariants that make incremental aggregate maintenance
+    sound. Sums accumulate in decimal, so equality is exact, not approximate."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.incremental_agg import (
+        aggregate_state,
+        finalize,
+        merge_states,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def canon(df):
+        return sorted(tuple(r) for r in finalize(df).collect())
+
+    full = aggregate_state(li, keys, "l_extendedprice")
+
+    # three-way split, merged left-to-right and right-to-left
+    parts = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    states = [aggregate_state(p, keys, "l_extendedprice") for p in parts]
+    ltr = merge_states(merge_states(states[0], states[1], keys), states[2], keys)
+    rtl = merge_states(states[0], merge_states(states[1], states[2], keys), keys)
+
+    assert canon(ltr) == canon(full)
+    assert canon(rtl) == canon(full)
+    # closure: merged state has the state schema (rolls up hierarchically)
+    assert ltr.columns == full.columns

@@ -121,3 +121,13 @@ def test_dynamic_partition_pruning_through_join(spark, tmp_path):
     joined = fact.join(dim, "order_year")
     plan = _formatted_plan(joined)
     assert "dynamicpruning" in plan.lower() or "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_group_topk_uses_window_group_limit(spark):
+    """The rank<=k filter over a partitioned window must be rewritten into
+    WindowGroupLimit (Spark >=3.5): each shuffle partition keeps at most k
+    rows per group BEFORE the window sort runs, so per-group state stays
+    O(k) no matter how many rows a group has — without it, grouped top-k
+    materializes every group in full."""
+    plan = _formatted_plan(SPARK_QUERIES["group_topk"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan[:500]
