@@ -1405,6 +1405,20 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "mem_stream_stream_join")
 
 
+def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming: watermarked dedup on (hour, user, type)
+    feeding an event-time tumbling-window count in the same query — exact
+    streaming COUNT(DISTINCT) with bounded state (see
+    streaming/incremental.py::windowed_distinct_users)."""
+    from .streaming.incremental import run_to_memory, windowed_distinct_users
+
+    tune_session(spark)
+    agg = windowed_distinct_users(_stream_events(spark, sf_dir))
+    return run_to_memory(
+        agg, "mem_stream_distinct_users", output_mode="complete"
+    )
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: lineitem is split into a standing
     history and a new batch; the history's aggregate *state* (per
@@ -1577,6 +1591,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "correlated_subquery": q_correlated_subquery,
     "group_normalize": q_group_normalize,
+    "streaming_distinct_users": q_streaming_distinct_users,
     # incremental maintenance / grouped top-k / sampling / EXISTS
     "incremental_agg": q_incremental_agg,
     "group_topk": q_group_topk,
@@ -2299,4 +2314,16 @@ ORACLES["exists_subquery"] = """
         AND o.o_orderpriority = '1-URGENT'
         AND o.o_totalprice > c.c_acctbal
     )
+"""
+
+ORACLES["streaming_distinct_users"] = """
+    SELECT b AS window_start,
+           b + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS distinct_users
+    FROM (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, user_id, event_type
+      FROM events WHERE ts IS NOT NULL
+    ) d
+    GROUP BY b, event_type
 """

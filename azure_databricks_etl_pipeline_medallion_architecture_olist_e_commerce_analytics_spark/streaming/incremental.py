@@ -323,3 +323,45 @@ def run_incremental_with_expectations(
     )
     q.awaitTermination()
     return batch_metrics
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distinct users per tumbling window — two chained stateful operators
+    (watermarked dedup, then event-time window aggregation) in ONE streaming
+    query.
+
+    Exact streaming COUNT(DISTINCT) is normally impossible with bounded
+    memory; the classic trick is to dedup on (window-bucket, user, type)
+    first — after which a plain COUNT is a distinct count — and let the
+    shared watermark expire both operators' state. Chained event-time
+    stateful operators are supported natively since Spark 3.5 (the dedup's
+    surviving row keeps its event time, so the downstream window sees real
+    event-time semantics).
+
+    The dedup bucket uses ``date_trunc('hour')``, which coincides with the
+    1-hour tumbling windows downstream — any surviving row of a
+    (bucket, user, type) group lands in the same window, so the final counts
+    are deterministic even though WHICH duplicate survives is not.
+
+    State per operator is O(active windows × distinct users), not O(rows);
+    both stores expire at the same watermark.
+    """
+    return (
+        events.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .withColumn("__bucket", F.date_trunc("hour", F.col(ts_col)))
+        .dropDuplicatesWithinWatermark(["__bucket", "user_id", "event_type"])
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "distinct_users",
+        )
+    )

@@ -131,3 +131,41 @@ def test_group_topk_uses_window_group_limit(spark):
     materializes every group in full."""
     plan = _formatted_plan(SPARK_QUERIES["group_topk"](spark, SF_SMALL))
     assert "WindowGroupLimit" in plan, plan[:500]
+
+
+def test_runtime_bloom_filter_injected_into_selective_join(spark):
+    """A shuffle join against a selectively-filtered build side must inject
+    a runtime bloom filter into the probe-side scan (Spark's runtime row
+    filtering): probe rows that can't match are dropped BEFORE the shuffle,
+    which at 100 TB is the difference between shuffling the whole fact and
+    shuffling the matching slice. Thresholds are lowered so the sf0.001
+    build side qualifies; the rewrite itself is what's pinned here."""
+    from pyspark.sql import functions as F
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        urgent = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(urgent, li.l_orderkey == urgent.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_orderpriority"
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        # build side aggregates a bloom filter; probe side filters with it
+        assert "bloom_filter_agg" in opt, opt[:800]
+        assert "might_contain" in opt, opt[:800]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

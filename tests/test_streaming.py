@@ -263,3 +263,49 @@ def test_first_seen_events_transform_with_state(spark):
         for r in twin.collect()
     }
     assert got == want
+
+
+def test_cdc_apply_latest_per_key_wins_and_versions_commit(spark, tmp_path):
+    """Streaming CDC apply: per-batch latest-per-key collapse, MERGE into a
+    versioned snapshot, atomic pointer flip, incremental across runs."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.cdc import (
+        current_version,
+        read_current,
+        run_cdc_apply,
+        vacuum_versions,
+    )
+
+    src = str(tmp_path / "changes")
+    tbl = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(tbl, exist_ok=True)
+    t = dt.datetime(2024, 1, 1)
+
+    # batch 1: two keys, key 1 updated twice IN the batch — seq 2 must win
+    _drop(
+        spark,
+        [(1, 10.0, t), (1, 11.0, t + dt.timedelta(seconds=1)), (2, 20.0, t)],
+        src,
+    )
+    run_cdc_apply(stream_source(spark, src), tbl, ckpt, keys=["id"], sequence_by="ts")
+    cur = {r.id: r.v for r in read_current(spark, tbl).collect()}
+    assert cur == {1: 11.0, 2: 20.0}
+    assert current_version(tbl) == 1
+
+    # batch 2: update key 2, insert key 3; key 1 untouched
+    _drop(spark, [(2, 21.0, t + dt.timedelta(hours=1)), (3, 30.0, t)], src)
+    run_cdc_apply(stream_source(spark, src), tbl, ckpt, keys=["id"], sequence_by="ts")
+    cur = {r.id: r.v for r in read_current(spark, tbl).collect()}
+    assert cur == {1: 11.0, 2: 21.0, 3: 30.0}
+    assert current_version(tbl) == 2
+
+    # no new files → no new version
+    run_cdc_apply(stream_source(spark, src), tbl, ckpt, keys=["id"], sequence_by="ts")
+    assert current_version(tbl) == 2
+
+    # old snapshots remain readable (time travel) until vacuumed
+    v1 = spark.read.parquet(os.path.join(tbl, "v=1"))
+    assert {r.id: r.v for r in v1.collect()} == {1: 11.0, 2: 20.0}
+    assert vacuum_versions(tbl, keep=1) == [1]
+    assert not os.path.exists(os.path.join(tbl, "v=1"))
+    assert read_current(spark, tbl).count() == 3
