@@ -1405,6 +1405,36 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "mem_stream_stream_join")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens (frequency > n/60) over the document corpus via
+    Misra-Gries sketch + exact candidates-only recount — same rows as a full
+    groupBy + HAVING, but aggregation state bounded by O(k × partitions)
+    instead of O(distinct tokens) (see operators/sketches.py)."""
+    from .operators.sketches import heavy_hitters
+
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(toks, "token", k=60).withColumnRenamed("item", "token")
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-part metric columns rotated into long
+    (part, metric, value) rows — the inverse of pivot_status, and the
+    standard long-form prep for per-metric aggregation/feature tables.
+    ``DataFrame.unpivot`` compiles to an Expand node: each input row fans
+    out map-side with NO shuffle and no Python."""
+    tune_session(spark)
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "metric_value")
+
+
 def q_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained stateful streaming: watermarked dedup on (hour, user, type)
     feeding an event-time tumbling-window count in the same query — exact
@@ -1592,6 +1622,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlated_subquery": q_correlated_subquery,
     "group_normalize": q_group_normalize,
     "streaming_distinct_users": q_streaming_distinct_users,
+    "unpivot_metrics": q_unpivot_metrics,
+    "heavy_hitters": q_heavy_hitters,
     # incremental maintenance / grouped top-k / sampling / EXISTS
     "incremental_agg": q_incremental_agg,
     "group_topk": q_group_topk,
@@ -2326,4 +2358,27 @@ ORACLES["streaming_distinct_users"] = """
       FROM events WHERE ts IS NOT NULL
     ) d
     GROUP BY b, event_type
+"""
+
+ORACLES["unpivot_metrics"] = """
+    SELECT p_partkey, metric, metric_value
+    FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size,
+             CAST(p_retailprice AS DOUBLE) AS retailprice
+      FROM part
+    ) w
+    UNPIVOT (metric_value FOR metric IN (size, retailprice))
+"""
+
+ORACLES["heavy_hitters"] = """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    t AS (SELECT token FROM toks WHERE token <> '')
+    SELECT token, COUNT(*) AS freq
+    FROM t
+    GROUP BY token
+    HAVING COUNT(*) > (SELECT COUNT(*) FROM t) / 60.0
 """

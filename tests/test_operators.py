@@ -460,3 +460,121 @@ def test_incremental_agg_state_merge_invariance(spark):
     assert canon(rtl) == canon(full)
     # closure: merged state has the state schema (rolls up hierarchically)
     assert ltr.columns == full.columns
+
+
+def test_morton_key_matches_reference_bit_interleave(spark):
+    """morton_key_2d must equal the textbook bit-interleave (x even bits,
+    y odd bits) — checked against a pure-Python reference on edge values."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.layout import (
+        morton_key_2d,
+    )
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [0, 1, 2, 3, 255, 256, 21845, 43690, 65534, 65535]
+    rows = [(x, y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows, "x int, y int").withColumn(
+        "z", morton_key_2d(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r.z == ref(r.x, r.y), (r.x, r.y, r.z)
+
+
+def test_zorder_layout_prunes_files_on_both_dimensions(spark, tmp_path):
+    """The point of Z-order vs a linear sort: parquet footer min/max must
+    prune files for predicates on EITHER clustered column. Measured from the
+    actual written footers: for range predicates on the SECOND dimension, a
+    linear sort on dim1 leaves ~every file a candidate while the Z-order
+    layout eliminates most."""
+    import pyarrow.parquet as pq
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.layout import (
+        zorder_write,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder_write(li, "l_orderkey", "l_partkey", zpath, num_files=16)
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def footer_ranges(path, col):
+        import glob
+
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def candidate_fraction(ranges, bounds):
+        lo, hi = bounds
+        hits = sum(1 for flo, fhi in ranges if fhi >= lo and flo <= hi)
+        return hits / len(ranges)
+
+    stats = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_orderkey"), F.max("l_orderkey")
+    ).collect()[0]
+    pk_lo, pk_hi, ok_lo, ok_hi = stats
+
+    # 5%-wide range probes on each dimension
+    def probes(lo, hi):
+        span = hi - lo
+        return [
+            (lo + int(f * span), lo + int((f + 0.05) * span))
+            for f in (0.1, 0.3, 0.5, 0.7, 0.9)
+        ]
+
+    z_pk = footer_ranges(zpath, "l_partkey")
+    l_pk = footer_ranges(lpath, "l_partkey")
+    z_ok = footer_ranges(zpath, "l_orderkey")
+
+    z_frac = sum(candidate_fraction(z_pk, p) for p in probes(pk_lo, pk_hi)) / 5
+    l_frac = sum(candidate_fraction(l_pk, p) for p in probes(pk_lo, pk_hi)) / 5
+    # linear sort on orderkey cannot prune partkey probes; zorder must
+    assert l_frac > 0.9, l_frac
+    assert z_frac < 0.6, z_frac
+    # and zorder still prunes on the first dimension too
+    zo_frac = sum(candidate_fraction(z_ok, p) for p in probes(ok_lo, ok_hi)) / 5
+    assert zo_frac < 0.6, zo_frac
+
+    # layout change must not change the data
+    assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_heavy_hitters_exact_vs_full_groupby(spark):
+    """Misra-Gries + recount must return EXACTLY the > n/k items with exact
+    counts, on a skewed distribution spread across many partitions (the
+    no-false-negatives pigeonhole argument, exercised end-to-end)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # zipf-ish: item i appears ~ 20000/i times; plus a long uniform tail
+    rows = [(f"hot_{i}",) for i in range(1, 20) for _ in range(2000 // i)]
+    rows += [(f"cold_{j}",) for j in range(5000)]
+    df = spark.createDataFrame(rows, "item string").repartition(16)
+
+    got = {r.item: r.freq for r in heavy_hitters(df, "item", k=40).collect()}
+    n = len(rows)
+    exact = {}
+    for (v,) in rows:
+        exact[v] = exact.get(v, 0) + 1
+    want = {v: c for v, c in exact.items() if c > n / 40}
+    assert got == want
+    assert len(want) > 0  # the probe actually exercises the threshold
