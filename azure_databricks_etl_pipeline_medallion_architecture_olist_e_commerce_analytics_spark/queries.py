@@ -1405,6 +1405,28 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "mem_stream_stream_join")
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (element-wise vector mean) — the core
+    of IVF training, cluster summarization, and class prototypes — as pure
+    JVM ops: posexplode to (label, dim, value), then one aggregation.
+
+    Scale shape: the explode is map-side; hash aggregation's partial combine
+    collapses each partition to (labels × dims) rows before the shuffle, so
+    the exchange carries O(partitions × labels × dims) regardless of corpus
+    size. Element sums accumulate in DECIMAL (order-independent), the mean
+    is rounded to 6dp for cross-engine determinism."""
+    tune_session(spark)
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    dec = F.col("val").cast("double").cast("decimal(28,12)")
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens (frequency > n/60) over the document corpus via
     Misra-Gries sketch + exact candidates-only recount — same rows as a full
@@ -1624,6 +1646,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_distinct_users": q_streaming_distinct_users,
     "unpivot_metrics": q_unpivot_metrics,
     "heavy_hitters": q_heavy_hitters,
+    "embedding_centroids": q_embedding_centroids,
     # incremental maintenance / grouped top-k / sampling / EXISTS
     "incremental_agg": q_incremental_agg,
     "group_topk": q_group_topk,
@@ -2381,4 +2404,19 @@ ORACLES["heavy_hitters"] = """
     FROM t
     GROUP BY token
     HAVING COUNT(*) > (SELECT COUNT(*) FROM t) / 60.0
+"""
+
+ORACLES["embedding_centroids"] = """
+    WITH ex AS (
+      SELECT label,
+             unnest(list_apply(range(len(embedding)),
+                               i -> {'dim': i, 'e': embedding[i + 1]})) AS u
+      FROM embeddings
+    )
+    SELECT label, CAST(u.dim AS INTEGER) AS dim,
+           round(CAST(SUM(CAST(CAST(u.e AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM ex
+    GROUP BY label, u.dim
 """
