@@ -1405,6 +1405,59 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "mem_stream_stream_join")
 
 
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer equi-join: per-customer order totals vs event totals —
+    keys present on either side survive with nulls opposite (the join form
+    snapshot_diff builds on, exposed as a first-class operator)."""
+    tune_session(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return orders.join(events, "custkey", "full_outer").select(
+        "custkey", "n_orders", "n_events"
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a text corpus — emails, E.164-ish phone numbers,
+    and IPv4 addresses replaced with typed placeholder tags. The mandatory
+    scrub step of a training-data pipeline, all JVM regexp_replace (no
+    Python in the hot path); patterns are RE2-compatible so the oracle runs
+    the identical expressions. Each doc gets a synthetic contact line
+    appended so the redaction path is actually exercised by the fixture."""
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1555"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    scrubbed = dirty
+    for pat, tag in [
+        (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        (r"\+[0-9]{7,15}", "<PHONE>"),
+        (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ]:
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("clean_text"),
+        (F.length(dirty) - F.length(scrubbed)).alias("chars_redacted"),
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (element-wise vector mean) — the core
     of IVF training, cluster summarization, and class prototypes — as pure
@@ -1647,6 +1700,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_metrics": q_unpivot_metrics,
     "heavy_hitters": q_heavy_hitters,
     "embedding_centroids": q_embedding_centroids,
+    "full_outer_join": q_full_outer_join,
+    "pii_scrub": q_pii_scrub,
     # incremental maintenance / grouped top-k / sampling / EXISTS
     "incremental_agg": q_incremental_agg,
     "group_topk": q_group_topk,
@@ -2419,4 +2474,32 @@ ORACLES["embedding_centroids"] = """
            COUNT(*) AS n_vectors
     FROM ex
     GROUP BY label, u.dim
+"""
+
+ORACLES["full_outer_join"] = """
+    WITH o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+         e AS (SELECT user_id AS custkey, COUNT(*) AS n_events FROM events GROUP BY user_id)
+    SELECT COALESCE(o.custkey, e.custkey) AS custkey, o.n_orders, e.n_events
+    FROM o FULL OUTER JOIN e ON o.custkey = e.custkey
+"""
+
+ORACLES["pii_scrub"] = """
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1555'
+                  || lpad(CAST(doc_id AS VARCHAR), 7, '0') || ' at 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.1' AS d
+      FROM documents WHERE doc_id < 500
+    ),
+    scrubbed AS (
+      SELECT doc_id, d,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+[0-9]{7,15}', '<PHONE>', 'g'),
+               '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS c
+      FROM dirty
+    )
+    SELECT doc_id, c AS clean_text, length(d) - length(c) AS chars_redacted
+    FROM scrubbed
 """
