@@ -553,12 +553,24 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL byte-histogram feature extraction over binary payloads."""
+    """REAL byte-histogram feature extraction over binary payloads.
+
+    The histogram array is canonicalized to a comma-joined string for the
+    result surface (same convention as q_array_functions) — driver-side
+    row hashers can't hash array cells.
+    """
     from .operators.multimodal import attach_binary_payload, extract_byte_features
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return extract_byte_features(attach_binary_payload(docs), bins=16)
+    feats = extract_byte_features(attach_binary_payload(docs), bins=16)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(
+            F.transform("byte_histogram", lambda x: F.format_number(x, 6)), ","
+        ).alias("byte_histogram"),
+    )
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1274,11 +1286,14 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream, ts normalized to TimestampType.
 
     Streaming analogue of sources/loader.py: under ``nanosAsLong`` the
-    TIMESTAMP(NANOS) column arrives as long; integer-div to microseconds
-    matches the batch loader and the DuckDB oracle exactly.
+    TIMESTAMP(NANOS) column arrives as long (integer-div to microseconds);
+    naive ``timestamp[us]`` arrives as TIMESTAMP_NTZ, which ``withWatermark``
+    rejects — cast to TIMESTAMP (UTC session, value-identical to the batch
+    loader and the DuckDB oracle).
     """
     import os
 
+    from .sources.loader import normalize_ntz
     from .streaming.incremental import stream_source
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -1288,7 +1303,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_ntz(stream)
 
 
 def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,18 +49,37 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; nanosecond timestamps become TimestampType.
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (session tz is pinned UTC).
 
-    Spark reads TIMESTAMP(NANOS) as long (``legacy.parquet.nanosAsLong``);
-    integer-div by 1000 floors to microseconds — the same truncation DuckDB
-    applies, so oracle comparisons see identical values.
+    Parquet written with naive ``timestamp[us]`` columns loads as
+    TIMESTAMP_NTZ under Spark 4, which ``withWatermark`` and unix-time casts
+    reject. With the session timezone fixed to UTC the cast is value-identical
+    to what the naive DuckDB oracle sees, so every downstream comparison and
+    event-time operator works on plain TimestampType.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; all timestamps normalized to TimestampType.
+
+    Two parquet encodings need normalizing: TIMESTAMP(NANOS) arrives as long
+    (``legacy.parquet.nanosAsLong``) and integer-div by 1000 floors to
+    microseconds — the same truncation DuckDB applies; naive ``timestamp[us]``
+    arrives as TIMESTAMP_NTZ and is cast to TIMESTAMP (UTC session, so
+    value-identical to the oracle).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def spread_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
