@@ -1626,7 +1626,60 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Catalog
 # --------------------------------------------------------------------------
 
+# Catalog order is RISK-FIRST: the driver tests a prefix of this dict
+# (round 1 covered only the first 50 entries), so the queries with the
+# least driver signal go first — (1) entries the round-1 driver never
+# reached, (2) entries fixed since their last driver run, (3) entries
+# already hash-match green in CORRECTNESS_r01.  New queries belong at
+# the TOP of group 1.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- group 1: no driver signal yet (r01 tested only the first 50) --
+    "cube_sales": q_cube_sales,
+    "grouping_sets": q_grouping_sets,
+    "anti_join": q_anti_join,
+    "cross_join": q_cross_join,
+    "scalar_subquery": q_scalar_subquery,
+    "explode_tokens": q_explode_tokens,
+    "string_funcs": q_string_funcs,
+    "skew_salted_join": q_skew_salted_join,
+    "top_ngrams": q_top_ngrams,
+    "tf_idf": q_tf_idf,
+    "quality_filter": q_quality_filter,
+    "deterministic_sample": q_deterministic_sample,
+    "merge_upsert": q_merge_upsert,
+    "scd2_customers": q_scd2_customers,
+    "json_extract": q_json_extract,
+    "sketch_distinct": q_sketch_distinct,
+    "approx_quantiles": q_approx_quantiles,
+    "sessionize_batch": q_sessionize_batch,
+    "gap_fill_ffill": q_gap_fill_ffill,
+    "rank_matrix": q_rank_matrix,
+    "not_in_subquery": q_not_in_subquery,
+    "union_by_name": q_union_by_name,
+    "histogram_bins": q_histogram_bins,
+    "snapshot_diff": q_snapshot_diff,
+    "correlated_subquery": q_correlated_subquery,
+    "group_normalize": q_group_normalize,
+    "streaming_distinct_users": q_streaming_distinct_users,
+    "unpivot_metrics": q_unpivot_metrics,
+    "heavy_hitters": q_heavy_hitters,
+    "embedding_centroids": q_embedding_centroids,
+    "full_outer_join": q_full_outer_join,
+    "pii_scrub": q_pii_scrub,
+    "incremental_agg": q_incremental_agg,
+    "group_topk": q_group_topk,
+    "stratified_sample": q_stratified_sample,
+    "exists_subquery": q_exists_subquery,
+    # -- group 2: errored in r01, fixed since (NTZ normalization / array
+    #    canonicalization) — need fresh driver confirmation --
+    "streaming_window_agg": q_streaming_window_agg,
+    "streaming_sliding_agg": q_streaming_sliding_agg,
+    "streaming_sessionize": q_streaming_sessionize,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_stream_join": q_streaming_stream_join,
+    "range_join": q_range_join,
+    "multimodal_features": q_multimodal_features,
+    # -- group 3: green in CORRECTNESS_r01 (hash-match or rows-only-by-design) --
     # pipeline datasets (gold layer = flagship surface)
     "gold_fact_lineitem": _pipeline_q("gold.fact_lineitem"),
     "gold_dim_orders": _pipeline_q("gold.dim_orders"),
@@ -1662,66 +1715,19 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
-    "multimodal_features": q_multimodal_features,
     "winnow_fingerprints": q_winnow_fingerprints,
     # structured streaming (availableNow incremental)
-    "streaming_window_agg": q_streaming_window_agg,
-    "streaming_sliding_agg": q_streaming_sliding_agg,
-    "streaming_sessionize": q_streaming_sessionize,
-    "streaming_dedup": q_streaming_dedup,
     "streaming_running_totals": q_streaming_running_totals,
-    "streaming_stream_join": q_streaming_stream_join,
     "topk_orders": q_topk_orders,
     "asof_join": q_asof_join,
-    "range_join": q_range_join,
     "rollup_sales": q_rollup_sales,
     "pivot_status": q_pivot_status,
     "set_ops": q_set_ops,
     "ntile_window": q_ntile_window,
-    # breadth: frames / multi-dim aggs / join forms / lateral / strings / skew
+    # breadth: frames / multi-dim aggs
     "stat_aggregates": q_stat_aggregates,
     "array_functions": q_array_functions,
     "window_frames": q_window_frames,
-    "cube_sales": q_cube_sales,
-    "grouping_sets": q_grouping_sets,
-    "anti_join": q_anti_join,
-    "cross_join": q_cross_join,
-    "scalar_subquery": q_scalar_subquery,
-    "explode_tokens": q_explode_tokens,
-    "string_funcs": q_string_funcs,
-    "skew_salted_join": q_skew_salted_join,
-    # corpus analytics
-    "top_ngrams": q_top_ngrams,
-    "tf_idf": q_tf_idf,
-    "quality_filter": q_quality_filter,
-    "deterministic_sample": q_deterministic_sample,
-    # warehouse maintenance + semi-structured + sketches
-    "merge_upsert": q_merge_upsert,
-    "scd2_customers": q_scd2_customers,
-    "json_extract": q_json_extract,
-    "sketch_distinct": q_sketch_distinct,
-    "approx_quantiles": q_approx_quantiles,
-    # time-series / schema-evolution / anti-join variants / histogram
-    "sessionize_batch": q_sessionize_batch,
-    "gap_fill_ffill": q_gap_fill_ffill,
-    "rank_matrix": q_rank_matrix,
-    "not_in_subquery": q_not_in_subquery,
-    "union_by_name": q_union_by_name,
-    "histogram_bins": q_histogram_bins,
-    "snapshot_diff": q_snapshot_diff,
-    "correlated_subquery": q_correlated_subquery,
-    "group_normalize": q_group_normalize,
-    "streaming_distinct_users": q_streaming_distinct_users,
-    "unpivot_metrics": q_unpivot_metrics,
-    "heavy_hitters": q_heavy_hitters,
-    "embedding_centroids": q_embedding_centroids,
-    "full_outer_join": q_full_outer_join,
-    "pii_scrub": q_pii_scrub,
-    # incremental maintenance / grouped top-k / sampling / EXISTS
-    "incremental_agg": q_incremental_agg,
-    "group_topk": q_group_topk,
-    "stratified_sample": q_stratified_sample,
-    "exists_subquery": q_exists_subquery,
 }
 
 ORACLES: dict[str, str] = {
