@@ -56,12 +56,24 @@ def write_table(
         _ensure_database(spark, schema)
 
     out = df
+    persisted = None
     bucket_by = tuple(getattr(dataset, "bucket_by", ()) or ())
     if dataset.cluster_by and not bucket_by:
-        # Liquid-clustering fallback: co-locate + sort files on cluster keys
-        # so parquet min/max stats prune scans on those predicates.
+        # Liquid-clustering equivalent (CLUSTER BY, reference
+        # fact_order_items.sql:9): Morton-key range clustering so parquet
+        # footer min/max stats prune scans on ANY clustered column, not just
+        # the leading one. The clustered write makes extra passes over the
+        # frame (stats aggregate + range-partitioner sampling), so persist
+        # it once rather than re-running the MV's build DAG per pass — the
+        # local analog of Delta's post-write OPTIMIZE, which clusters from
+        # already-materialized files.
+        from ..operators.layout import cluster_frame
+
         cols = list(dataset.cluster_by)
-        out = out.repartition(*cols).sortWithinPartitions(*cols)
+        if len(cols) > 1:
+            persisted = df.persist()
+            out = persisted
+        out = cluster_frame(out, cols)
 
     use_fmt = "delta" if (HAVE_DELTA and fmt == "delta") else "parquet"
     writer = out.write.format(use_fmt).mode("overwrite")
@@ -79,4 +91,6 @@ def write_table(
     for k, v in dataset.table_properties.items():
         writer = writer.option(k, str(v))
     writer.saveAsTable(ident)
+    if persisted is not None:
+        persisted.unpersist()
     return spark.table(ident).count() if count else -1

@@ -578,3 +578,156 @@ def test_heavy_hitters_exact_vs_full_groupby(spark):
     want = {v: c for v, c in exact.items() if c > n / 40}
     assert got == want
     assert len(want) > 0  # the probe actually exercises the threshold
+
+
+def test_spread_bits_x4_matches_reference():
+    """_spread_bits_x4 must place bit i of the input at position 4*i (the
+    interleave lane math behind 3/4-column cluster keys)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark import (
+        get_spark,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.layout import (
+        _spread_bits_x4,
+    )
+
+    def ref(x):
+        return sum(((x >> i) & 1) << (4 * i) for i in range(16))
+
+    spark = get_spark("tests")
+    vals = [0, 1, 2, 3, 255, 256, 21845, 32767, 43690, 65535]
+    df = spark.createDataFrame([(v,) for v in vals], "x int").withColumn(
+        "z", _spread_bits_x4(F.col("x"))
+    )
+    for r in df.collect():
+        assert r.z == ref(r.x), (r.x, r.z)
+
+
+def test_cluster_frame_prunes_all_four_mixed_type_dims(spark, tmp_path):
+    """cluster_frame over the fact's CLUSTER BY shape — two sha2-hex string
+    surrogate keys plus two numerics — must leave parquet footers that prune
+    probes on EVERY clustered dimension (the liquid-clustering contract),
+    including min/max pruning on the RAW string columns (possible because
+    string ranks are lexicographic byte prefixes, not hashes)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.layout import (
+        cluster_frame,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.sha2(F.col("l_partkey").cast("string"), 256).alias("part_key"),
+        F.sha2(F.col("l_suppkey").cast("string"), 256).alias("supplier_key"),
+        F.col("l_orderkey"),
+        F.col("l_partkey"),
+    )
+    path = str(tmp_path / "zfact")
+    cluster_frame(
+        li, ["part_key", "supplier_key", "l_orderkey", "l_partkey"], num_files=128
+    ).write.mode("overwrite").parquet(path)
+
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) > 64
+
+    def footer_ranges(col):
+        out = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            st = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return out
+
+    def equality_candidate_fraction(col, probes_vals):
+        ranges = footer_ranges(col)
+        fracs = []
+        for v in probes_vals:
+            hits = sum(1 for lo, hi in ranges if lo <= v <= hi)
+            fracs.append(hits / len(ranges))
+        return sum(fracs) / len(fracs)
+
+    # point probes on each dimension: every dim must prune most files
+    # with 128 files the key range pins ~7 interleaved bits, shared across
+    # 4 lanes — every dimension must prune (an unclustered dim sits at ~1.0),
+    # the leading key (top lane) most strongly
+    sample = li.limit(200).collect()
+    fracs = {}
+    for col in ("part_key", "supplier_key", "l_orderkey", "l_partkey"):
+        vals = [getattr(r, col) for r in sample[::40]]
+        fracs[col] = equality_candidate_fraction(col, vals)
+    assert all(f < 0.75 for f in fracs.values()), fracs
+    assert sum(fracs.values()) / 4 < 0.55, fracs
+
+    # clustering must not change the data
+    from conftest import SF_SMALL as _sf
+
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_mv_cluster_by_writes_zorder_clustered_table(spark):
+    """Pipeline.run must route a multi-key CLUSTER BY MV through the Morton
+    clustered write: the materialized table's files prune point probes on the
+    NON-leading cluster key (a leading-key-only linear layout cannot)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans.registry import (
+        Pipeline,
+    )
+
+    p = Pipeline("zmv")
+
+    @p.table(name="silver.zsrc")
+    def zsrc(ctx):
+        return (
+            ctx.spark_session.range(20000)
+            .withColumn("a", (F.col("id") * 7919 % 1000).cast("int"))
+            .withColumn("b", (F.col("id") * 104729 % 1000).cast("int"))
+            .drop("id")
+        )
+
+    p.materialized_view(
+        "gold.zmv_pts",
+        sql="SELECT a, b FROM LIVE.zsrc",
+        cluster_by=("a", "b"),
+    )
+    # AQE sizes shuffle output by bytes; shrink the advisory size so this
+    # tiny frame still materializes as multiple range files to measure
+    advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    minsize = spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB")
+    try:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+        p.run(spark)
+        loc = (
+            spark.sql("DESCRIBE EXTENDED `gold`.`zmv_pts`")
+            .filter("col_name = 'Location'")
+            .collect()[0][1]
+        ).replace("file:", "")
+        files = glob.glob(f"{loc}/*.parquet")
+        assert len(files) > 1
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("b")
+            st = [
+                md.row_group(rg).column(idx).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            ranges.append((min(s.min for s in st), max(s.max for s in st)))
+        probes = [50, 250, 500, 750, 950]
+        frac = sum(
+            sum(1 for lo, hi in ranges if lo <= v <= hi) / len(ranges)
+            for v in probes
+        ) / len(probes)
+        # a 1000-value uniform b: leading-key-only layout leaves ~every file
+        # a candidate; the Morton layout must prune most
+        assert frac < 0.7, frac
+        assert spark.table("`gold`.`zmv_pts`").count() == 20000
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", minsize)
+        spark.sql("DROP TABLE IF EXISTS `gold`.`zmv_pts`")
+        spark.sql("DROP TABLE IF EXISTS `silver`.`zsrc`")
