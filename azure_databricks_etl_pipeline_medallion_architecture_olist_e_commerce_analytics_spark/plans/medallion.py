@@ -46,6 +46,8 @@ SEGMENT_DISPLAY = {
     "HOUSEHOLD": "Household Goods",
 }
 
+# Nine landing datasets, matching the reference's 9-dataset factory loop
+# (bronze_ingestion.py:7-9,52-53).
 BRONZE_TABLES = (
     "orders",
     "lineitem",
@@ -55,6 +57,7 @@ BRONZE_TABLES = (
     "nation",
     "region",
     "events",
+    "documents",
 )
 
 # Fact-side tables big enough that a one-partition scan (single-row-group
@@ -289,6 +292,16 @@ def build_pipeline(sf_dir: str) -> Pipeline:
     )
     def silver_region(ctx):
         return ctx.read("bronze.bronze_region")
+
+    @p.table(
+        name="silver.silver_documents",
+        comment="Passthrough document corpus (ninth dataset of the landing "
+        "factory; the LLM-pipeline operators read it).",
+        table_properties={"quality": "silver"},
+    )
+    @p.expect_all({"doc_id_not_null": "doc_id IS NOT NULL"})
+    def silver_documents(ctx):
+        return ctx.read("bronze.bronze_documents")
 
     # ---------------- gold: SQL materialized views -------------------------
     _register_gold(p)

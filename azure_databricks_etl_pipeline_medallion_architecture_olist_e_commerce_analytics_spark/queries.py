@@ -1034,30 +1034,52 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch vs exact: per-status approximate distinct customers next
-    to the exact count (rows-only — sketch values are Spark-internal; the
-    error bound is asserted in tests/test_operators.py)."""
+    """HLL++ sketch with an in-query error-bound proof: per-status exact
+    distinct customers, row counts, and a ``within_bound`` flag asserting the
+    sketch estimate sits within 5σ of exact (rsd=0.02 → 10%).
+
+    The raw sketch value is Spark-internal (no DuckDB twin), but the BOUND
+    is oracle-checkable: the oracle computes the same exact counts and
+    expects ``within_bound = TRUE`` everywhere — a value-level correctness
+    gate on the approximation itself, not just a row count.
+    """
     tune_session(spark)
     orders = load_table(spark, sf_dir, "orders")
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
     return orders.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_nd"),
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_nd"),
+        exact.alias("exact_nd"),
         F.count(F.lit(1)).alias("n_rows"),
+        (F.abs(approx - exact) <= 0.10 * exact).alias("within_bound"),
     )
 
 
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch): single-pass,
-    mergeable across partitions — the scale path for quantiles (rows-only;
-    accuracy asserted vs exact percentile in tests)."""
+    mergeable across partitions — the scale path for quantiles.
+
+    Emits rank-error bound proofs instead of the interpolated values: the GK
+    guarantee is on RANK (accuracy 10000 → ε=1e-4), so each approximate
+    percentile must lie between the exact percentiles at p±0.02 (generous
+    tolerance absorbing interpolation between duplicate-heavy values).
+    Booleans + the row count are engine-portable; interpolated doubles are
+    not (banker's-rounding knife edges between engines), hence no raw
+    values in the contract output.
+    """
     tune_session(spark)
     orders = load_table(spark, sf_dir, "orders")
-    q = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
-    return orders.agg(
-        q.getItem(0).alias("p50"),
-        q.getItem(1).alias("p90"),
-        q.getItem(2).alias("p99"),
-    )
+    val = F.col("o_totalprice").cast("double")
+    probes = [0.5, 0.9, 0.99]
+    approx = F.percentile_approx(val, probes, 10000)
+    lo = F.percentile(val, F.array(*[F.lit(max(p - 0.02, 0.0)) for p in probes]))
+    hi = F.percentile(val, F.array(*[F.lit(min(p + 0.02, 1.0)) for p in probes]))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, p in enumerate(probes):
+        name = f"p{int(p * 100)}_in_bound"
+        aggs.append(
+            ((approx.getItem(i) >= lo.getItem(i)) & (approx.getItem(i) <= hi.getItem(i))).alias(name)
+        )
+    return orders.agg(*aggs)
 
 
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2523,4 +2545,24 @@ ORACLES["pii_scrub"] = """
     )
     SELECT doc_id, c AS clean_text, length(d) - length(c) AS chars_redacted
     FROM scrubbed
+"""
+
+# Approximation queries: the oracle checks the exact-side values AND expects
+# every in-query error-bound flag to be TRUE — the sketch's guarantee is part
+# of the verified contract, not a rows-only shrug.
+ORACLES["sketch_distinct"] = """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_nd,
+           COUNT(*) AS n_rows,
+           TRUE AS within_bound
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+ORACLES["approx_quantiles"] = """
+    SELECT COUNT(*) AS n_rows,
+           TRUE AS p50_in_bound,
+           TRUE AS p90_in_bound,
+           TRUE AS p99_in_bound
+    FROM orders
 """

@@ -143,6 +143,9 @@ def test_full_medallion_run_materializes_warehouse(spark):
         report = p.run(spark)
         names = set(report)
         assert "bronze.bronze_orders" in names
+        # nine landing datasets, matching the reference's 9-dataset factory
+        assert sum(1 for n in names if n.startswith("bronze.")) == 9
+        assert "silver.silver_documents" in names
         assert "silver.silver_orders" in names
         assert "gold.fact_lineitem" in names
         assert all(entry["rows"] > 0 for entry in report.values())
