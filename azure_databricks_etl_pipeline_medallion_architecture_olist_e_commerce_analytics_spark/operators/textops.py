@@ -236,3 +236,86 @@ def winnow_fingerprints(
         id_col,
         F.explode(F.array_sort(F.array_distinct(selected))).alias("fingerprint"),
     )
+
+
+def word_ngrams_col(words, n: int):
+    """Array of space-joined word ``n``-grams; empty for too-short docs.
+
+    Pure higher-order expressions (``transform`` over a position
+    ``sequence``) — JVM codegen, no shuffle, no Python.
+    """
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    bench_pred,
+    n: int = 5,
+    min_overlap: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with a benchmark/eval split (the n-gram-overlap method used to
+    scrub eval contamination from LLM pretraining corpora).
+
+    ``bench_pred`` is a boolean Column selecting the benchmark documents.
+    Returns (doc_id, n_overlap, contaminated) for every NON-benchmark doc
+    that shares at least one distinct n-gram with the benchmark set.
+
+    Scale shape: n-grams are deduped per-document BEFORE the explode
+    (``array_distinct`` map-side, so the flatMap emits each doc's gram set
+    once); the benchmark side is globally distinct and broadcast — benchmark
+    suites are tiny next to a training corpus, so the probe join ships no
+    corpus bytes. One shuffle total (the per-doc overlap count). At larger
+    benchmark sizes the same plan degrades gracefully: drop the broadcast
+    hint and Catalyst picks a shuffled hash join keyed on the gram.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(word_ngrams_col(words, n))
+    exploded = docs.select(
+        F.col(id_col), bench_pred.alias("__is_bench"), F.explode(grams).alias("gram")
+    )
+    bench = exploded.filter(F.col("__is_bench")).select("gram").distinct()
+    train = exploded.filter(~F.col("__is_bench")).select(id_col, "gram")
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-word and
+    duplicate-bigram fractions per document, plus a pass/fail flag.
+
+    Entirely expression-level (``array_distinct`` over the split words and
+    the bigram array) — zero shuffles, linearly partition-parallel, the
+    cheapest possible shape for a 100 TB quality-filter pass.
+    """
+    words = F.split(F.col(text_col), " ")
+    g2 = word_ngrams_col(words, 2)
+    n_words = F.size(words)
+    dup_word = F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n_words.cast(
+        "double"
+    )
+    dup_bigram = F.when(
+        F.size(g2) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        dup_word.alias("dup_word_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+    ).withColumn(
+        "pass_repetition",
+        (F.col("dup_word_frac") < 0.9) & (F.col("dup_bigram_frac") < 0.9),
+    )

@@ -1495,6 +1495,52 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing 5-word n-grams with
+    the benchmark split (source = 'src1' plays the eval suite). The standard
+    n-gram-overlap scrub every LLM pretraining pipeline runs before
+    training. See operators/textops.py::benchmark_overlap for the
+    broadcast-probe scale shape (one shuffle, benchmark side broadcast,
+    per-doc grams deduped map-side)."""
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    from .operators.textops import benchmark_overlap
+
+    return benchmark_overlap(docs, F.col("source") == "src1", n=5, min_overlap=3)
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (duplicate-word
+    and duplicate-bigram fractions + pass flag) — zero-shuffle expression
+    pipeline; see operators/textops.py::repetition_signals."""
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    from .operators.textops import repetition_signals
+
+    return repetition_signals(docs)
+
+
+def q_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling cap (corpus mix rebalancing): keep at most 20
+    deterministically-chosen docs per source — md5-ordered row_number, so
+    the 'random' sample is stable across engines and runs.
+
+    Scale shape: rank <= k over a window compiles to WindowGroupLimit —
+    per-partition partial top-k BEFORE the shuffle, so the exchange carries
+    O(k · sources · partitions) rows, not the corpus. Over-represented-
+    source downweighting at 100 TB is exactly this plan."""
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (element-wise vector mean) — the core
     of IVF training, cluster summarization, and class prototypes — as pure
@@ -1655,7 +1701,11 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already hash-match green in CORRECTNESS_r01.  New queries belong at
 # the TOP of group 1.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- group 1: no driver signal yet (r01 tested only the first 50) --
+    # -- group 1: no driver signal yet (r01 tested only the first 50);
+    #    newest entries first --
+    "decontaminate": q_decontaminate,
+    "repetition_quality": q_repetition_quality,
+    "source_rebalance": q_source_rebalance,
     "cube_sales": q_cube_sales,
     "grouping_sets": q_grouping_sets,
     "anti_join": q_anti_join,
@@ -2565,4 +2615,54 @@ ORACLES["approx_quantiles"] = """
            TRUE AS p90_in_bound,
            TRUE AS p99_in_bound
     FROM orders
+"""
+
+ORACLES["decontaminate"] = """
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(w[t.g:t.g+4], ' ') AS gram
+      FROM words, UNNEST(range(1, len(w) - 3)) AS t(g)
+      WHERE len(w) >= 5
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src1'),
+    train AS (SELECT doc_id, gram FROM grams WHERE source <> 'src1')
+    SELECT t.doc_id,
+           COUNT(*) AS n_overlap,
+           COUNT(*) >= 3 AS contaminated
+    FROM train t JOIN bench b USING (gram)
+    GROUP BY t.doc_id
+"""
+
+ORACLES["repetition_quality"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sig AS (
+      SELECT doc_id,
+             CAST(len(words) AS INTEGER) AS n_words,
+             1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)
+               AS dup_word_frac,
+             CASE WHEN len(words) >= 2 THEN
+               1.0 - CAST(len(list_distinct(list_transform(range(1, len(words)),
+                       g -> array_to_string(words[g:g+1], ' ')))) AS DOUBLE)
+                   / CAST(len(words) - 1 AS DOUBLE)
+             ELSE 0.0 END AS dup_bigram_frac
+      FROM w
+    )
+    SELECT doc_id, n_words, dup_word_frac, dup_bigram_frac,
+           dup_word_frac < 0.9 AND dup_bigram_frac < 0.9 AS pass_repetition
+    FROM sig
+"""
+
+ORACLES["source_rebalance"] = """
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS sample_rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
 """

@@ -54,6 +54,8 @@ HEADLINE = [
     "scd2_customers",
     "top_ngrams",
     "tf_idf",
+    "decontaminate",
+    "source_rebalance",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

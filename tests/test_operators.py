@@ -22,7 +22,7 @@ from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analy
     load_table,
 )
 
-from conftest import SF_SMALL
+from conftest import SF_ORACLE, SF_SMALL
 
 
 def test_minhash_lsh_recall_vs_exact(spark):
@@ -726,3 +726,62 @@ def test_mv_cluster_by_writes_zorder_clustered_table(spark):
         spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", minsize)
         spark.sql("DROP TABLE IF EXISTS `gold`.`zmv_pts`")
         spark.sql("DROP TABLE IF EXISTS `silver`.`zsrc`")
+
+
+def test_benchmark_overlap_planted_contamination(spark):
+    """A train doc copying a 6-word benchmark span must be flagged with the
+    right distinct-overlap count; clean docs must not appear at all."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.textops import (
+        benchmark_overlap,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, bench_text, "bench"),
+        # copies words 1-6 of the benchmark: 6-word span → two distinct 5-grams
+        (2, "xx alpha beta gamma delta epsilon zeta yy", "train"),
+        (3, "totally unrelated words with no shared span at all", "train"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in benchmark_overlap(
+            df, F.col("source") == "bench", n=5, min_overlap=2
+        ).collect()
+    }
+    assert got == {2: (2, True)}
+
+
+def test_repetition_signals_exact_fractions(spark):
+    """Hand-computable duplicate fractions: 'a a a a' → 3/4 dup words;
+    'a b a b' → bigrams [a b, b a, a b] → 1/3 dup bigrams."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.textops import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b a b"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].dup_word_frac == 0.75
+    assert abs(got[2].dup_bigram_frac - (1 - 2 / 3)) < 1e-12
+    assert got[3].dup_word_frac == 0.0 and got[3].dup_bigram_frac == 0.0
+    assert got[1].pass_repetition is True and got[3].pass_repetition is True
+
+
+def test_source_rebalance_caps_and_determinism(spark):
+    """Every source capped at 20 docs, ranks dense from 1, and the selection
+    is deterministic (same result on re-run)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        q_source_rebalance,
+    )
+
+    a = q_source_rebalance(spark, SF_ORACLE).collect()
+    b = q_source_rebalance(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_source = {}
+    for r in a:
+        per_source.setdefault(r.source, []).append(r.sample_rank)
+    for src, ranks in per_source.items():
+        assert len(ranks) <= 20, src
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
