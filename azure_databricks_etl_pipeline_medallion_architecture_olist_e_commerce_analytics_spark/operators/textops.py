@@ -275,10 +275,16 @@ def benchmark_overlap(
     benchmark sizes the same plan degrades gracefully: drop the broadcast
     hint and Catalyst picks a shuffled hash join keyed on the gram.
     """
-    words = F.split(F.col(text_col), " ")
-    grams = F.array_distinct(word_ngrams_col(words, n))
     exploded = docs.select(
-        F.col(id_col), bench_pred.alias("__is_bench"), F.explode(grams).alias("gram")
+        F.col(id_col),
+        bench_pred.alias("__is_bench"),
+        F.split(F.col(text_col), " ").alias("__w"),
+    ).select(
+        id_col,
+        "__is_bench",
+        # staged so the split array is built once; the ngram transform then
+        # references a materialized attribute, not a re-inlined split tree
+        F.explode(F.array_distinct(word_ngrams_col(F.col("__w"), n))).alias("gram"),
     )
     bench = exploded.filter(F.col("__is_bench")).select("gram").distinct()
     train = exploded.filter(~F.col("__is_bench")).select(id_col, "gram")
@@ -300,21 +306,37 @@ def repetition_signals(
     the bigram array) — zero shuffles, linearly partition-parallel, the
     cheapest possible shape for a 100 TB quality-filter pass.
     """
-    words = F.split(F.col(text_col), " ")
-    g2 = word_ngrams_col(words, 2)
-    n_words = F.size(words)
-    dup_word = F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n_words.cast(
-        "double"
+    # Staged selects so the split / bigram arrays are built ONCE per row:
+    # referencing one Column object repeatedly inlines a copy of its whole
+    # expression tree per reference (higher-order lambdas sit outside
+    # codegen common-subexpression elimination, so each copy really
+    # re-executes — measured 2x wall on the corpus scan). CollapseProject
+    # keeps the stages separate because the aliased arrays are non-cheap
+    # and referenced more than once.
+    staged = (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+        .select(id_col, "__w", word_ngrams_col(F.col("__w"), 2).alias("__g2"))
+        .select(
+            id_col,
+            "__g2",
+            F.size("__w").alias("n_words"),
+            F.size(F.array_distinct("__w")).alias("__w_distinct"),
+        )
     )
-    dup_bigram = F.when(
-        F.size(g2) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double") / F.size(g2).cast("double"),
-    ).otherwise(F.lit(0.0))
-    return docs.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        dup_word.alias("dup_word_frac"),
-        dup_bigram.alias("dup_bigram_frac"),
+    return staged.select(
+        id_col,
+        "n_words",
+        (
+            F.lit(1.0) - F.col("__w_distinct").cast("double") / F.col("n_words").cast("double")
+        ).alias("dup_word_frac"),
+        F.when(
+            F.size("__g2") > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct("__g2")).cast("double")
+            / F.size("__g2").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
     ).withColumn(
         "pass_repetition",
         (F.col("dup_word_frac") < 0.9) & (F.col("dup_bigram_frac") < 0.9),

@@ -85,30 +85,34 @@ def main() -> None:
     # The min of two absorbs one-off noise (GC pause, OS scheduling). The
     # result is the steady-state plan cost a long-running cluster sees.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = SPARK_QUERIES[name]
         runs = 2
-        if warmup:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+        try:
+            if warmup:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                if name not in timings or elapsed < timings[name]:
+                    timings[name] = elapsed
+        except Exception as exc:  # one broken query must not void the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

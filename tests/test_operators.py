@@ -785,3 +785,68 @@ def test_source_rebalance_caps_and_determinism(spark):
     for src, ranks in per_source.items():
         assert len(ranks) <= 20, src
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+
+
+def test_compact_parquet_bin_packs_small_files(spark, tmp_path):
+    """64 tiny files → compaction rewrites to the byte-target file count
+    with identical data; a second pass is a no-op."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    li.repartition(64).write.mode("overwrite").parquet(path)
+    checksum = li.agg(F.sum(F.hash("l_orderkey", "l_partkey", "l_quantity"))).collect()[0][0]
+    assert parquet_file_stats(spark, path)["n_files"] == 64
+
+    report = compact_parquet(spark, path, target_bytes=1 << 20)
+    assert report["before"]["n_files"] == 64
+    assert report["after"]["n_files"] < 8
+    got = spark.read.parquet(path)
+    assert got.count() == li.count()
+    assert (
+        got.agg(F.sum(F.hash("l_orderkey", "l_partkey", "l_quantity"))).collect()[0][0]
+        == checksum
+    )
+    # idempotent: already packed → skipped
+    assert compact_parquet(spark, path, target_bytes=1 << 20)["skipped"]
+
+
+def test_compact_parquet_zorder_rewrite_restores_clustering(spark, tmp_path):
+    """OPTIMIZE ZORDER analog: a randomly-fragmented table rewritten with
+    zorder_by gets per-file footer ranges that prune point probes on both
+    keys (the post-write clustering path for streaming appends)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "zfrag")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    li.repartition(32).write.mode("overwrite").parquet(path)
+
+    compact_parquet(spark, path, target_bytes=4_000, zorder_by=("l_orderkey", "l_partkey"))
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) > 10
+
+    def candidate_fraction(col, probes):
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            st = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            ranges.append((min(s.min for s in st), max(s.max for s in st)))
+        return sum(
+            sum(1 for lo, hi in ranges if lo <= v <= hi) / len(ranges) for v in probes
+        ) / len(probes)
+
+    rows = li.limit(100).collect()
+    for col in ("l_orderkey", "l_partkey"):
+        frac = candidate_fraction(col, [getattr(r, col) for r in rows[::20]])
+        assert frac < 0.7, (col, frac)
+    assert spark.read.parquet(path).count() == li.count()

@@ -169,3 +169,35 @@ def test_runtime_bloom_filter_injected_into_selective_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set must ship as a broadcast (probe join) — a
+    shuffled join here would move the full training corpus's grams."""
+    plan = _formatted_plan(SPARK_QUERIES["decontaminate"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_source_rebalance_uses_window_group_limit(spark):
+    """rank <= k must compile to WindowGroupLimit (per-partition partial
+    top-k before the shuffle) — the property that keeps per-source capping
+    O(k·sources·partitions) instead of corpus-sized."""
+    plan = _formatted_plan(SPARK_QUERIES["source_rebalance"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_repetition_quality_shuffles_nothing_but_the_spread(spark):
+    """The quality pass is expression-only: the only Exchange allowed is the
+    round-robin input spread (the local-parallelism crutch for single-file
+    test inputs, a no-op on well-split data) — any hash/range exchange means
+    someone added a real shuffle to a linearly-parallel scan. The split and
+    bigram arrays must each be built once, in staged projects, not inlined
+    per reference."""
+    plan = _formatted_plan(SPARK_QUERIES["repetition_quality"](spark, SF_SMALL))
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e.startswith("RoundRobinPartitioning") for e in exchanges), exchanges
+    # the split expression appears once per staged projection, not ~10x
+    assert plan.count("split(text") <= 2, plan.count("split(text")
