@@ -1339,6 +1339,36 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "mem_stream_window_agg", output_mode="complete")
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream x broadcast-static dimension join as a REAL availableNow
+    stream — the true-stream form of J1 (the reference's products-stream x
+    category-translation broadcast join, silver_products.py:67-71).
+
+    Per microbatch the dim side ships as a broadcast (no stream-side state,
+    no watermark needed — static joins are stateless), so the streaming plan
+    is the same BroadcastHashJoin the batch twin gets. Events are enriched
+    with the matching order's customer segment; inner join on user_id
+    against the customer dim."""
+    from .streaming.incremental import run_to_memory
+
+    tune_session(spark)
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    events = _stream_events(spark, sf_dir)
+    enriched = (
+        events.join(F.broadcast(customers), events.user_id == customers.c_custkey)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "c_mktsegment",
+            F.col("value").alias("event_value"),
+        )
+    )
+    return run_to_memory(enriched, "mem_stream_enrich", output_mode="append")
+
+
 def q_streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked sliding-window agg (1h window / 30m slide) as a real
     availableNow stream — each event lands in two overlapping windows."""
@@ -1706,6 +1736,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "repetition_quality": q_repetition_quality,
     "source_rebalance": q_source_rebalance,
+    "streaming_enrich": q_streaming_enrich,
     "cube_sales": q_cube_sales,
     "grouping_sets": q_grouping_sets,
     "anti_join": q_anti_join,
@@ -2665,4 +2696,10 @@ ORACLES["source_rebalance"] = """
       FROM documents
     )
     WHERE rn <= 20
+"""
+
+ORACLES["streaming_enrich"] = """
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment,
+           e.value AS event_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """
