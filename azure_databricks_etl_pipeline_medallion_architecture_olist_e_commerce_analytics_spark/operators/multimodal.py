@@ -120,7 +120,10 @@ RESIZE_SCHEMA = (
     "resized_bytes int"
 )
 
-FEATURE_SCHEMA = "doc_id long, n_bytes int, byte_histogram array<double>"
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, byte_histogram array<double>, "
+    "byte_hist_counts array<int>"
+)
 
 
 def resize_image_meta(df: DataFrame, target: int = 256) -> DataFrame:
@@ -171,19 +174,25 @@ def extract_byte_features(df: DataFrame, bins: int = 16) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
+            feats, counts = [], []
             for payload in pdf["payload"]:
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if len(buf) == 0:
                     feats.append([0.0] * bins)
+                    counts.append([0] * bins)
                     continue
                 hist = np.bincount(buf >> (8 - bins.bit_length() + 1), minlength=bins)
                 feats.append((hist / len(buf)).round(6).tolist())
+                # raw integer counts alongside the normalized view: exact
+                # integer math is what a cross-engine oracle can reproduce
+                # bit-for-bit (float normalization has rounding knife-edges)
+                counts.append(hist.astype(int).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["payload"].map(len).astype("int32"),
                     "byte_histogram": feats,
+                    "byte_hist_counts": counts,
                 }
             )
 

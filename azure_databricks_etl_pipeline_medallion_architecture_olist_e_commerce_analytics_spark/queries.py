@@ -553,23 +553,32 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL byte-histogram feature extraction over binary payloads.
-
-    The histogram array is canonicalized to a comma-joined string for the
-    result surface (same convention as q_array_functions) — driver-side
-    row hashers can't hash array cells.
-    """
+    """REAL byte-histogram feature extraction over binary payloads, with a
+    full value-level oracle: the 16-bin histogram is emitted as exact
+    parts-per-million integers (count*1e6 div n_bytes — pure integer math a
+    SQL engine reproduces bit-for-bit; float normalization would hit
+    banker's-rounding knife edges) joined to a comma string (driver-side
+    row hashers can't hash array cells). The payloads are the UTF-8 bytes
+    of the text column (ASCII corpus), so the oracle recomputes the same
+    histogram from character codepoints."""
     from .operators.multimodal import attach_binary_payload, extract_byte_features
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_byte_features(attach_binary_payload(docs), bins=16)
+    nb = F.col("n_bytes").cast("double")
     return feats.select(
         "doc_id",
         "n_bytes",
         F.array_join(
-            F.transform("byte_histogram", lambda x: F.format_number(x, 6)), ","
-        ).alias("byte_histogram"),
+            F.transform(
+                "byte_hist_counts",
+                lambda c: F.floor(c.cast("double") * F.lit(1000000.0) / nb).cast(
+                    "long"
+                ).cast("string"),
+            ),
+            ",",
+        ).alias("byte_histogram_ppm"),
     )
 
 
@@ -2702,4 +2711,31 @@ ORACLES["streaming_enrich"] = """
     SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment,
            e.value AS event_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+ORACLES["multimodal_features"] = """
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n_bytes,
+             unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, n_bytes, ord(ch) // 16 AS bin, COUNT(*) AS cnt
+      FROM chars GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT d.doc_id, d.n_bytes, t.b
+      FROM (SELECT doc_id, length(text) AS n_bytes FROM documents) d,
+           UNNEST(range(0, 16)) AS t(b)
+    ),
+    hist AS (
+      SELECT g.doc_id, g.n_bytes, g.b,
+             (COALESCE(c.cnt, 0) * 1000000) // g.n_bytes AS ppm
+      FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.b
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS INTEGER) AS n_bytes,
+           string_agg(CAST(ppm AS VARCHAR), ',' ORDER BY b) AS byte_histogram_ppm
+    FROM hist
+    GROUP BY doc_id, n_bytes
 """
