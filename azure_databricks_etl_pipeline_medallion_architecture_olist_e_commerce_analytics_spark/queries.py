@@ -1580,6 +1580,66 @@ def q_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scale) — the standard compression step before shipping vectors
+    to an ANN index or serving store; 4x smaller than float32 on the wire.
+
+    Zero-shuffle expression pipeline (transform/array_max per row). The
+    contract output is exact: quantized codes via floor(x*127/scale + 0.5)
+    and a ppm-floored scale — float32 inputs widen to double identically in
+    both engines, so every operation is bit-reproducible; emitting raw
+    float scales would compare float32 repr against float64 repr."""
+    tune_session(spark)
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    staged = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda v: F.abs(v.cast("double")))
+        ).alias("scale"),
+    )
+    code = lambda v: F.when(  # noqa: E731
+        F.col("scale") > 0,
+        F.floor(v.cast("double") * F.lit(127.0) / F.col("scale") + F.lit(0.5)),
+    ).otherwise(F.lit(0)).cast("long").cast("string")
+    return staged.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(1000000.0)).cast("long").alias("scale_ppm"),
+        F.array_join(F.transform("embedding", code), ",").alias("q_int8"),
+    )
+
+
+def q_corpus_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram inverse-frequency rarity score per document — the cheap
+    corpus-statistics quality signal (CCNet-style LM filtering's integer
+    cousin): rare-word-heavy docs score high, boilerplate scores low.
+
+    Two aggregations: corpus vocabulary counts (one shuffle on word, with
+    map-side partial combine), then per-doc scoring through a broadcast
+    vocabulary join (test-scale vocab; a web-scale vocab drops the hint and
+    Catalyst shuffles both sides on the word key — same plan shape). All
+    arithmetic is integer division (ppm rarity = 1e6*N div cnt), so the
+    score is bit-reproducible across engines — float log-prob averages
+    would hash-diverge on summation order."""
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    rarity = vocab.crossJoin(F.broadcast(total)).select(
+        "word", F.expr("(1000000 * n_total) div cnt").alias("rarity_ppm")
+    )
+    return (
+        words.join(F.broadcast(rarity), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.expr("sum(rarity_ppm) div count(1)").alias("rarity_score"),
+        )
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (element-wise vector mean) — the core
     of IVF training, cluster summarization, and class prototypes — as pure
@@ -1746,6 +1806,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": q_repetition_quality,
     "source_rebalance": q_source_rebalance,
     "streaming_enrich": q_streaming_enrich,
+    "embedding_quantize": q_embedding_quantize,
+    "corpus_rarity": q_corpus_rarity,
     "cube_sales": q_cube_sales,
     "grouping_sets": q_grouping_sets,
     "anti_join": q_anti_join,
@@ -2738,4 +2800,39 @@ ORACLES["multimodal_features"] = """
            string_agg(CAST(ppm AS VARCHAR), ',' ORDER BY b) AS byte_histogram_ppm
     FROM hist
     GROUP BY doc_id, n_bytes
+"""
+
+ORACLES["embedding_quantize"] = """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+               AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_ppm,
+           array_to_string(
+             list_transform(
+               embedding,
+               v -> CAST(CAST(CASE WHEN scale > 0
+                 THEN floor((CAST(v AS DOUBLE) * 127.0) / scale + 0.5)
+                 ELSE 0 END AS BIGINT) AS VARCHAR)),
+             ',') AS q_int8
+    FROM s
+"""
+
+ORACLES["corpus_rarity"] = """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+    rare AS (
+      SELECT word, (1000000 * n_total) // cnt AS rarity_ppm FROM vocab, tot
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(rarity_ppm) // COUNT(*) AS BIGINT) AS rarity_score
+    FROM words w JOIN rare USING (word)
+    GROUP BY w.doc_id
 """

