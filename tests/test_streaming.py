@@ -309,3 +309,85 @@ def test_cdc_apply_latest_per_key_wins_and_versions_commit(spark, tmp_path):
     assert vacuum_versions(tbl, keep=1) == [1]
     assert not os.path.exists(os.path.join(tbl, "v=1"))
     assert read_current(spark, tbl).count() == 3
+
+
+def test_incremental_mv_matches_full_recompute_across_batches(spark, tmp_path):
+    """Enzyme-analog MV maintenance: after each incremental fold, the MV
+    must equal a full groupBy recompute over everything ingested so far —
+    bit-identical (decimal state), across multiple runs and microbatches."""
+    import datetime as dt
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental_mv import (
+        _read_pointer,
+        maintain_aggregate_mv,
+        read_mv,
+    )
+
+    src = str(tmp_path / "landing")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def full(df):
+        return {
+            (r.id,): (r.n_rows, r.sum_value_d, r.min_value, r.max_value, r.avg_value)
+            for r in df.collect()
+        }
+
+    seen = []
+
+    def check():
+        got = read_mv(spark, mv)
+        raw = spark.createDataFrame(seen, "id int, v double, ts timestamp")
+        from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.incremental_agg import (
+            aggregate_state,
+            finalize,
+        )
+
+        want = finalize(aggregate_state(raw, ["id"], "v"))
+        assert full(got) == full(want)
+
+    rows1 = [(1, 1.5, t0), (1, 2.5, t0), (2, 10.0, t0)]
+    _drop(spark, rows1, src)
+    seen.extend(rows1)
+    maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
+    check()
+    v1, b1 = _read_pointer(mv)
+    assert v1 == 1
+
+    # two more files in one run → may fold as one or two microbatches
+    rows2 = [(2, -4.0, t0), (3, 7.0, t0)]
+    rows3 = [(1, 100.0, t0)]
+    _drop(spark, rows2, src)
+    _drop(spark, rows3, src)
+    seen.extend(rows2 + rows3)
+    maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
+    check()
+    v2, b2 = _read_pointer(mv)
+    assert v2 > v1 and b2 > b1
+
+    # idle run: no new files → no new state version
+    maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
+    assert _read_pointer(mv)[0] == v2
+
+
+def test_incremental_mv_replay_guard_skips_duplicate_batch(spark, tmp_path):
+    """Redelivering an already-folded batch id must be a no-op (merge is not
+    content-idempotent, so the pointer's batch id is the guard)."""
+    import datetime as dt
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental_mv import (
+        _read_pointer,
+        read_mv,
+        refresh_increment,
+    )
+
+    mv = str(tmp_path / "mv")
+    batch = spark.createDataFrame(
+        [(1, 5.0, dt.datetime(2024, 1, 1))], "id int, v double, ts timestamp"
+    )
+    assert refresh_increment(spark, batch, mv, ["id"], "v", batch_id=0)
+    assert not refresh_increment(spark, batch, mv, ["id"], "v", batch_id=0)
+    r = read_mv(spark, mv).collect()[0]
+    assert (r.n_rows, r.sum_value_d) == (1, 5.0)
+    assert _read_pointer(mv) == (1, 0)
