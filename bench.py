@@ -56,6 +56,9 @@ HEADLINE = [
     "tf_idf",
     "decontaminate",
     "source_rebalance",
+    "repetition_quality",
+    "embedding_quantize",
+    "corpus_rarity",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
