@@ -1580,6 +1580,35 @@ def q_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-expectation surface (Q1-Q4) as a driver-checkable query:
+    the reference's warn-level predicates evaluated over orders, emitting
+    one row per expectation with its violation count — the same aggregate
+    shape the engine's Observation rides on table writes
+    (plans/expectations.py). UNPIVOT keeps it one scan for all predicates."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    preds = {
+        "order_key_not_null": "o_orderkey IS NOT NULL",
+        "valid_status": "o_orderstatus IN ('O', 'F', 'P')",
+        "positive_total": "o_totalprice > 0",
+        "reasonable_total": "o_totalprice <= 400000",
+        "date_in_range": "o_orderdate >= DATE '1992-01-01'",
+    }
+    counted = orders.agg(
+        F.count(F.lit(1)).alias("__rows"),
+        *[
+            F.sum(F.when(~F.expr(p), 1).otherwise(0)).alias(name)
+            for name, p in preds.items()
+        ],
+    )
+    stack = ", ".join(f"'{name}', {name}" for name in preds)
+    return counted.selectExpr(
+        f"stack({len(preds)}, {stack}) AS (expectation, violations)",
+        "__rows AS n_rows",
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (per-vector
     absmax scale) — the standard compression step before shipping vectors
@@ -1808,6 +1837,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_enrich": q_streaming_enrich,
     "embedding_quantize": q_embedding_quantize,
     "corpus_rarity": q_corpus_rarity,
+    "expectation_metrics": q_expectation_metrics,
     "cube_sales": q_cube_sales,
     "grouping_sets": q_grouping_sets,
     "anti_join": q_anti_join,
@@ -2835,4 +2865,30 @@ ORACLES["corpus_rarity"] = """
            CAST(SUM(rarity_ppm) // COUNT(*) AS BIGINT) AS rarity_score
     FROM words w JOIN rare USING (word)
     GROUP BY w.doc_id
+"""
+
+ORACLES["expectation_metrics"] = """
+    WITH counted AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN NOT (o_orderkey IS NOT NULL) THEN 1 ELSE 0 END)
+               AS order_key_not_null,
+             SUM(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END)
+               AS valid_status,
+             SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+               AS positive_total,
+             SUM(CASE WHEN NOT (o_totalprice <= 400000) THEN 1 ELSE 0 END)
+               AS reasonable_total,
+             SUM(CASE WHEN NOT (o_orderdate >= DATE '1992-01-01') THEN 1 ELSE 0 END)
+               AS date_in_range
+      FROM orders
+    )
+    SELECT t.expectation, CAST(t.violations AS BIGINT) AS violations,
+           counted.n_rows
+    FROM counted, LATERAL (VALUES
+      ('order_key_not_null', order_key_not_null),
+      ('valid_status', valid_status),
+      ('positive_total', positive_total),
+      ('reasonable_total', reasonable_total),
+      ('date_in_range', date_in_range)
+    ) AS t(expectation, violations)
 """
