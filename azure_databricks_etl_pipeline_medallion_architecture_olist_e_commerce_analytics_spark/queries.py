@@ -19,6 +19,7 @@ Determinism rules used throughout (so value hashes match bit-for-bit):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1580,6 +1581,53 @@ def q_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Auto-Loader-equivalent ingestion path (S1-S3) end-to-end,
+    driver-checkable: orders lands as header CSV once per sf_dir (cached
+    side artifact under /tmp), then CsvIngestor infers-and-pins the schema
+    and reads it back with PERMISSIVE ``_rescued_data`` capture. The typed
+    round-trip must value-match the original parquet — proving inference,
+    type pinning, and the rescued-column plumbing lose nothing on clean
+    data. Dates ride as ISO strings (CSV date inference is config-dependent
+    across Spark versions; pinning strings keeps the contract exact); the
+    ingest ledger lives in a fresh temp state dir per call so the query is
+    idempotent."""
+    import tempfile
+
+    from .sources.csv_ingest import CsvIngestor
+
+    tune_session(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    csv_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_csv_{tag}")
+    marker = os.path.join(csv_dir, "_READY")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate_str"),
+        )
+        orders.coalesce(4).write.mode("overwrite").option("header", True).csv(csv_dir)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("ok")
+    state = tempfile.mkdtemp(prefix="spark_graft_csv_state_")
+    result = CsvIngestor(csv_dir, state).ingest(spark)
+    df = result.df
+    return df.select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double"),
+        # CSV inference may re-type the ISO string as timestamp; pin the
+        # contract to a date-only string either way
+        F.date_format(F.col("o_orderdate_str").cast("timestamp"), "yyyy-MM-dd").alias(
+            "o_orderdate_str"
+        ),
+        F.col("_rescued_data").isNotNull().alias("was_rescued"),
+    )
+
+
 def q_expectation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-expectation surface (Q1-Q4) as a driver-checkable query:
     the reference's warn-level predicates evaluated over orders, emitting
@@ -1838,6 +1886,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "corpus_rarity": q_corpus_rarity,
     "expectation_metrics": q_expectation_metrics,
+    "csv_ingest_roundtrip": q_csv_ingest_roundtrip,
     "cube_sales": q_cube_sales,
     "grouping_sets": q_grouping_sets,
     "anti_join": q_anti_join,
@@ -2891,4 +2940,12 @@ ORACLES["expectation_metrics"] = """
       ('reasonable_total', reasonable_total),
       ('date_in_range', date_in_range)
     ) AS t(expectation, violations)
+"""
+
+ORACLES["csv_ingest_roundtrip"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+           FALSE AS was_rescued
+    FROM orders
 """
