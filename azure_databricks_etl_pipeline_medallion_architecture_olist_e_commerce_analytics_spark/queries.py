@@ -1581,6 +1581,23 @@ def q_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: documents assigned to fixed-token-budget
+    shards in deterministic doc_id order — the corpus-export step of a
+    training-data pipeline, built on the scale-safe two-phase prefix scan
+    (operators/prefix.py; a plain SQL running window would execute on ONE
+    partition). Token counts are whitespace tokens; shard budget 5000.
+    Integer arithmetic throughout, so the SQL window twin matches exactly."""
+    from .operators.prefix import pack_shards
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return pack_shards(staged, budget=5000, order_cols=["doc_id"], token_col="n_tokens")
+
+
 def q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Auto-Loader-equivalent ingestion path (S1-S3) end-to-end,
     driver-checkable: orders lands as header CSV once per sf_dir (cached
@@ -1887,6 +1904,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_rarity": q_corpus_rarity,
     "expectation_metrics": q_expectation_metrics,
     "csv_ingest_roundtrip": q_csv_ingest_roundtrip,
+    "pack_shards": q_pack_shards,
     "cube_sales": q_cube_sales,
     "grouping_sets": q_grouping_sets,
     "anti_join": q_anti_join,
@@ -2948,4 +2966,21 @@ ORACLES["csv_ingest_roundtrip"] = """
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
            FALSE AS was_rescued
     FROM orders
+"""
+
+ORACLES["pack_shards"] = """
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    scanned AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tokens_before
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, tokens_before,
+           tokens_before // 5000 AS shard_id
+    FROM scanned
 """

@@ -886,3 +886,29 @@ def test_corpus_rarity_orders_rare_above_common(spark):
     assert all(isinstance(v, int) and v > 0 for v in scores.values())
     # the scores must actually discriminate (not a constant column)
     assert len(set(scores.values())) > 10
+
+
+def test_running_total_two_phase_scan_matches_python_prefix(spark):
+    """The distributed two-phase scan must equal a single-threaded exclusive
+    prefix sum over the same ordering, across many range partitions."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.prefix import (
+        with_running_total,
+    )
+
+    n = 20000
+    df = (
+        spark.range(n)
+        .withColumn("k", (F.col("id") * 2654435761 % n).cast("long"))
+        .withColumn("v", (F.col("id") % 97 + 1).cast("long"))
+        .select("k", "v")
+    )
+    got = {
+        r.k: r.running_total
+        for r in with_running_total(df, ["k"], "v", out="running_total").collect()
+    }
+    rows = sorted((r.k, r.v) for r in df.collect())
+    acc = 0
+    for k, v in rows:
+        assert got[k] == acc, (k, got[k], acc)
+        acc += v
+    assert len(got) == n
