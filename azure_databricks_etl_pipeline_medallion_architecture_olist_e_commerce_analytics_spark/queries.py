@@ -436,6 +436,32 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: quality-based canonical selection —
+    within each duplicate cluster keep the LONGEST document (ties break on
+    doc_id), emitting a keep/drop verdict per doc. Composition of the pair
+    graph, connected components, and a per-component WindowGroupLimit-shaped
+    rank — the decision an LLM corpus dedup actually ships."""
+    from .operators.dedup import jaccard_pairs
+    from .operators.graph import dedup_clusters
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    comp = dedup_clusters(docs, jaccard_pairs(docs, threshold=0.8))
+    joined = comp.select("doc_id", "component_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "component_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (scale path; no SQL oracle — murmur3)."""
     from .operators.dedup import minhash_lsh_pairs
@@ -1905,6 +1931,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expectation_metrics": q_expectation_metrics,
     "csv_ingest_roundtrip": q_csv_ingest_roundtrip,
     "pack_shards": q_pack_shards,
+    "dedup_survivors": q_dedup_survivors,
     "cube_sales": q_cube_sales,
     "grouping_sets": q_grouping_sets,
     "anti_join": q_anti_join,
@@ -2983,4 +3010,35 @@ ORACLES["pack_shards"] = """
     SELECT doc_id, n_tokens, tokens_before,
            tokens_before // 5000 AS shard_id
     FROM scanned
+"""
+
+ORACLES["dedup_survivors"] = """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+      FROM documents WHERE doc_id < 300
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, other) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(other) AS component_id FROM reach GROUP BY node
+    )
+    SELECT c.doc_id, c.component_id, d.n_chars,
+           row_number() OVER (
+             PARTITION BY c.component_id ORDER BY d.n_chars DESC, c.doc_id
+           ) = 1 AS keep
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
 """

@@ -59,6 +59,8 @@ HEADLINE = [
     "repetition_quality",
     "embedding_quantize",
     "corpus_rarity",
+    "pack_shards",
+    "dedup_survivors",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
