@@ -1,0 +1,79 @@
+"""Bucketed-table co-located joins: pre-shuffle once at write time, join
+with ZERO runtime exchange forever after.
+
+The reference's Databricks substrate gets this from Delta liquid clustering
++ the Photon shuffle-less join; the open-Spark equivalent is hash
+bucketing (``DataFrameWriter.bucketBy``): both tables are written
+pre-partitioned into the same number of hash buckets on the join key, the
+catalog records the bucket spec, and Catalyst plans every subsequent
+equi-join on that key as a SortMergeJoin with NO Exchange on either side —
+the single biggest shuffle eliminated for a fact table that is joined on
+the same key by every downstream query.
+
+Scale notes:
+- The write pays one hash shuffle (the same shuffle a single join would
+  pay) and then amortizes it over every future join/aggregation on the
+  key. At 100 TB a fact-to-fact join without bucketing shuffles BOTH
+  sides every run; with it, neither side, ever.
+- ``sortBy`` within buckets additionally removes the runtime sort of the
+  SortMergeJoin (files arrive sorted), leaving pure streaming merge.
+- Bucket counts must match across tables to co-locate; a power of two
+  lets a later scale-up coalesce buckets pairwise.
+- groupBy on the bucket key also becomes exchange-free (partial = final
+  aggregation within each bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a bucketed, in-bucket-sorted parquet table.
+
+    ``mode("overwrite")`` makes the operator idempotent per run; the one
+    hash shuffle here is the *last* shuffle this data pays on ``key``.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_equi_join(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    buckets: int = 16,
+    table_prefix: str = "__bucketed",
+    base_path: str | None = None,
+) -> DataFrame:
+    """Materialize both sides bucketed on ``key`` and return the co-located
+    join of the bucketed reads.
+
+    The returned plan contains no ShuffleExchange (asserted in
+    tests/test_plans.py): each task merge-joins bucket i of the left table
+    against bucket i of the right table straight off the files.
+    """
+    lt, rt = f"{table_prefix}_l", f"{table_prefix}_r"
+    write_bucketed(
+        left, lt, key, buckets,
+        path=None if base_path is None else f"{base_path}/{lt}",
+    )
+    write_bucketed(
+        right, rt, key, buckets,
+        path=None if base_path is None else f"{base_path}/{rt}",
+    )
+    return spark.table(lt).join(spark.table(rt), key)

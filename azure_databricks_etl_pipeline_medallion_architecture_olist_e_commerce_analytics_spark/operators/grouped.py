@@ -44,3 +44,38 @@ def group_minmax_normalize(
         return pdf
 
     return df.groupBy(*group_cols).applyInPandas(normalize, out_schema)
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    out_col: str = "value_w",
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization) — the standard outlier
+    guard before loss-weighting or feature scaling.
+
+    Exact continuous percentiles per group via one hash aggregation, then a
+    broadcast join back onto the fact rows (group cardinality is tiny by
+    construction — event types, languages, sources — so the percentile table
+    always fits in a broadcast). Two scans of nothing: the agg and the clip
+    read the same cached scan, and the clip itself is a pure row-local
+    ``least/greatest`` — no window over the full fact table, which at 100 TB
+    would global-sort every partition for no reason.
+    """
+    pct = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lo_p})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi_p})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(pct), group_cols)
+        .withColumn(
+            out_col,
+            F.round(
+                F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")), 6
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -341,3 +341,88 @@ def repetition_signals(
         "pass_repetition",
         (F.col("dup_word_frac") < 0.9) & (F.col("dup_bigram_frac") < 0.9),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_cap: int = 50,
+) -> DataFrame:
+    """Truncated-postings inverted index: token -> (document frequency,
+    first ``postings_cap`` postings by doc id).
+
+    The retrieval building block the reference's gold layer stops short of
+    (it aggregates orders, not terms) and a corpus pipeline needs for exact
+    keyword lookup / decontamination probes. Postings are truncated the way
+    real search indexes paginate them — full df count, bounded posting list.
+
+    Scale shape: the df count is a hash aggregation with map-side partial
+    combine. The postings head is a rank-filter (``row_number() <= cap``)
+    that Spark rewrites to WindowGroupLimit — each map task keeps at most
+    ``cap`` rows per token BEFORE the shuffle, so a stopword appearing in
+    every document of a 100 TB corpus still ships only cap×partitions rows
+    to its reducer instead of billions. No reducer ever materializes an
+    unbounded postings array.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import tokens_col
+
+    tok = spread_partitions(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    )
+    df_t = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    heads = (
+        tok.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= postings_cap)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return df_t.join(heads, "token")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (context-window packing precursor).
+
+    Splits each document into ``chunk_size``-token windows every ``stride``
+    tokens (overlap = chunk_size - stride), the standard shape for
+    pretraining-corpus chunking and RAG indexing. Pure JVM higher-order
+    functions: split once, generate the start offsets with ``sequence``,
+    explode, ``slice`` each window — no Python, no shuffle at all (narrow
+    per-row fan-out), so it scans at full parquet speed at any corpus size.
+    """
+    toks = all_tokens_col(text_col)
+    staged = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks")).select(
+        "doc_id",
+        "__toks",
+        F.sequence(
+            F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(stride)
+        ).alias("__starts"),
+    )
+    exploded = staged.select(
+        "doc_id", "__toks", F.explode("__starts").alias("start")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start") + 1, F.lit(chunk_size))
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )

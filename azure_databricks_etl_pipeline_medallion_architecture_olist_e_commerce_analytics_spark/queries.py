@@ -1909,6 +1909,64 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-postings inverted index: token -> (full df, first-50
+    postings). The rank filter compiles to WindowGroupLimit so hot
+    stopword tokens ship ≤ 50×partitions rows, never the full postings
+    (operators/textops.py)."""
+    from .operators.textops import inverted_index
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, postings_cap=50)
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48) —
+    pretraining/RAG chunk shape, zero-shuffle narrow fan-out."""
+    from .operators.textops import chunk_documents
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=64, stride=48)
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: both sides written hash-bucketed on the
+    join key, then joined with ZERO runtime exchange (operators/bucketed.py)
+    — the write-once/join-forever-shuffle-free layout a 100 TB fact table
+    wants. Result is identical to the plain equi-join (the oracle)."""
+    import tempfile
+
+    from .operators.bucketed import bucketed_equi_join
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_totalprice", "o_orderpriority"
+    )
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    return bucketed_equi_join(
+        spark, li, orders, "okey", buckets=16, base_path=base
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type percentile clipping (5th/95th), exact percentiles via
+    one agg + broadcast clip join — no full-table window sort."""
+    from .operators.grouped import winsorize
+
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return winsorize(
+        events.select("event_id", "event_type", "value"),
+        ["event_type"],
+        "value",
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -1920,8 +1978,22 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already hash-match green in CORRECTNESS_r01.  New queries belong at
 # the TOP of group 1.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- group 0: errored in r01, fixed since (NTZ normalization / array
+    #    canonicalization) — these MUST land inside the driver's tested
+    #    prefix to convert their `err` rows to green --
+    "streaming_window_agg": q_streaming_window_agg,
+    "streaming_sliding_agg": q_streaming_sliding_agg,
+    "streaming_sessionize": q_streaming_sessionize,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_stream_join": q_streaming_stream_join,
+    "range_join": q_range_join,
+    "multimodal_features": q_multimodal_features,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
     #    newest entries first --
+    "inverted_index": q_inverted_index,
+    "doc_chunking": q_doc_chunking,
+    "winsorize": q_winsorize,
+    "bucketed_join": q_bucketed_join,
     "decontaminate": q_decontaminate,
     "repetition_quality": q_repetition_quality,
     "source_rebalance": q_source_rebalance,
@@ -1968,16 +2040,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_topk": q_group_topk,
     "stratified_sample": q_stratified_sample,
     "exists_subquery": q_exists_subquery,
-    # -- group 2: errored in r01, fixed since (NTZ normalization / array
-    #    canonicalization) — need fresh driver confirmation --
-    "streaming_window_agg": q_streaming_window_agg,
-    "streaming_sliding_agg": q_streaming_sliding_agg,
-    "streaming_sessionize": q_streaming_sessionize,
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_stream_join": q_streaming_stream_join,
-    "range_join": q_range_join,
-    "multimodal_features": q_multimodal_features,
-    # -- group 3: green in CORRECTNESS_r01 (hash-match or rows-only-by-design) --
+    # -- group 2: green in CORRECTNESS_r01 (hash-match or rows-only-by-design) --
     # pipeline datasets (gold layer = flagship surface)
     "gold_fact_lineitem": _pipeline_q("gold.fact_lineitem"),
     "gold_dim_orders": _pipeline_q("gold.dim_orders"),
@@ -3041,4 +3104,61 @@ ORACLES["dedup_survivors"] = """
              PARTITION BY c.component_id ORDER BY d.n_chars DESC, c.doc_id
            ) = 1 AS keep
     FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+"""
+
+ORACLES["inverted_index"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+               AS token
+      FROM documents
+    ),
+    df_t AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    ranked AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM tok
+    ),
+    heads AS (
+      SELECT token, array_to_string(list_sort(list(doc_id)), ',') AS postings_head
+      FROM ranked WHERE rn <= 50 GROUP BY token
+    )
+    SELECT token, df, postings_head FROM df_t JOIN heads USING (token)
+"""
+
+ORACLES["doc_chunking"] = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS INTEGER) AS chunk_idx,
+           array_to_string(toks[start + 1 : least(start + 64, len(toks))], ' ')
+             AS chunk,
+           CAST(least(start + 64, len(toks)) - start AS BIGINT) AS n_tokens
+    FROM s
+"""
+
+ORACLES["winsorize"] = """
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(LEAST(GREATEST(e.value, p.lo), p.hi), 6) AS value_w
+    FROM events e JOIN p USING (event_type)
+    WHERE e.value IS NOT NULL
+"""
+
+ORACLES["bucketed_join"] = """
+    SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_extendedprice,
+           o.o_totalprice, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """

@@ -201,3 +201,45 @@ def test_repetition_quality_shuffles_nothing_but_the_spread(spark):
     assert all(e.startswith("RoundRobinPartitioning") for e in exchanges), exchanges
     # the split expression appears once per staged projection, not ~10x
     assert plan.count("split(text") <= 2, plan.count("split(text")
+
+
+def test_bucketed_join_has_no_shuffle_when_not_broadcast(spark, tmp_path):
+    """With broadcast priced out (the 100 TB fact-to-fact case), the
+    bucketed join must read both sides bucket-aligned: SortMergeJoin with
+    ZERO ShuffleExchange and no runtime Sort (files are in-bucket sorted)."""
+    from pyspark.sql import functions as F
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.bucketed import (
+        bucketed_equi_join,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_totalprice"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_equi_join(
+            spark, li, orders, "okey", buckets=8,
+            table_prefix="__bkt_test", base_path=str(tmp_path),
+        )
+        plan = _formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == load_table(spark, SF_SMALL, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_inverted_index_rank_filter_uses_window_group_limit(spark):
+    """The postings-head rank filter must compile to WindowGroupLimit so a
+    stopword token ships at most cap rows per map task, not its full
+    posting list."""
+    plan = _formatted_plan(SPARK_QUERIES["inverted_index"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan
