@@ -102,16 +102,33 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature(shingles, num_hashes: int = 64):
+def minhash_signature(shingles, num_hashes: int = 64, family: str = "murmur3"):
     """MinHash signature array over a shingle-array column/expression.
 
-    ``sig[h] = min over shingles of murmur3(shingle, seed=h)`` — one pass,
+    ``sig[h] = min over shingles of hash(shingle, seed=h)`` — one pass,
     pure codegen (transform + array_min), no UDF. Pass a *column reference*
     to an already-projected shingle array (not the raw shingle expression):
     the lambda evaluates its input once per hash seed, and CollapseProject
     keeps a separate projection for the non-cheap shingle construction, so
     shingling runs once per document instead of ``num_hashes`` times.
+
+    Two hash families:
+    - ``murmur3`` (default): seeded 32-bit murmur — the fast scale path.
+    - ``md5``: ``min`` over the *hex strings* ``md5(seed || ':' || shingle)``
+      (lexicographic min of a uniform hash is a valid min-hash family).
+      ~2-3× the hash cost, but byte-identical in any engine with md5 —
+      which makes the whole LSH output value-verifiable against a SQL
+      oracle (DuckDB replicates the signature exactly).
     """
+    if family == "md5":
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(num_hashes)),
+            lambda s: F.array_min(
+                F.transform(
+                    shingles, lambda x: F.md5(F.concat_ws(":", s.cast("string"), x))
+                )
+            ),
+        )
     return F.transform(
         F.sequence(F.lit(1), F.lit(num_hashes)),
         lambda s: F.array_min(F.transform(shingles, lambda x: F.hash(x, s))),
@@ -128,6 +145,7 @@ def minhash_lsh_pairs(
     ngram: int = 1,
     cache: bool = True,
     screen: bool | None = None,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
@@ -269,7 +287,7 @@ def minhash_lsh_pairs(
                 "rid",
                 F.transform(set_col, lambda x: tid[x]).alias("_ids"),
                 F.size(set_col).alias("n"),
-                minhash_signature(F.col(set_col), num_hashes).alias("sig"),
+                minhash_signature(F.col(set_col), num_hashes, hash_family).alias("sig"),
             )
             .select("rid", F.array(*words).alias("hs"), "n", "sig")
         )
@@ -278,7 +296,7 @@ def minhash_lsh_pairs(
             "rid",
             F.transform(set_col, lambda x: F.xxhash64(x)).alias("hs"),
             F.size(set_col).alias("n"),
-            minhash_signature(F.col(set_col), num_hashes).alias("sig"),
+            minhash_signature(F.col(set_col), num_hashes, hash_family).alias("sig"),
         )
     if cache:
         prepared = prepared.persist()
@@ -402,13 +420,23 @@ def minhash_lsh_pairs(
     return identical.unionByName(expanded)
 
 
-def token_hashes(tokens_field: str):
-    """One xxhash64 per token → array<bigint> (project this BEFORE simhash).
+def token_hashes(tokens_field: str, family: str = "xxhash64"):
+    """One 64-bit hash per token → array<bigint> (project this BEFORE simhash).
 
     Materializing the hash array in its own projection means the 64 bit-sum
     passes of :func:`simhash_expr` read a cheap attribute instead of
     re-hashing every token per bit position.
+
+    ``family="md5"`` derives a 60-bit integer from the md5 hex digest
+    (``conv(substr(md5(x),1,15),16,10)``) — slower than xxhash64 but
+    engine-portable, so the simhash fingerprints (and therefore the whole
+    near-dup output) can be value-verified against a SQL oracle.
     """
+    if family == "md5":
+        return F.expr(
+            f"transform({tokens_field},"
+            " x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))"
+        )
     return F.expr(f"transform({tokens_field}, x -> xxhash64(x))")
 
 
@@ -449,24 +477,34 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup pairs via 4×16-bit banded self-join + bit_count verify.
+    """SimHash near-dup pairs via 4-band banded self-join + bit_count verify.
 
-    Pigeonhole: hamming(fp_a, fp_b) ≤ 3 ⇒ at least one of the 4 16-bit bands
-    is identical, so banding loses no true pairs while keeping the join an
-    equi-shuffle.
+    Pigeonhole: hamming(fp_a, fp_b) ≤ 3 ⇒ at least one of the 4 bands is
+    identical, so banding loses no true pairs while keeping the join an
+    equi-shuffle. At larger ``max_hamming`` the banded join is the standard
+    recall/cost trade: only pairs sharing one exact band are candidates.
+
+    ``hash_family="md5"`` switches to 60-bit md5-derived token hashes
+    (4×15-bit bands) whose fingerprints a SQL oracle reproduces exactly.
     """
+    bits = 60 if hash_family == "md5" else 64
+    band_w = bits // 4
+    mask = (1 << band_w) - 1
     base = (
         spread_partitions(df)
         .select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
-        .select("id", token_hashes("__toks").alias("__hs"))
-        .select("id", simhash_expr("__hs").alias("fp"))
+        .select("id", token_hashes("__toks", hash_family).alias("__hs"))
+        .select("id", simhash_expr("__hs", bits).alias("fp"))
     )
     banded = base.select(
         "id",
         "fp",
         F.posexplode(
-            F.expr("transform(sequence(0, 3), j -> shiftright(fp, j * 16) & 65535)")
+            F.expr(
+                f"transform(sequence(0, 3), j -> shiftright(fp, j * {band_w}) & {mask})"
+            )
         ).alias("band_id", "band_val"),
     )
     a = banded.alias("a")

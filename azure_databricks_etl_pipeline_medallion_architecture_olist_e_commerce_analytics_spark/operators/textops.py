@@ -193,6 +193,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (rolling k-gram hash + window-min).
 
@@ -213,6 +214,15 @@ def winnow_fingerprints(
     fewer than w grams selects the global minimum (standard winnowing edge
     behavior).
     """
+    if hash_family == "md5":
+        # 60-bit md5-derived gram hash — engine-portable (value-verifiable
+        # against a SQL oracle); xxhash64 is the fast default at scale.
+        def hash_of(col):
+            return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+    else:
+        def hash_of(col):
+            return F.xxhash64(col)
+
     toks = all_tokens_col(text_col)
     prepared = spread_partitions(df).select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
@@ -221,9 +231,9 @@ def winnow_fingerprints(
         F.col("_n") >= k,
         F.transform(
             F.sequence(F.lit(1), F.col("_n") - (k - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice("_toks", i, k), " ")),
+            lambda i: hash_of(F.array_join(F.slice("_toks", i, k), " ")),
         ),
-    ).otherwise(F.array(F.xxhash64(F.array_join("_toks", " "))))
+    ).otherwise(F.array(hash_of(F.array_join("_toks", " "))))
     hashed = prepared.select(id_col, grams.alias("_gh"), F.size(grams).alias("_g"))
     selected = F.when(
         F.col("_g") >= w,

@@ -463,21 +463,26 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (scale path; no SQL oracle — murmur3)."""
+    """MinHash+LSH near-dup pairs, md5 hash family — the full LSH output
+    (signature → banding → exactly-once candidates → exact-Jaccard verify)
+    is value-verified against a DuckDB oracle that replicates the signature
+    byte-for-byte. Same plan shape as the murmur3 scale path."""
     from .operators.dedup import minhash_lsh_pairs
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.8)
+    return minhash_lsh_pairs(docs, threshold=0.8, hash_family="md5")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (no SQL oracle — xxhash64)."""
+    """SimHash banded near-dup pairs, md5 hash family — 60-bit fingerprints
+    a DuckDB oracle reproduces bit-for-bit, so banding + hamming verify are
+    value-checked end-to-end. Same plan shape as the xxhash64 scale path."""
     from .operators.dedup import simhash_pairs
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=8)
+    return simhash_pairs(docs, max_hamming=8, hash_family="md5")
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,12 +615,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling k-gram hash + window-min) document fingerprints."""
+    """Winnowing (rolling k-gram hash + window-min) document fingerprints,
+    md5 hash family — gram hashes and window selection value-verified
+    against a DuckDB oracle. Same plan shape as the xxhash64 scale path."""
     from .operators.textops import winnow_fingerprints
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs, k=5, w=4)
+    return winnow_fingerprints(docs, k=5, w=4, hash_family="md5")
 
 
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3161,4 +3168,90 @@ ORACLES["bucketed_join"] = """
     SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_extendedprice,
            o.o_totalprice, o.o_orderpriority
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+# Full value oracle for the LSH path: replicates the md5 min-hash signature
+# byte-for-byte, the 10x6 banding collision predicate, and the exact-Jaccard
+# verify. Pair semantics collapse to: (a < b) AND signatures collide in >= 1
+# band AND jaccard >= threshold (identical sets collide in every band, so the
+# group-collapse/member-expansion staging is invisible in the output set).
+ORACLES["dedup_minhash_lsh"] = """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, s,
+             list_transform(range(1, 61),
+               h -> list_min(list_transform(s, t -> md5(h::VARCHAR || ':' || t))))
+               AS sig
+      FROM d
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j,
+             len(list_filter(range(0, 10),
+                 k -> a.sig[k*6+1 : k*6+6] = b.sig[k*6+1 : k*6+6])) > 0 AS collide
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM pairs WHERE collide AND j >= 0.8
+"""
+
+# Bit-exact value oracle for the simhash path: 60-bit md5-derived token
+# hashes, per-bit +/-1 majority vote, 4x15-bit banding, hamming verify.
+ORACLES["dedup_simhash"] = """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(s, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+      FROM d
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), k ->
+               CASE WHEN list_sum(list_transform(hs, x ->
+                        CASE WHEN ((x >> k) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT) AS fp
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 8
+      AND len(list_filter(range(0, 4),
+          j -> ((a.fp >> (j * 15)) & 32767) = ((b.fp >> (j * 15)) & 32767))) > 0
+"""
+
+# Value oracle for winnowing: 60-bit md5-derived k-gram hashes, w-window
+# min selection, distinct+sorted fingerprints per document.
+ORACLES["winnow_fingerprints"] = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_transform(range(1, len(toks) - 3), i ->
+            ('0x' || substr(md5(array_to_string(toks[i : i + 4], ' ')), 1, 15))::BIGINT)
+        ELSE [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT]
+        END AS gh
+      FROM t
+    ),
+    sel AS (
+      SELECT doc_id,
+        CASE WHEN len(gh) >= 4 THEN
+          list_transform(range(1, len(gh) - 2), j -> list_min(gh[j : j + 3]))
+        ELSE [list_min(gh)] END AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(list_sort(list_distinct(fps))) AS fingerprint
+    FROM sel
 """
