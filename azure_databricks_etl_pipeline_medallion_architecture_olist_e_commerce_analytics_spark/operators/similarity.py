@@ -322,6 +322,7 @@ def srp_band_keys(
     bits_per_band: int = 8,
     num_bands: int = 16,
     seed: int = 42,
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """Sign-random-projection band keys per vector (Arrow/BLAS map-side).
 
@@ -347,7 +348,27 @@ def srp_band_keys(
                 continue
             V = np.array([list(v) for v in pdf["_vec"]], dtype=np.float64)
             if planes is None:
-                planes = np.random.default_rng(seed).standard_normal((V.shape[1], nbits))
+                if plane_family == "md5":
+                    import hashlib
+
+                    planes = np.array(
+                        [
+                            [
+                                1.0
+                                if int(
+                                    hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16
+                                )
+                                & 1
+                                else -1.0
+                                for j in range(nbits)
+                            ]
+                            for d in range(V.shape[1])
+                        ]
+                    )
+                else:
+                    planes = np.random.default_rng(seed).standard_normal(
+                        (V.shape[1], nbits)
+                    )
             B = (V @ planes) > 0
             out = {"id": pdf["_id"].to_numpy(dtype=np.int64)}
             for k in range(num_bands):
@@ -370,6 +391,7 @@ def srp_lsh_dup_pairs(
     num_bands: int = 16,
     seed: int = 42,
     query_filter=None,
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """Embedding near-duplicate pairs via SRP-LSH buckets + exact verify.
 
@@ -393,7 +415,7 @@ def srp_lsh_dup_pairs(
     t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if query_filter is not None:
         t = t.filter(query_filter)
-    keys = srp_band_keys(t, "id", "v", bits_per_band, num_bands, seed)
+    keys = srp_band_keys(t, "id", "v", bits_per_band, num_bands, seed, plane_family)
     member = F.struct(F.col("id"), *[F.col(f"h{k}") for k in range(num_bands)])
     banded = keys.select(
         member.alias("mb"),

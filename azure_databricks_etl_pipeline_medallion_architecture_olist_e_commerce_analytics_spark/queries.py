@@ -549,6 +549,7 @@ def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits_per_band=4,
         num_bands=24,
         query_filter=F.col("vec_id") < 200,
+        plane_family="md5",
     )
 
 
@@ -3254,4 +3255,73 @@ ORACLES["winnow_fingerprints"] = """
     )
     SELECT doc_id, unnest(list_sort(list_distinct(fps))) AS fingerprint
     FROM sel
+"""
+
+# Value oracle for SRP-LSH near-dup pairs: Rademacher planes from md5 of the
+# (plane, dim) index pair, 24 bands x 4 sign bits packed per band, pair
+# emitted iff >= 1 band key collides, exact-cosine verify at 6dp.
+ORACLES["embedding_dup_pairs_lsh"] = """
+    WITH t AS (SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id < 200),
+    sig AS (
+      SELECT vec_id, e,
+             list_transform(range(0, 24), k ->
+               list_sum(list_transform(range(0, 4), b ->
+                 CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                          e[d]::DOUBLE *
+                          (CASE WHEN ('0x' || substr(md5((k*4+b)::VARCHAR || ':'
+                                      || (d-1)::VARCHAR), 1, 1))::INT & 1 = 1
+                                THEN 1.0 ELSE -1.0 END))) > 0
+                      THEN (1::BIGINT << b) ELSE 0::BIGINT END))) AS hs,
+             sqrt(list_sum(list_transform(range(1, 65),
+                 d -> e[d]::DOUBLE * e[d]::DOUBLE))) AS n
+      FROM t
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(range(1, 65),
+                 d -> a.e[d]::DOUBLE * b.e[d]::DOUBLE)) / (a.n * b.n), 6) AS cosine,
+             len(list_filter(range(1, 25), k -> a.hs[k] = b.hs[k])) > 0 AS collide
+      FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE collide AND cosine >= 0.4
+"""
+
+# Value oracle for single-probe IVF top-k with deterministic seeding
+# (centroids = the 16 lowest-id vectors, zero Lloyd iterations): nearest
+# centroid by unrounded cosine (ties -> lowest centroid id), candidates
+# restricted to the query's own cell, exact cosine at 6dp, top-3 per query.
+ORACLES["ann_topk_ivf"] = """
+    WITH t AS (SELECT vec_id, embedding AS e FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
+      FROM t ORDER BY vec_id LIMIT 16
+    ),
+    sims AS (
+      SELECT t.vec_id, t.e, c.cid,
+             list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * c.e[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * t.e[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))) AS s
+      FROM t, cent c
+    ),
+    assigned AS (
+      SELECT vec_id, e, cid AS centroid_id FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             round(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * c.e[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * q.e[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))), 6) AS cosine
+      FROM assigned q JOIN assigned c
+        ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 100
+    )
+    SELECT query_id, nbr_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 3
 """
