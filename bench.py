@@ -61,6 +61,10 @@ HEADLINE = [
     "corpus_rarity",
     "pack_shards",
     "dedup_survivors",
+    "inverted_index",
+    "doc_chunking",
+    "winsorize",
+    "bucketed_join",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
