@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from .operators.textops import LANG_MARKERS
 from .plans.medallion import SEGMENT_DISPLAY, pipeline_dataframe
 from .sources.loader import load_table, spread_partitions
+from .tpch import TPCH_ORACLES as _TPCH_ORACLES
+from .tpch import TPCH_QUERIES as _TPCH_QUERIES
 from .tuning import tune_session
 
 _LANG_SCORE_SQL = ", ".join(
@@ -1996,6 +1998,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_stream_join": q_streaming_stream_join,
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
+    # -- group 0b: new this round (no driver signal yet) — TPC-H-analog
+    #    analytic pack (see tpch.py module docstring) --
+    **_TPCH_QUERIES,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
     #    newest entries first --
     "inverted_index": q_inverted_index,
@@ -2100,6 +2105,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    **_TPCH_ORACLES,
     "gold_fact_lineitem": _FACT_LINEITEM,
     "gold_dim_orders": _DIM_ORDERS,
     "gold_dim_customers": _DIM_CUSTOMERS,

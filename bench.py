@@ -65,6 +65,20 @@ HEADLINE = [
     "doc_chunking",
     "winsorize",
     "bucketed_join",
+    # TPC-H-analog analytic pack (classic star-schema plan shapes)
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
