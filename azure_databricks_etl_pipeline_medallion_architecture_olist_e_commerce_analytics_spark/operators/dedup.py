@@ -525,3 +525,60 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 2,
+) -> DataFrame:
+    """Aligned-segment exact dedup with document rewrite.
+
+    The corpus-dedup step between document-level exact dedup and
+    suffix-array substring dedup: each document is split into consecutive
+    ``seg_len``-token segments; a segment that occurs in more than one
+    (document, position) slot corpus-wide is kept ONLY at its canonical
+    occurrence (lowest doc id, then lowest position) and dropped everywhere
+    else; each document is rewritten from its surviving segments in order.
+    Aligned fixed-width segments trade the suffix array's unaligned-overlap
+    recall for a fully shuffle-parallel plan.
+
+    Plan shape (scale notes): tokenize + segment generation are zero-shuffle
+    (higher-order functions over the text column); the canonical choice is
+    ONE hash shuffle on the segment value (row_number over a per-segment
+    window — at 100 TB the per-segment group is tiny, so no skew beyond
+    stop-phrase segments, which banding by ``seg_len`` keeps bounded); the
+    rewrite re-aggregates by doc id — a second shuffle, same key layout as
+    the input. No driver-side state, no Python row path.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nseg = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_len + 1, seg_len), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = exploded.withColumn("kept", F.row_number().over(w) == 1)
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda x: x.seg,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

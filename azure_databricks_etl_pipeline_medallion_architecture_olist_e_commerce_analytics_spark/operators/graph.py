@@ -69,11 +69,53 @@ def _half_star(edges: DataFrame, large: bool) -> DataFrame:
     return _normalize(moved.union(center))
 
 
+def _driver_union_find(cur: DataFrame) -> DataFrame:
+    """Exact union-find over a driver-bounded, already-deduplicated edge
+    list. Returns the same (node, component=min member) contract as the
+    distributed loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in cur.toLocalIterator():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for node in list(parent.keys()):
+        root = find(node)
+        comp_min[root] = min(comp_min.get(root, root), node)
+    data = [(node, comp_min.get(find(node), find(node))) for node in parent]
+    # include roots themselves
+    roots = {find(n) for n in parent}
+    data += [(r, comp_min.get(r, r)) for r in roots if r not in parent]
+    t = dict(cur.dtypes)["a"]
+    return cur.sparkSession.createDataFrame(
+        sorted(data), schema=f"node {t}, component {t}"
+    )
+
+
+# Above this many deduplicated edges the component computation stays fully
+# distributed; below it, the edge list (16 bytes/edge → <= ~32 MB) is
+# union-found on the driver in one pass. Dup graphs are edge-sparse relative
+# to the corpus (edges only between near-duplicates), so the gate is on the
+# EDGE count, which the eager checkpoint has already paid to materialize —
+# the check itself is a metadata-cheap count on cached partitions.
+SMALL_GRAPH_EDGE_LIMIT = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    small_graph_limit: int | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge list.
 
@@ -81,6 +123,15 @@ def connected_components(
     id in the node's component. Nodes that appear in no edge are absent
     (a singleton is its own component — join the node universe back and
     ``coalesce(component, node)``, as :func:`dedup_clusters` does).
+
+    Physical strategy is size-gated, the same shape as AQE's runtime join
+    re-plan: the normalized edge list is already materialized by the eager
+    checkpoint, so its count is cheap — integer-keyed graphs under
+    ``SMALL_GRAPH_EDGE_LIMIT`` edges take one exact driver union-find pass
+    (a dup graph's edge set is tiny relative to the corpus; ~10 scheduling
+    round-trips of the distributed loop cost far more), and everything
+    larger runs the large-star/small-star contraction, which converges in
+    O(log² n) rounds regardless of component diameter.
 
     ``max_iter`` is a safety bound, not the expected round count: the
     alternation reaches the star fixpoint in O(log² n) rounds (2-4 in
@@ -90,6 +141,10 @@ def connected_components(
     cur = _normalize(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     ).localCheckpoint()
+    limit = SMALL_GRAPH_EDGE_LIMIT if small_graph_limit is None else small_graph_limit
+    int_keyed = dict(cur.dtypes)["a"] in ("tinyint", "smallint", "int", "bigint")
+    if int_keyed and cur.count() <= limit:
+        return _driver_union_find(cur)
     prev_sig = None
     for _ in range(max_iter):
         cur = _half_star(cur, large=True)

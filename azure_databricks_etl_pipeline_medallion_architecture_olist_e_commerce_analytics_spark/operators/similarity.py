@@ -492,3 +492,71 @@ def embedding_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_prune(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.3,
+    broadcast_side: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster-scoped cosine pairs ->
+    connected components -> one canonical member per semantic-dup group.
+
+    The cluster assignment (``label_col``) bounds the pairwise comparison to
+    within-cluster pairs — the core SemDeDup trick that turns O(n²) corpus
+    dedup into Σ O(|cluster|²). Edges are cosine >= threshold (rounded to
+    6 dp so the decision is reproducible across engines); duplicate groups
+    are the connected components of that edge graph (operators/graph.py's
+    large-star/small-star contraction); the canonical survivor is the
+    smallest id per component.
+
+    Scale notes: the within-label self-join shuffles both sides on the
+    cluster key — at production scale the clusterer emits k >> cores
+    clusters so the per-key groups stay small (this is the same contract as
+    the k-means IVF path in ivf_topk); the component step is O(log²) rounds
+    over the dup edges only, which are a tiny fraction of the corpus.
+    """
+    from .graph import dedup_clusters
+
+    t = spread_partitions(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("lbl"),
+            F.col(vec_col).alias("v"),
+            norm_col(F.col(vec_col)).alias("n"),
+        )
+    )
+    a, b = t.alias("a"), t.alias("b")
+    if broadcast_side:
+        # With a handful of clusters the label-equality shuffle join lands
+        # on |labels| tasks regardless of core count; broadcasting the build
+        # side keeps the probe at full input parallelism. When the corpus
+        # outgrows the broadcast limit, pass False: the cluster-key shuffle
+        # join is the scale path (k >> cores clusters keeps groups small).
+        b = F.broadcast(b)
+    cos = F.round(
+        dot_col(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+    )
+    pairs = (
+        a.join(b, (F.col("a.lbl") == F.col("b.lbl")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    ids = df.select(F.col(id_col), F.col(label_col))
+    clusters = dedup_clusters(ids.select(id_col), pairs, id_col=id_col)
+    return (
+        ids.join(clusters, id_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col("component_id"),
+            F.col("is_canonical").alias("is_kept"),
+        )
+    )

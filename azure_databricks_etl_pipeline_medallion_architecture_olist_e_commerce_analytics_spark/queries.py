@@ -1977,6 +1977,100 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned-segment exact dedup + document rewrite (the corpus-dedup
+    step between doc-level exact dedup and suffix-array substring dedup)."""
+    from .operators.dedup import segment_dedup
+
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return segment_dedup(docs, id_col="doc_id", text_col="text", seg_len=2)
+
+
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: within-cluster cosine pairs ->
+    connected components -> canonical survivor per semantic-dup group."""
+    from .operators.similarity import semantic_prune
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_prune(emb, threshold=0.3)
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (alpha = 0.5): per-source keep
+    probability proportional to sqrt(source size), i.e. small sources are
+    up-weighted relative to proportional sampling — the standard
+    multi-corpus rebalance for pretraining mixes.
+
+    Every arithmetic step is integer-exact so the SAME rows are kept on any
+    engine/run: sqrt weights are floored to integer micro-units (sqrt is
+    IEEE correctly-rounded, so identical everywhere), the keep decision
+    compares ``bucket * U < N * u_s * 2^31`` in DECIMAL(38,0) (no division,
+    no float), and the per-row bucket is a multiplicative integer hash of
+    the doc id. The decision is a map-side broadcast join against a
+    20-row weight table — one tiny shuffle for the source counts, zero for
+    the decision itself.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    weights = counts.select(
+        "source",
+        "c",
+        F.floor(F.sqrt(F.col("c").cast("double")) * 1e6).cast("long").alias("u"),
+    )
+    tot = weights.agg(
+        F.sum("u").alias("big_u"),
+    )
+    n_target = docs.agg(F.floor(F.count(F.lit(1)) / 2).cast("long").alias("n_target"))
+    w = weights.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(n_target))
+    # multiplicative integer hash -> bucket in [0, 2^31); exact in int64 at
+    # test-scale ids (production swaps in xxhash64 — same plan, seeded)
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2147483648))
+    # keep probability p_s = min(1, N * u_s / (U * c_s)); decided as the
+    # division-free integer comparison  bucket·U·c_s < N·u_s·2^31
+    dec = "decimal(38,0)"
+    keep = (bucket.cast(dec) * F.col("big_u").cast(dec) * F.col("c").cast(dec)) < (
+        F.col("n_target").cast(dec)
+        * F.col("u").cast(dec)
+        * F.lit(2147483648).cast(dec)
+    )
+    return (
+        docs.join(F.broadcast(w), "source")
+        .select("doc_id", "source", keep.alias("kept"))
+    )
+
+
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via rank selection (no interpolation
+    ambiguity: the median is (lo + hi) / 2 of the explicit middle ranks, so
+    the float math is identical on every engine).
+
+    Scale notes: one window sort per group for the ranks plus a count — the
+    honest cost of an EXACT percentile; approx_quantiles is the sketch-based
+    scale path when 1e-2 relative error is acceptable.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("event_type").agg(
+        ((F.min("value") + F.max("value")) / 2).alias("median_value"),
+        F.any_value(F.col("n")).alias("n_values"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -1998,8 +2092,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_stream_join": q_streaming_stream_join,
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
-    # -- group 0b: new this round (no driver signal yet) — TPC-H-analog
-    #    analytic pack (see tpch.py module docstring) --
+    # -- group 0b: new this round (no driver signal yet) --
+    "segment_dedup": q_segment_dedup,
+    "semantic_prune": q_semantic_prune,
+    "mix_temperature": q_mix_temperature,
+    "grouped_median": q_grouped_median,
+    # TPC-H-analog analytic pack (see tpch.py module docstring)
     **_TPCH_QUERIES,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
     #    newest entries first --
@@ -2106,6 +2204,85 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "segment_dedup": r"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+      ),
+      segs AS (
+        SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+               array_to_string(list_slice(t, u.i*2+1, u.i*2+2), ' ') AS seg
+        FROM toks, UNNEST(range(0, CAST(ceil(len(t)/2.0) AS BIGINT))) AS u(i)
+      ),
+      ranked AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS kept
+        FROM segs
+      )
+      SELECT doc_id,
+             COUNT(*) AS n_segments,
+             COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+             COALESCE(string_agg(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_idx), '')
+               AS clean_text
+      FROM ranked GROUP BY doc_id
+    """,
+    "semantic_prune": """
+      WITH RECURSIVE t AS (
+        SELECT vec_id, label, embedding AS e FROM embeddings
+      ),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE))
+              / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE)))
+               * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE)))), 6)
+              >= 0.3
+      ),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+      ),
+      reach(node, other) AS (
+        SELECT vec_id, vec_id FROM t
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other
+      )
+      SELECT t.vec_id, t.label, m.component_id,
+             m.component_id = t.vec_id AS is_kept
+      FROM t JOIN (
+        SELECT node, MIN(other) AS component_id FROM reach GROUP BY node
+      ) m ON t.vec_id = m.node
+    """,
+    "mix_temperature": """
+      WITH counts AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+      weights AS (
+        SELECT source, c,
+               CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS u
+        FROM counts
+      ),
+      tot AS (SELECT CAST(SUM(u) AS HUGEINT) AS big_u FROM weights),
+      tgt AS (SELECT CAST(floor(COUNT(*) / 2) AS BIGINT) AS n_target FROM documents)
+      SELECT d.doc_id, d.source,
+             (CAST((d.doc_id * 2654435761) % 2147483648 AS HUGEINT) * big_u * c)
+               < (CAST(n_target AS HUGEINT) * u * 2147483648) AS kept
+      FROM documents d JOIN weights w ON d.source = w.source, tot, tgt
+    """,
+    "grouped_median": """
+      WITH ranked AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+      ),
+      mid AS (
+        SELECT * FROM ranked
+        WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+      )
+      SELECT event_type, (MIN(value) + MAX(value)) / 2 AS median_value,
+             ANY_VALUE(n) AS n_values
+      FROM mid GROUP BY event_type
+    """,
     "gold_fact_lineitem": _FACT_LINEITEM,
     "gold_dim_orders": _DIM_ORDERS,
     "gold_dim_customers": _DIM_CUSTOMERS,

@@ -65,6 +65,10 @@ HEADLINE = [
     "doc_chunking",
     "winsorize",
     "bucketed_join",
+    "segment_dedup",
+    "semantic_prune",
+    "mix_temperature",
+    "grouped_median",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",
     "tpch_q3",

@@ -912,3 +912,77 @@ def test_running_total_two_phase_scan_matches_python_prefix(spark):
         assert got[k] == acc, (k, got[k], acc)
         acc += v
     assert len(got) == n
+
+
+def test_segment_dedup_exactly_once_and_rewrite(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+        segment_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # segments: "a b", "c d", "e f"
+            (2, "a b x y"),          # "a b" duplicates doc 1's first segment
+            (3, "c d c d"),          # "c d" duplicated within AND across docs
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_len=2).collect()}
+    # every duplicated segment survives exactly once, at the lowest slot
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[2]["clean_text"] == "x y"
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_segments"] == 2 and out[3]["n_kept"] == 0
+    # corpus-wide: each distinct segment appears exactly once in rewrites
+    all_segs = " ".join(v["clean_text"] for v in out.values()).split()
+    pairs = [tuple(all_segs[i : i + 2]) for i in range(0, len(all_segs), 2)]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_semantic_prune_planted_duplicates(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        semantic_prune,
+    )
+
+    # cluster 0: vecs 1,2 near-identical (planted dup) + 3 orthogonal;
+    # cluster 1: vec 4 alone. Expect 2 pruned into 1's component.
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0, [0.999, 0.01, 0.0, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0, 0.0]),
+        (4, 1, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r["vec_id"]: r for r in semantic_prune(df, threshold=0.9).collect()}
+    assert out[1]["is_kept"] and not out[2]["is_kept"]
+    assert out[2]["component_id"] == 1
+    assert out[3]["is_kept"] and out[4]["is_kept"]
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed star-contraction
+    loop must produce identical (node, component) maps on the same graph."""
+    import random
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    # chains, a cycle, a star, and random noise edges over 300 nodes
+    edges = [(i, i + 1) for i in range(0, 50)]
+    edges += [(100 + i, 100 + (i + 1) % 10) for i in range(10)]
+    edges += [(200, 200 + i) for i in range(1, 20)]
+    edges += [(rng.randrange(300), rng.randrange(300)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, small_graph_limit=0).collect()
+    }
+    assert fast == dist
+    assert fast  # non-empty
