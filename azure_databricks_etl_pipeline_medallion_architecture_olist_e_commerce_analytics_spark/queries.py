@@ -1977,6 +1977,51 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply as a driver-checkable query: the events stream is
+    treated as a change feed keyed by user (latest change wins by (ts,
+    event_id)), folded through foreachBatch MERGE into a versioned snapshot
+    table (streaming/cdc.py), and the final snapshot is returned. The oracle
+    is the declarative form of the same contract: each user's latest row.
+    """
+    import shutil
+    import tempfile
+
+    from .streaming.cdc import read_current, run_cdc_apply
+
+    tune_session(spark)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_apply")
+    shutil.rmtree(base, ignore_errors=True)
+    table, ckpt = os.path.join(base, "table"), os.path.join(base, "ckpt")
+    changes = _stream_events(spark, sf_dir).withColumn(
+        "seq", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    run_cdc_apply(changes, table, ckpt, keys=["user_id"], sequence_by="seq")
+    snap = read_current(spark, table)
+    return snap.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def q_streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance (Enzyme analog) as a driver-checkable
+    query: the events stream folds per-microbatch partial aggregates into a
+    versioned standing state (streaming/incremental_mv.py); the returned MV
+    is the finalized per-event-type aggregate. DECIMAL accumulation makes
+    the incremental result bit-identical to the oracle's full recompute.
+    """
+    import shutil
+    import tempfile
+
+    from .streaming.incremental_mv import maintain_aggregate_mv, read_mv
+
+    tune_session(spark)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_inc_mv")
+    shutil.rmtree(base, ignore_errors=True)
+    mv, ckpt = os.path.join(base, "mv"), os.path.join(base, "ckpt")
+    source = _stream_events(spark, sf_dir).select("event_type", "value")
+    maintain_aggregate_mv(source, mv, ckpt, keys=["event_type"], value="value")
+    return read_mv(spark, mv)
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aligned-segment exact dedup + document rewrite (the corpus-dedup
     step between doc-level exact dedup and suffix-array substring dedup)."""
@@ -2093,6 +2138,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "cdc_apply": q_cdc_apply,
+    "streaming_incremental_mv": q_streaming_incremental_mv,
     "segment_dedup": q_segment_dedup,
     "semantic_prune": q_semantic_prune,
     "mix_temperature": q_mix_temperature,
@@ -2204,6 +2251,24 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "cdc_apply": """
+      SELECT user_id, event_id, ts, event_type, value
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    """,
+    "streaming_incremental_mv": """
+      SELECT event_type,
+             COUNT(*) AS n_rows,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value_d,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value
+      FROM events
+      GROUP BY event_type
+    """,
     "segment_dedup": r"""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -65,6 +65,8 @@ HEADLINE = [
     "doc_chunking",
     "winsorize",
     "bucketed_join",
+    "cdc_apply",
+    "streaming_incremental_mv",
     "segment_dedup",
     "semantic_prune",
     "mix_temperature",

@@ -243,3 +243,34 @@ def test_inverted_index_rank_filter_uses_window_group_limit(spark):
     posting list."""
     plan = _formatted_plan(SPARK_QUERIES["inverted_index"](spark, SF_SMALL))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_tpch_q6_filters_pushed_to_scan(spark):
+    # Q6 is a pure filter+agg: all three scan predicates must reach parquet
+    plan = _formatted_plan(SPARK_QUERIES["tpch_q6"](spark, SF_SMALL))
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_discount,0.05\)", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(l_quantity,24.0\)", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_tpch_q3_topk_avoids_global_sort(spark):
+    plan = _formatted_plan(SPARK_QUERIES["tpch_q3"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_dims_broadcast_no_cartesian(spark):
+    plan = _formatted_plan(SPARK_QUERIES["tpch_q5"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q19_disjunction_stays_equi_hash_join(spark):
+    # the OR-of-ANDs predicate must ride the l_partkey=p_partkey hash join
+    # as a residual, not degrade to a nested-loop join
+    plan = _formatted_plan(SPARK_QUERIES["tpch_q19"](spark, SF_SMALL))
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
