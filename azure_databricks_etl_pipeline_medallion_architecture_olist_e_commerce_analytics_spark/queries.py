@@ -1977,6 +1977,17 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string self-match over part names: candidate pairs
+    share a head-noun block, verified at levenshtein <= 2 (entity
+    resolution's blocking decomposition — no all-pairs comparison)."""
+    from .operators.fuzzy import fuzzy_pairs
+
+    tune_session(spark)
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_pairs(part, part, "p_name", max_dist=2)
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply as a driver-checkable query: the events stream is
     treated as a change feed keyed by user (latest change wins by (ts,
@@ -2138,6 +2149,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "fuzzy_join": q_fuzzy_join,
     "cdc_apply": q_cdc_apply,
     "streaming_incremental_mv": q_streaming_incremental_mv,
     "segment_dedup": q_segment_dedup,
@@ -2251,6 +2263,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "fuzzy_join": r"""
+      WITH names AS (SELECT DISTINCT p_name FROM part),
+      blocked AS (
+        SELECT p_name, regexp_split_to_array(trim(p_name), '\s+')[-1] AS blk
+        FROM names
+      )
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
     "cdc_apply": """
       SELECT user_id, event_id, ts, event_type, value
       FROM (

@@ -65,6 +65,7 @@ HEADLINE = [
     "doc_chunking",
     "winsorize",
     "bucketed_join",
+    "fuzzy_join",
     "cdc_apply",
     "streaming_incremental_mv",
     "segment_dedup",

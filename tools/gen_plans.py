@@ -92,6 +92,59 @@ ANNOTATIONS = {
         "covered buckets, points hash to one bucket — converts the theta "
         "join into an equi-shuffle with per-bucket verification."
     ),
+    "tpch_q1": (
+        "Full-fact pricing summary: scan-side date filter pushed to "
+        "parquet, map-side partial HashAggregate, one exchange on the "
+        "2x2-value group key. Averages derive from the exact decimal sums "
+        "already aggregated — no second pass."
+    ),
+    "tpch_q3": (
+        "Shipping-priority top-k: segment-filtered customer side "
+        "broadcasts; lineitem-orders shuffles once on the order key, which "
+        "is also the group key — one exchange serves join and aggregate; "
+        "TakeOrderedAndProject keeps per-partition O(k) state instead of a "
+        "global sort."
+    ),
+    "tpch_q5": (
+        "6-table regional volume star: region/nation explicit broadcasts, "
+        "filtered supplier/customer sides AQE-broadcast; the only big "
+        "shuffle is lineitem-orders. The c_nationkey=s_nationkey residual "
+        "rides the supplier hash join."
+    ),
+    "segment_dedup": (
+        "Aligned-segment dedup + rewrite: tokenize/segment via higher-order "
+        "functions (zero shuffle), ONE hash shuffle on the segment value "
+        "for the canonical rank, one re-aggregation shuffle on doc_id for "
+        "the rewrite. Segment groups are tiny at any scale — no skew "
+        "beyond stop-phrase segments."
+    ),
+    "semantic_prune": (
+        "SemDeDup: within-cluster cosine pairs (broadcast build side at "
+        "bounded cluster count; cluster-key shuffle when k >> cores), "
+        "components over dup edges only, size-gated union-find fast path "
+        "for driver-bounded edge sets."
+    ),
+    "mix_temperature": (
+        "Temperature resample: one tiny shuffle for per-source counts; the "
+        "keep decision is a broadcast join + integer comparison — "
+        "division-free, float-free, zero additional exchanges."
+    ),
+    "cdc_apply": (
+        "foreachBatch CDC MERGE: per microbatch one window shuffle keyed by "
+        "entity for latest-change-wins, then a keyed MERGE against the "
+        "current snapshot — the same execution DLT's apply_changes bottoms "
+        "out in, on versioned parquet snapshots."
+    ),
+    "streaming_incremental_mv": (
+        "Enzyme-analog MV fold: per microbatch a partial aggregate over the "
+        "batch plus a state merge shuffling O(groups) rows — refresh cost "
+        "is O(batch), never O(history)."
+    ),
+    "fuzzy_join": (
+        "Blocked fuzzy match: distinct-value vocabularies joined on the "
+        "block key (one narrow shuffle), JVM levenshtein verification per "
+        "block — never an all-pairs comparison."
+    ),
 }
 
 
