@@ -1977,6 +1977,70 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup bucketing for binary payloads: a gradient
+    hash over the 16-bin byte histogram (bit i = bin i+1 count exceeds bin
+    i's — the aHash/pHash adjacent-comparison trick on the universal
+    byte-content fingerprint), then hash-equality buckets with a canonical
+    member. Integer comparisons end-to-end — bit-exact on any engine.
+
+    Scale: feature extraction is the Arrow mapInPandas pass (one scan);
+    bucketing is ONE shuffle on the 15-bit hash; within-bucket refinement
+    (true hamming verify) composes with simhash_pairs when payloads need
+    graded similarity rather than exact-signature grouping.
+    """
+    from .operators.multimodal import attach_binary_payload, extract_byte_features
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_byte_features(attach_binary_payload(docs), bins=16)
+    phash = F.expr(
+        "aggregate(transform(sequence(0, 14), i -> "
+        "IF(element_at(byte_hist_counts, i + 2) > element_at(byte_hist_counts, i + 1), "
+        "shiftleft(1L, i), 0L)), 0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("phash")
+    return (
+        feats.select("doc_id", phash.alias("phash"))
+        .withColumn("bucket_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training support: the BPE inner loop's pair statistics —
+    adjacent character-pair counts weighted by word frequency, top 50.
+
+    Scale shape: one shuffle builds the word-frequency vocabulary (corpus
+    scale collapses to vocabulary scale immediately), the bigram fan-out
+    runs over DISTINCT words only, and the final count is a hash aggregate
+    over O(alphabet²) keys + TakeOrdered — the exact per-iteration cost
+    profile of distributed BPE training.
+    """
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # substring with a dynamic start needs the expr form (the DSL signature
+    # takes literal ints only)
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(50)
+    )
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy string self-match over part names: candidate pairs
     share a head-noun block, verified at levenshtein <= 2 (entity
@@ -2149,6 +2213,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "multimodal_phash": q_multimodal_phash,
+    "bpe_pairs": q_bpe_pairs,
     "fuzzy_join": q_fuzzy_join,
     "cdc_apply": q_cdc_apply,
     "streaming_incremental_mv": q_streaming_incremental_mv,
@@ -2263,6 +2329,53 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "multimodal_phash": """
+      WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+      ),
+      counts AS (
+        SELECT doc_id, ord(ch) // 16 AS bin, COUNT(*) AS cnt
+        FROM chars GROUP BY 1, 2
+      ),
+      grid AS (
+        SELECT d.doc_id, t.b
+        FROM (SELECT doc_id FROM documents) d, UNNEST(range(0, 16)) AS t(b)
+      ),
+      hist AS (
+        SELECT g.doc_id, g.b, COALESCE(c.cnt, 0) AS cnt
+        FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.b
+      ),
+      vecs AS (SELECT doc_id, list(cnt ORDER BY b) AS h FROM hist GROUP BY doc_id),
+      ph AS (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(CASE WHEN h[t.i + 2] > h[t.i + 1]
+                                      THEN 1 << t.i ELSE 0 END), 0) AS BIGINT) AS phash
+        FROM vecs, UNNEST(range(0, 15)) AS t(i)
+        GROUP BY doc_id
+      )
+      SELECT doc_id, phash,
+             COUNT(*) OVER (PARTITION BY phash) AS bucket_size,
+             doc_id = MIN(doc_id) OVER (PARTITION BY phash) AS is_canonical
+      FROM ph
+    """,
+    "bpe_pairs": r"""
+      WITH words AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents
+        ) WHERE length(w) >= 2
+        GROUP BY w
+      ),
+      pairs AS (
+        SELECT substr(w, CAST(t.i AS INT), 2) AS pair, freq
+        FROM words, UNNEST(range(1, length(w))) AS t(i)
+      )
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+      ORDER BY pair_count DESC, pair ASC
+      LIMIT 50
+    """,
     "fuzzy_join": r"""
       WITH names AS (SELECT DISTINCT p_name FROM part),
       blocked AS (

@@ -66,6 +66,8 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "multimodal_phash",
+    "bpe_pairs",
     "cdc_apply",
     "streaming_incremental_mv",
     "segment_dedup",
