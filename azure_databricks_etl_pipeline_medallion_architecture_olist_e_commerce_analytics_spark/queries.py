@@ -1977,6 +1977,76 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer's order
+    chain from their first order through pre-built successor edges,
+    assigning sequence positions iteratively. The recursion is executed by
+    Catalyst's recursion operator (UNION ALL semantics, depth-capped by
+    spark.sql.cteRecursionLevelLimit); chains here are acyclic and at most
+    ~25 deep. The oracle states the same contract declaratively as a
+    ROW_NUMBER window — recursion and ranking must agree exactly.
+
+    Scale: each recursion level is one equi-join of the frontier against
+    the successor edges — at depth d the frontier is only the chains still
+    alive, so total work is O(rows · 1), not O(rows · depth).
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # materialize the successor-edge table ONCE — a CTE reference inside the
+    # recursion would re-evaluate the window at every level (O(depth) full
+    # window sorts); localCheckpoint makes each level a join against a
+    # cached edge list instead
+    nxt = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lead("o_orderkey").over(w).alias("next_key"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .localCheckpoint()
+    )
+    nxt.createOrReplaceTempView("__rc_nxt")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(o_custkey, o_orderkey, seq_pos) AS (
+          SELECT o_custkey, o_orderkey, 1 FROM __rc_nxt WHERE rn = 1
+          UNION ALL
+          SELECT n.o_custkey, n.next_key, c.seq_pos + 1
+          FROM chain c
+          JOIN __rc_nxt n ON n.o_orderkey = c.o_orderkey
+          WHERE n.next_key IS NOT NULL
+        )
+        SELECT o_custkey, o_orderkey, CAST(seq_pos AS INT) AS seq_pos
+        FROM chain
+        """
+    )
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: per order, the
+    top-priced line item. Catalyst decorrelates the lateral into a
+    window/aggregate plan rather than a per-row probe — the declarative
+    per-group-top-1 the reference's window-dedup subqueries approximate
+    (dim_customers.sql:29-36)."""
+    tune_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lt_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__lt_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_extendedprice
+        FROM __lt_orders o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM __lt_lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 1
+        ) l
+        """
+    )
+
+
 def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup bucketing for binary payloads: a gradient
     hash over the 16-bin byte histogram (bit i = bin i+1 count exceeds bin
@@ -2213,6 +2283,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "recursive_chain": q_recursive_chain,
+    "lateral_topk": q_lateral_topk,
     "multimodal_phash": q_multimodal_phash,
     "bpe_pairs": q_bpe_pairs,
     "fuzzy_join": q_fuzzy_join,
@@ -2329,6 +2401,24 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "recursive_chain": """
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS INT) AS seq_pos
+      FROM orders
+    """,
+    "lateral_topk": """
+      SELECT o_orderkey, o_totalprice, l_linenumber, l_extendedprice
+      FROM (
+        SELECT o.o_orderkey, o.o_totalprice, li.l_linenumber, li.l_extendedprice,
+               row_number() OVER (
+                 PARTITION BY o.o_orderkey
+                 ORDER BY li.l_extendedprice DESC, li.l_linenumber
+               ) AS rn
+        FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+      ) WHERE rn = 1
+    """,
     "multimodal_phash": """
       WITH chars AS (
         SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents

@@ -66,6 +66,8 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "recursive_chain",
+    "lateral_topk",
     "multimodal_phash",
     "bpe_pairs",
     "cdc_apply",
