@@ -1977,6 +1977,61 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse the semi-structured props column once
+    into a variant and extract typed paths (the modern replacement for
+    per-path get_json_object re-parsing — the variant binary encodes the
+    parsed tree, so N path extractions cost one parse).
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        F.parse_json(F.col("props")).alias("v"),
+    ).select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy(F.expr("k div 10").cast("int").alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: a word-splitting UDTF applied
+    via LATERAL over documents, aggregated to the top-20 word lengths.
+
+    This is the API-surface demonstration for user table functions
+    (SURVEY.md §2.10) — the hot path for this exact computation is the JVM
+    explode(split(...)) in `explode_tokens`/`top_ngrams`; a row-path Python
+    UDTF costs 10-100x more and belongs only where logic can't be
+    expressed in built-ins.
+    """
+    from pyspark.sql.functions import udtf
+
+    tune_session(spark)
+
+    @udtf(returnType="word: string, wlen: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield (w, len(w))
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT w.word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM __udtf_docs d, LATERAL split_words(d.text) w
+        GROUP BY w.word
+        ORDER BY n DESC, w.word
+        LIMIT 20
+        """
+    )
+
+
 def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer's order
     chain from their first order through pre-built successor edges,
@@ -2283,6 +2338,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "variant_extract": q_variant_extract,
+    "udtf_split": q_udtf_split,
     "recursive_chain": q_recursive_chain,
     "lateral_topk": q_lateral_topk,
     "multimodal_phash": q_multimodal_phash,
@@ -2401,6 +2458,24 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "variant_extract": """
+      SELECT CAST(CAST(props->>'k' AS INT) // 10 AS INT) AS k_bucket,
+             COUNT(*) AS n_events,
+             MIN(CAST(props->>'k' AS INT)) AS min_k,
+             MAX(CAST(props->>'k' AS INT)) AS max_k
+      FROM events
+      GROUP BY 1
+    """,
+    "udtf_split": r"""
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        FROM documents
+      ) WHERE word <> ''
+      GROUP BY word
+      ORDER BY n DESC, word
+      LIMIT 20
+    """,
     "recursive_chain": """
       SELECT o_custkey, o_orderkey,
              CAST(row_number() OVER (

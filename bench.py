@@ -66,6 +66,8 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "variant_extract",
+    "udtf_split",
     "recursive_chain",
     "lateral_topk",
     "multimodal_phash",
