@@ -1366,9 +1366,17 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    stream = stream_source(
-        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
-    )
+    if os.path.isdir(path):
+        # directory-of-part-files layout (Spark-written): stream the table
+        # directory itself — a pathGlobFilter of "events.parquet" would
+        # match no part file and silently stream zero rows
+        stream = stream_source(spark, path, schema=schema)
+    else:
+        # single-file layout (driver testdata): FileStreamSource needs a
+        # directory path, so stream the parent with a file filter
+        stream = stream_source(
+            spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+        )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return normalize_ntz(stream)

@@ -38,9 +38,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 @lru_cache(maxsize=256)
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only read, cached)."""
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer-only read, cached).
+
+    Accepts both layouts a parquet table ships in: a single file (the driver
+    testdata) and a directory of part files (anything Spark wrote) — for a
+    directory the footer of one part file speaks for the table.
+    """
+    import glob
+
     import pyarrow as pa
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        path = parts[0]
     schema = pq.read_schema(path)
     return tuple(
         f.name
@@ -77,8 +89,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
     for c in _nano_ts_columns(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # Only convert when the column actually ARRIVED as long: pyarrow
+        # also reports INT96 (Spark-written legacy) timestamps as ns, but
+        # Spark loads those as TIMESTAMP directly — the div-1000 fixup
+        # applies solely to TIMESTAMP(NANOS) surfaced via nanosAsLong.
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return normalize_ntz(df)
 
 

@@ -1,0 +1,91 @@
+"""Scaling probe: run headline queries at sf0.1 and at the 10x replica
+(tools/gen_scale_data.py -> /tmp/spark_graft_scale/sf1), report the
+runtime ratio per query.
+
+A shuffle- and scan-dominated plan on fixed cores should scale ~linearly
+(ratio ~<= 10 for 10x rows); a quadratic or driver-bottlenecked plan shows
+up immediately as a much larger ratio. Pairwise-dedup queries whose OUTPUT
+is inherently superlinear in duplicate density (jaccard/minhash/simhash
+pair emission) are probed via their bounded-output composition
+(`dedup_survivors`) instead of raw pair dumps.
+
+Usage: python tools/scaling_probe.py   (prints a markdown table)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark import (  # noqa: E402
+    get_spark,
+)
+from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (  # noqa: E402
+    SPARK_QUERIES,
+)
+
+SMALL = "/root/testdata/sf0.1"
+BIG = "/tmp/spark_graft_scale/sf1"
+
+PROBE = [
+    # star fact + classic analytics (scan/join/agg dominated)
+    "gold_fact_lineitem",
+    "order_totals",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q18",
+    "window_dedup",
+    "date_expr_join",
+    "sessionize_batch",
+    "asof_join",
+    "range_join",
+    "grouped_median",
+    "lateral_topk",
+    # text / corpus operators (per-row + vocabulary shuffles)
+    "text_analysis",
+    "top_ngrams",
+    "tf_idf",
+    "segment_dedup",
+    "bpe_pairs",
+    "mix_temperature",
+    # dedup composition with bounded output
+    "dedup_survivors",
+    # vector ops
+    "ann_topk_np",
+    "embedding_quantize",
+    # streaming (availableNow, state-store bound)
+    "streaming_window_agg",
+    "streaming_running_totals",
+]
+
+
+def timed(fn, sf_dir: str) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+if __name__ == "__main__":
+    spark = get_spark("scaling-probe")
+    print("| query | sf0.1 (s) | sf1 = 10x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in PROBE:
+        fn = SPARK_QUERIES[name]
+        try:
+            t_small = timed(fn, SMALL)
+            t_big = timed(fn, BIG)
+            print(
+                f"| {name} | {t_small:.2f} | {t_big:.2f} | "
+                f"{t_big / t_small:.1f}x |",
+                flush=True,
+            )
+        except Exception as exc:
+            print(f"| {name} | — | — | ERROR {type(exc).__name__} |", flush=True)
