@@ -222,3 +222,39 @@ def test_schema_evolution_keeps_pinned_types(spark, tmp_path):
     res = ing.ingest(spark)
     r = res.df.collect()[0]
     assert r.amount is None and r[RESCUED_COL] is not None
+
+
+def test_directory_layout_tables_load_and_stream(spark, tmp_path):
+    """Engine tables written by Spark arrive as directories of part files —
+    load_table must probe footers through the directory, must NOT apply the
+    nanos fixup to INT96/µs timestamp columns, and the events file-stream
+    must stream the table directory (a single-file pathGlobFilter would
+    silently match zero part files)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        _stream_events,
+        q_streaming_window_agg,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources.loader import (
+        load_table,
+    )
+
+    from conftest import SF_SMALL
+
+    sf_dir = str(tmp_path)
+    for tbl in ("events", "orders"):
+        load_table(spark, SF_SMALL, tbl).write.parquet(f"{sf_dir}/{tbl}.parquet")
+
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() == load_table(spark, SF_SMALL, "events").count()
+    orders = load_table(spark, sf_dir, "orders")
+    assert dict(orders.dtypes)["o_orderdate"] == "timestamp"
+    # values survive the round trip unchanged (no spurious div-1000)
+    a = sorted(r[0] for r in load_table(spark, SF_SMALL, "orders").select("o_orderdate").limit(5).collect())
+    b = sorted(r[0] for r in orders.select("o_orderdate").limit(5).collect())
+    assert min(a) == min(b)
+
+    stream = _stream_events(spark, sf_dir)
+    assert stream.isStreaming and dict(stream.dtypes)["ts"] == "timestamp"
+    agg = q_streaming_window_agg(spark, sf_dir)
+    assert agg.count() > 0
