@@ -145,6 +145,27 @@ ANNOTATIONS = {
         "block key (one narrow shuffle), JVM levenshtein verification per "
         "block — never an all-pairs comparison."
     ),
+    "recursive_chain": (
+        "Spark 4 recursive CTE: successor edges materialized ONCE "
+        "(localCheckpoint) before the recursion — a CTE reference would "
+        "re-run the window at every level; each level is then one "
+        "frontier⋈edges hash join, total work O(rows)."
+    ),
+    "lateral_topk": (
+        "Correlated LATERAL with ORDER BY+LIMIT: Catalyst decorrelates to "
+        "a window/rank plan — verified no nested-loop join; per-order "
+        "top-1 without a per-row probe."
+    ),
+    "bpe_pairs": (
+        "BPE pair statistics: corpus collapses to the word-frequency "
+        "vocabulary in the first shuffle; bigram fan-out runs over "
+        "DISTINCT words; final agg is O(alphabet²) keys + TakeOrdered."
+    ),
+    "variant_extract": (
+        "VARIANT path extraction: parse_json once per row, typed "
+        "variant_get per path — no repeated JSON re-parsing; grouped agg "
+        "on the derived bucket is one exchange."
+    ),
 }
 
 
