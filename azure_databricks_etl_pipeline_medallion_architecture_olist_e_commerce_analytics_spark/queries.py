@@ -1985,6 +1985,69 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile VECTOR (p25/p50/p75/p90) by rank selection:
+    one window sort per group assigns ranks, one conditional aggregate
+    picks the value at rank floor((n-1)*p)+1 (lower-value semantics — no
+    interpolation, so the float math is engine-identical by construction).
+
+    Scale: the honest cost of exact quantiles is the per-group sort; all
+    four quantiles ride ONE window pass + ONE aggregate (not one pass per
+    quantile). approx_quantiles (GK sketch) is the documented scale path
+    when bounded error is acceptable."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+
+    def at(p: float):
+        k = F.floor((F.col("n") - 1) * F.lit(p)) + 1
+        return F.max(F.when(F.col("rn") == k, F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        at(0.25).alias("q25"),
+        at(0.50).alias("q50"),
+        at(0.75).alias("q75"),
+        at(0.90).alias("q90"),
+        F.any_value("n").alias("n_values"),
+    )
+
+
+def q_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the trailing-1-hour event sum
+    and count at every event — the time-series rolling aggregate a
+    timestamp-RANGE window expresses declaratively (no self-join, no
+    explode of time buckets). Sums accumulate in DECIMAL so the trailing
+    totals are bitwise engine-independent.
+
+    Scale: one shuffle on the partition key; within each partition the
+    frame is a sliding two-pointer over the sorted events — O(rows), not
+    O(rows · window span)."""
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = ev.withColumn("ts_sec", F.col("ts").cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias(
+            "trailing_1h_value"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT type: parse the semi-structured props column once
     into a variant and extract typed paths (the modern replacement for
@@ -2346,6 +2409,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "exact_quantiles": q_exact_quantiles,
+    "time_range_window": q_time_range_window,
     "variant_extract": q_variant_extract,
     "udtf_split": q_udtf_split,
     "recursive_chain": q_recursive_chain,
@@ -2466,6 +2531,33 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "exact_quantiles": """
+      WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+      )
+      SELECT event_type,
+             MAX(CASE WHEN rn = floor((n - 1) * 0.25) + 1 THEN value END) AS q25,
+             MAX(CASE WHEN rn = floor((n - 1) * 0.50) + 1 THEN value END) AS q50,
+             MAX(CASE WHEN rn = floor((n - 1) * 0.75) + 1 THEN value END) AS q75,
+             MAX(CASE WHEN rn = floor((n - 1) * 0.90) + 1 THEN value END) AS q90,
+             ANY_VALUE(n) AS n_values
+      FROM ranked GROUP BY event_type
+    """,
+    "time_range_window": """
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS trailing_1h_value,
+             COUNT(*) OVER w AS trailing_1h_events
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+      )
+    """,
     "variant_extract": """
       SELECT CAST(CAST(props->>'k' AS INT) // 10 AS INT) AS k_bucket,
              COUNT(*) AS n_events,

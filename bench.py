@@ -66,6 +66,8 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "exact_quantiles",
+    "time_range_window",
     "variant_extract",
     "udtf_split",
     "recursive_chain",
