@@ -1985,6 +1985,41 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE analog as a driver-checkable query: the events table is
+    deliberately shattered into small files, compacted back to the byte
+    target (operators/maintenance.py — the parquet-native equivalent of
+    delta.autoCompact), and the compacted table's per-type aggregate is
+    returned. Matching the oracle's direct aggregate over the source
+    PROVES the rewrite is content-preserving; the returned
+    ``n_files_shrunk`` flag proves compaction actually ran.
+    """
+    import shutil
+    import tempfile
+
+    from .operators.maintenance import compact_parquet, parquet_file_stats
+
+    tune_session(spark)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_optimize")
+    shutil.rmtree(base, ignore_errors=True)
+    small = os.path.join(base, "events_small_files")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev.repartition(64).write.parquet(small)
+    compact_parquet(spark, small, target_bytes=256 * 1024 * 1024)
+    after = parquet_file_stats(spark, small)
+    return (
+        spark.read.parquet(small)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .withColumn("n_files_shrunk", F.lit(after["n_files"] < 64))
+    )
+
+
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantile VECTOR (p25/p50/p75/p90) by rank selection:
     one window sort per group assigns ranks, one conditional aggregate
@@ -2409,6 +2444,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "optimize_compact": q_optimize_compact,
     "exact_quantiles": q_exact_quantiles,
     "time_range_window": q_time_range_window,
     "variant_extract": q_variant_extract,
@@ -2531,6 +2567,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "optimize_compact": """
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             TRUE AS n_files_shrunk
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    """,
     "exact_quantiles": """
       WITH ranked AS (
         SELECT event_type, value,
