@@ -648,8 +648,182 @@ _TPCH_Q22_SQL = """
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking (adapted: the commit/receipt-date pair
+    becomes "shipped >30 days after order"): EXISTS correlated semi-join
+    against lineitem, counted per priority. Catalyst rewrites the EXISTS
+    to a left-semi hash join — no per-row subquery."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(F.col("o_orderdate"), 30)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_TPCH_Q4_SQL = """
+  SELECT o_orderpriority, COUNT(*) AS order_count
+  FROM orders o
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+    AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+        AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+  GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit (adapted: no partsupp cost — revenue by
+    supplier nation x order year for a part-name family). Part filter
+    runs before the join; nation broadcasts; lineitem⋈orders is the one
+    big shuffle."""
+    tune_session(spark)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("sum_profit"))
+    )
+
+
+_TPCH_Q9_SQL = f"""
+  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_profit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE contains(p_name, 'bolt')
+  GROUP BY 1, 2
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: LEFT join customer->orders,
+    per-customer count (zeros preserved), then the histogram of counts —
+    two hash aggregations, the second over O(max orders per customer)
+    keys."""
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_TPCH_Q13_SQL = """
+  SELECT c_count, COUNT(*) AS custdist
+  FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+  )
+  GROUP BY c_count
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 analog (suppliers-who-kept-waiting shape): suppliers with a
+    late-shipped line in a multi-supplier order where NO other supplier in
+    that order shipped late — the classic correlated EXISTS + NOT EXISTS
+    pair, both rewritten to semi/anti hash joins on (orderkey)."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("late", F.col("l_shipdate") > F.date_add("o_orderdate", 60))
+    )
+    # per (order, supplier): any late line; per order: supplier count + late-supplier count
+    per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("supp_late").alias("n_late_supps"),
+    )
+    waiting = (
+        per_supp.filter(F.col("supp_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_TPCH_Q21_SQL = """
+  WITH l1 AS (
+    SELECT l_orderkey, l_suppkey,
+           CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  ),
+  per_supp AS (
+    SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+    FROM l1 GROUP BY 1, 2
+  ),
+  per_order AS (
+    SELECT l_orderkey, COUNT(*) AS n_supps, SUM(supp_late) AS n_late_supps
+    FROM per_supp GROUP BY 1
+  )
+  SELECT s_name, COUNT(*) AS numwait
+  FROM per_supp
+  JOIN per_order USING (l_orderkey)
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE supp_late = 1 AND n_supps > 1 AND n_late_supps = 1
+  GROUP BY s_name
+"""
+
+
 TPCH_QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q21": q_tpch_q21,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -666,6 +840,10 @@ TPCH_QUERIES = {
 
 TPCH_ORACLES = {
     "tpch_q1": _TPCH_Q1_SQL,
+    "tpch_q4": _TPCH_Q4_SQL,
+    "tpch_q9": _TPCH_Q9_SQL,
+    "tpch_q13": _TPCH_Q13_SQL,
+    "tpch_q21": _TPCH_Q21_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
     "tpch_q6": _TPCH_Q6_SQL,

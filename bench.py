@@ -84,6 +84,10 @@ HEADLINE = [
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q21",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
