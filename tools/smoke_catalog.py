@@ -11,6 +11,10 @@ Usage:
     python tools/smoke_catalog.py                    # sf0.1, all queries
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/smoke_catalog.py
     python tools/smoke_catalog.py name1 name2        # subset
+    SPARK_GRAFT_SMOKE_SHUFFLE=<seed> python tools/smoke_catalog.py
+        # randomized execution order: catches inter-query state leaks
+        # (temp-view collisions, cache/checkpoint interference) that a
+        # fixed catalog order could mask — the driver may run any prefix
 """
 
 from __future__ import annotations
@@ -35,8 +39,15 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     subset = set(sys.argv[1:])
 
+    items = list(queries.items())
+    seed = os.environ.get("SPARK_GRAFT_SMOKE_SHUFFLE")
+    if seed is not None:
+        import random
+
+        random.Random(int(seed)).shuffle(items)
+
     failed: list[str] = []
-    for name, fn in queries.items():
+    for name, fn in items:
         if subset and name not in subset:
             continue
         t0 = time.perf_counter()
