@@ -50,10 +50,38 @@ def write_table(
     when the caller already gets the row count from an Observation riding
     the write job itself (plans/registry.py).
     """
+    import os
+    import shutil
+
     schema, _, table = dataset.name.rpartition(".")
     ident = f"`{schema}`.`{table}`" if schema else f"`{table}`"
+    plain = f"{schema}.{table}" if schema else table
     if schema:
         _ensure_database(spark, schema)
+
+    if warehouse:
+        # caller-isolated run: the table becomes EXTERNAL at
+        # <warehouse>/<schema>/<table>. A catalog entry left by a previous
+        # run may point at a different location — drop it so saveAsTable
+        # re-creates at the requested path (files of the old location are
+        # untouched; full-refresh overwrite replaces the new location).
+        location = os.path.join(warehouse, *dataset.name.split("."))
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    else:
+        location = None
+        if not spark.catalog.tableExists(plain):
+            # stale MANAGED location from a previous session: the catalog
+            # entry died with that session's metastore but the directory
+            # survived, and saveAsTable refuses to create over it
+            # (LOCATION_ALREADY_EXISTS). Full-refresh semantics make the
+            # leftover safe to clear.
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            stale = os.path.join(
+                wh, f"{schema}.db" if schema else "", table
+            )
+            shutil.rmtree(stale, ignore_errors=True)
 
     out = df
     persisted = None
@@ -90,6 +118,8 @@ def write_table(
         writer = writer.sortBy(*sort_cols)
     for k, v in dataset.table_properties.items():
         writer = writer.option(k, str(v))
+    if location:
+        writer = writer.option("path", location)
     writer.saveAsTable(ident)
     if persisted is not None:
         persisted.unpersist()

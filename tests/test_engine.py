@@ -211,3 +211,65 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP DATABASE IF EXISTS wh CASCADE")
+
+
+def test_run_isolated_warehouse_and_rerun_stability(spark, tmp_path):
+    """`warehouse=` must actually place the tables (external, caller-owned
+    location) and repeated runs — same or different warehouse — must give
+    identical full-refresh results, never append/double."""
+    import os
+
+    def build():
+        p = Pipeline("iso")
+
+        @p.table(name="silver.iso_nums")
+        def nums(ctx):
+            return ctx.spark_session.range(10).withColumnRenamed("id", "v")
+
+        p.materialized_view(
+            "gold.iso_total", sql="SELECT SUM(v) AS total FROM LIVE.iso_nums"
+        )
+        return p
+
+    wh1 = str(tmp_path / "wh1")
+    r1 = build().run(spark, warehouse=wh1)
+    assert r1["silver.iso_nums"]["rows"] == 10
+    assert os.path.isdir(os.path.join(wh1, "silver", "iso_nums"))
+    # re-run into the SAME warehouse: full refresh, not append
+    r2 = build().run(spark, warehouse=wh1)
+    assert r2["silver.iso_nums"]["rows"] == 10
+    assert spark.table("`gold`.`iso_total`").collect()[0].total == 45
+    # re-run into a DIFFERENT warehouse: catalog entry relocates cleanly
+    wh2 = str(tmp_path / "wh2")
+    r3 = build().run(spark, warehouse=wh2)
+    assert r3["gold.iso_total"]["rows"] == 1
+    assert os.path.isdir(os.path.join(wh2, "gold", "iso_total"))
+    spark.sql("DROP TABLE `gold`.`iso_total`")
+    spark.sql("DROP TABLE `silver`.`iso_nums`")
+
+
+def test_run_recovers_from_stale_managed_location(spark):
+    """A managed-table directory left behind by a dead session (catalog
+    entry gone, files present) must not break the next run's saveAsTable —
+    full-refresh semantics make the leftover safe to clear."""
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stale = os.path.join(wh, "silver.db", "stale_nums")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "leftover.parquet"), "w") as fh:
+        fh.write("junk")
+    spark.sql("DROP TABLE IF EXISTS `silver`.`stale_nums`")
+
+    p = Pipeline("stale")
+
+    @p.table(name="silver.stale_nums")
+    def nums(ctx):
+        return ctx.spark_session.range(7).withColumnRenamed("id", "v")
+
+    report = p.run(spark)
+    assert report["silver.stale_nums"]["rows"] == 7
+    assert spark.table("`silver`.`stale_nums`").count() == 7
+    spark.sql("DROP TABLE `silver`.`stale_nums`")
+    shutil.rmtree(stale, ignore_errors=True)
