@@ -1985,6 +1985,31 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange: orders round-trip through ORC (the
+    other Spark-native columnar format) and the read-back aggregate must
+    match the parquet-source oracle exactly — proving the engine's sink
+    and scan paths are format-agnostic (same DataFrame plan, different
+    FileFormat; ORC carries its own min/max indexes for pushdown)."""
+    import shutil
+    import tempfile
+
+    tune_session(spark)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_orc")
+    shutil.rmtree(base, ignore_errors=True)
+    path = os.path.join(base, "orders_orc")
+    load_table(spark, sf_dir, "orders").write.orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.min(F.to_date("o_orderdate")).alias("first_day"),
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+    )
+
+
 def q_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE analog as a driver-checkable query: the events table is
     deliberately shattered into small files, compacted back to the byte
@@ -2444,6 +2469,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "orc_roundtrip": q_orc_roundtrip,
     "optimize_compact": q_optimize_compact,
     "exact_quantiles": q_exact_quantiles,
     "time_range_window": q_time_range_window,
@@ -2567,6 +2593,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "orc_roundtrip": """
+      SELECT o_orderstatus,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+             CAST(MIN(o_orderdate) AS DATE) AS first_day,
+             CAST(MAX(o_orderdate) AS DATE) AS last_day
+      FROM orders
+      GROUP BY o_orderstatus
+    """,
     "optimize_compact": """
       SELECT event_type,
              COUNT(*) AS n_events,

@@ -66,6 +66,7 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "orc_roundtrip",
     "optimize_compact",
     "exact_quantiles",
     "time_range_window",

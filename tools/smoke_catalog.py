@@ -62,9 +62,10 @@ def main() -> int:
         oracle = "oracle" if name in oracles else "rows-only"
         print(f"{status:4s} {elapsed:7.2f}s  {name}  [{oracle}]", flush=True)
 
+    n_run = len([1 for name, _ in items if not subset or name in subset])
     print(
-        f"\n{len(queries) - len(failed)}/{len(queries)} ok, "
-        f"{len(oracles)} with oracles, sf_dir={sf_dir}"
+        f"\n{n_run - len(failed)}/{n_run} ok "
+        f"(catalog {len(queries)}, {len(oracles)} with oracles), sf_dir={sf_dir}"
     )
     if failed:
         print("FAILED:", ", ".join(failed))
