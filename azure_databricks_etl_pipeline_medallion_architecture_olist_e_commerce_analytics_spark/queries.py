@@ -1985,6 +1985,37 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingestion end-to-end, driver-checkable: documents land
+    as JSON-lines once per sf_dir (the canonical LLM-corpus interchange
+    format), then JsonlIngestor infers-and-pins the schema, tracks the
+    processed-file ledger, and reads the corpus back — the typed round-trip
+    must value-match the parquet source exactly. Fresh state dir per call
+    keeps the query idempotent."""
+    import tempfile
+
+    from .sources.json_ingest import JsonlIngestor
+
+    tune_session(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    jsonl_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_{tag}")
+    marker = os.path.join(jsonl_dir, "_READY")
+    if not os.path.exists(marker):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.coalesce(4).write.mode("overwrite").json(jsonl_dir)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("ok")
+    state = tempfile.mkdtemp(prefix="spark_graft_jsonl_state_")
+    result = JsonlIngestor(jsonl_dir, state).ingest(spark)
+    return result.df.select(
+        F.col("doc_id").cast("long"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long"),
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar-format interchange: orders round-trip through ORC (the
     other Spark-native columnar format) and the read-back aggregate must
@@ -2469,6 +2500,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "jsonl_ingest_roundtrip": q_jsonl_ingest_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
     "optimize_compact": q_optimize_compact,
     "exact_quantiles": q_exact_quantiles,
@@ -2593,6 +2625,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "jsonl_ingest_roundtrip": """
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
     "orc_roundtrip": """
       SELECT o_orderstatus,
              COUNT(*) AS n_orders,
