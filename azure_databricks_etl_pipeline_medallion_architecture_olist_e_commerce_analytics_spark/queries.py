@@ -1985,6 +1985,27 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of `window_dedup`: first-event-per-user computed as
+    MIN(struct(ts, event_id, ...)) — a hash aggregate with MAP-SIDE partial
+    combining, so a hot key costs one comparison per input partition
+    instead of funneling its entire group through one window-sort task.
+    Identical output contract (same oracle shape as window_dedup); this is
+    the formulation to reach for when the dedup key is skewed — the window
+    form remains the general one when rank > 1 or ties must be enumerated.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "value", "event_type")).alias("f")
+    )
+    return first.select(
+        "user_id",
+        F.col("f.value").alias("first_value"),
+        F.col("f.event_type").alias("first_type"),
+    )
+
+
 def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL corpus ingestion end-to-end, driver-checkable: documents land
     as JSON-lines once per sf_dir (the canonical LLM-corpus interchange
@@ -2500,6 +2521,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "window_dedup_agg": q_window_dedup_agg,
     "jsonl_ingest_roundtrip": q_jsonl_ingest_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
     "optimize_compact": q_optimize_compact,
@@ -2625,6 +2647,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "window_dedup_agg": """
+      SELECT user_id, ANY_VALUE(value) AS first_value, ANY_VALUE(event_type) AS first_type
+      FROM (
+        SELECT user_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+      ) r WHERE rn = 1 GROUP BY user_id
+    """,
     "jsonl_ingest_roundtrip": """
       SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
