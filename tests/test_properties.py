@@ -145,3 +145,70 @@ def test_minhash_signature_estimates_jaccard(spark):
     for r in est:
         # 64 Bernoulli trials: 4 sigma ≈ 4*sqrt(p(1-p)/64) ≤ 0.25
         assert abs(r.jaccard - r.estimate) < 0.25, (r.jaccard, r.estimate)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta".split()),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_segment_dedup_each_segment_survives_exactly_once(spark, docs):
+    """Corpus-wide invariant: after aligned-segment dedup, every distinct
+    segment string appears EXACTLY once across all rewritten documents, and
+    kept counts sum to the number of distinct segments."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+        segment_dedup,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = segment_dedup(df, seg_len=2).collect()
+
+    # reconstruct each doc's segments exactly as the operator defines them
+    def segs(toks):
+        return [" ".join(toks[i : i + 2]) for i in range(0, len(toks), 2)]
+
+    all_segments = [s for toks in docs for s in segs(toks)]
+    distinct = set(all_segments)
+    kept_total = sum(r["n_kept"] for r in out)
+    assert kept_total == len(distinct)
+    # each kept segment string appears exactly once across clean_texts
+    kept_segs = []
+    by_id = {r["doc_id"]: r for r in out}
+    for i, toks in enumerate(docs):
+        clean = by_id[i]["clean_text"]
+        # clean_text is a space-join of surviving 2-token segments of THIS doc;
+        # recover them by greedy matching against the doc's own segment list
+        remaining = [s for s in segs(toks)]
+        text = clean
+        for s in remaining:
+            if text == s or text.startswith(s + " "):
+                kept_segs.append(s)
+                text = text[len(s):].lstrip()
+    assert sorted(kept_segs) == sorted(distinct)
+
+
+@given(seed=st.integers(min_value=0, max_value=5))
+@settings(max_examples=6, deadline=None)
+def test_mix_temperature_deterministic_and_bounded(spark, seed):
+    """The temperature mix keeps the same rows on every run (hash-based,
+    not rand()), and each source's keep probability respects the
+    min(1, N·u_s/(U·c_s)) bound within binomial slack."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        q_mix_temperature,
+    )
+
+    a = q_mix_temperature(spark, SF_SMALL).toPandas().sort_values("doc_id")
+    b = q_mix_temperature(spark, SF_SMALL).toPandas().sort_values("doc_id")
+    assert (a["kept"].values == b["kept"].values).all()
+    total = len(a)
+    kept = int(a["kept"].sum())
+    # alpha=0.5 with uniform sources => target about half the corpus
+    assert 0.3 * total < kept < 0.7 * total
