@@ -1985,6 +1985,82 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join — the reference's geolocation enrichment
+    (silver_geolocations + dim_customers geo join) generalized to a true
+    proximity join, expressed the Spark-native way: bucket points into
+    1-degree grid cells, replicate one side to its 3x3 neighbor cells, join
+    on cell equality, verify with an exact distance predicate.
+
+    The testdata has no coordinate columns, so both sides get
+    DETERMINISTIC synthetic coordinates (integer micro-degrees from a
+    multiplicative key hash) and the distance check is squared-euclidean in
+    integer micro-degrees — every step is integer-exact, so the oracle
+    reproduces the full output bit-for-bit (a haversine double would vary
+    between libm implementations at the filter knife-edge).
+
+    Scale: the classic decomposition of a theta (distance) join into an
+    equi-shuffle — candidates are bounded by 9 cells x local density, never
+    all-pairs; the same plan family as the range join's bucket
+    decomposition (operators/rangejoin.py).
+    """
+    tune_session(spark)
+    CELL = 1_000_000  # 1 degree in micro-degrees
+    R2 = 1_000_000 * 1_000_000  # 1-degree squared radius (== cell size,
+    # the largest radius the 3x3 neighborhood provably covers)
+
+    def coords(df, key, prefix, m_lat, m_lon):
+        lat = F.pmod(F.col(key) * F.lit(m_lat), F.lit(180_000_000)) - F.lit(
+            90_000_000
+        )
+        lon = F.pmod(F.col(key) * F.lit(m_lon), F.lit(360_000_000)) - F.lit(
+            180_000_000
+        )
+        return df.select(
+            F.col(key),
+            lat.alias(f"{prefix}_lat"),
+            lon.alias(f"{prefix}_lon"),
+        )
+
+    def cell(col):
+        # floor division via exact double floor — Spark's `div` truncates
+        # toward zero while DuckDB's `//` floors; floor() agrees everywhere
+        return F.floor(col / F.lit(CELL)).cast("long")
+
+    cust = coords(
+        load_table(spark, sf_dir, "customer"), "c_custkey", "c", 2654435761, 2246822519
+    ).withColumn("cell_lat", cell(F.col("c_lat"))).withColumn(
+        "cell_lon", cell(F.col("c_lon"))
+    )
+    supp = coords(
+        load_table(spark, sf_dir, "supplier"), "s_suppkey", "s", 40503, 65171
+    )
+    # replicate suppliers to their 3x3 neighbor cells
+    supp9 = supp.select(
+        "*",
+        F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlat"),
+    ).select(
+        "*",
+        F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dlon"),
+    ).select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        (cell(F.col("s_lat")) + F.col("dlat")).alias("cell_lat"),
+        (cell(F.col("s_lon")) + F.col("dlon")).alias("cell_lon"),
+    )
+    d2 = (
+        (F.col("c_lat") - F.col("s_lat")) * (F.col("c_lat") - F.col("s_lat"))
+        + (F.col("c_lon") - F.col("s_lon")) * (F.col("c_lon") - F.col("s_lon"))
+    )
+    return (
+        cust.join(supp9, ["cell_lat", "cell_lon"])
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= R2)
+        .select("c_custkey", "s_suppkey", "dist2")
+    )
+
+
 def q_window_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe twin of `window_dedup`: first-event-per-user computed as
     MIN(struct(ts, event_id, ...)) — a hash aggregate with MAP-SIDE partial
@@ -2521,6 +2597,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "geo_cell_join": q_geo_cell_join,
     "window_dedup_agg": q_window_dedup_agg,
     "jsonl_ingest_roundtrip": q_jsonl_ingest_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
@@ -2647,6 +2724,34 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "geo_cell_join": """
+      WITH cust AS (
+        SELECT c_custkey,
+               (c_custkey * 2654435761) % 180000000 - 90000000 AS c_lat,
+               (c_custkey * 2246822519) % 360000000 - 180000000 AS c_lon
+        FROM customer
+      ),
+      supp AS (
+        SELECT s_suppkey,
+               (s_suppkey * 40503) % 180000000 - 90000000 AS s_lat,
+               (s_suppkey * 65171) % 360000000 - 180000000 AS s_lon
+        FROM supplier
+      ),
+      supp9 AS (
+        SELECT s_suppkey, s_lat, s_lon,
+               CAST(floor(s_lat / 1000000.0) AS BIGINT) + u.dlat AS cell_lat,
+               CAST(floor(s_lon / 1000000.0) AS BIGINT) + v.dlon AS cell_lon
+        FROM supp, UNNEST([-1, 0, 1]) AS u(dlat), UNNEST([-1, 0, 1]) AS v(dlon)
+      )
+      SELECT c_custkey, s_suppkey,
+             (c_lat - s_lat) * (c_lat - s_lat)
+               + (c_lon - s_lon) * (c_lon - s_lon) AS dist2
+      FROM cust JOIN supp9
+        ON CAST(floor(c_lat / 1000000.0) AS BIGINT) = cell_lat
+       AND CAST(floor(c_lon / 1000000.0) AS BIGINT) = cell_lon
+      WHERE (c_lat - s_lat) * (c_lat - s_lat)
+              + (c_lon - s_lon) * (c_lon - s_lon) <= 1000000000000
+    """,
     "window_dedup_agg": """
       SELECT user_id, ANY_VALUE(value) AS first_value, ANY_VALUE(event_type) AS first_type
       FROM (

@@ -66,6 +66,7 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "geo_cell_join",
     "window_dedup_agg",
     "jsonl_ingest_roundtrip",
     "orc_roundtrip",
