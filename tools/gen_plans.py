@@ -166,6 +166,17 @@ ANNOTATIONS = {
         "variant_get per path — no repeated JSON re-parsing; grouped agg "
         "on the derived bucket is one exchange."
     ),
+    "geo_cell_join": (
+        "Spatial proximity join as an equi-shuffle: 1-degree grid cells, "
+        "3x3 neighbor replication on the small side, integer "
+        "squared-distance verify — candidates bounded by local density, "
+        "never all-pairs."
+    ),
+    "window_dedup_agg": (
+        "Skew-safe rank-1 dedup: MIN over an ordering struct is a hash "
+        "aggregate with map-side partial combine — a hot key reduces to "
+        "one row per input partition before the exchange."
+    ),
 }
 
 
