@@ -112,6 +112,19 @@ HEADLINE = [
 WARMUP = True
 
 
+def release_cached_state(spark) -> None:
+    """Drop dead cached state between queries: each catalog query re-builds
+    its own persisted DataFrames / localCheckpoint RDDs per invocation, so
+    blocks from completed runs are unreachable — but they stay in the block
+    manager and the accumulated pressure (GC churn) degrades later queries
+    in a 70+ query sweep. Safe between queries because nothing is shared
+    across catalog entries except on-disk artifacts."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(False)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -148,6 +161,7 @@ def main() -> None:
         except Exception as exc:  # one broken query must not void the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
+        release_cached_state(spark)
 
     total = round(sum(timings.values()), 3)
     payload = {

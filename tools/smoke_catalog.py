@@ -61,6 +61,9 @@ def main() -> int:
         elapsed = time.perf_counter() - t0
         oracle = "oracle" if name in oracles else "rows-only"
         print(f"{status:4s} {elapsed:7.2f}s  {name}  [{oracle}]", flush=True)
+        from bench import release_cached_state
+
+        release_cached_state(spark)
 
     n_run = len([1 for name, _ in items if not subset or name in subset])
     print(
