@@ -1985,6 +1985,42 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth dedup: a NEW document batch deduplicated against the
+    HISTORICAL corpus by fingerprint — the incremental form every
+    continuously-crawled training corpus needs (whole-corpus re-dedup per
+    ingest is O(history); this is O(batch + matched keys)).
+
+    Split is simulated on doc_id (history < 250, batch >= 250). The
+    decision is a LEFT join against the historical fingerprint index
+    (at production scale that index is a bucketed table on the fingerprint
+    — co-located probe, no shuffle of history per ingest); each new doc
+    emits is_novel plus the id of the historical doc it duplicates.
+    """
+    from .operators.dedup import fingerprint_col
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    history = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(fingerprint_col().alias("fingerprint"), F.col("doc_id").alias("dup_of"))
+        .groupBy("fingerprint")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+    batch = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", fingerprint_col().alias("fingerprint")
+    )
+    return (
+        batch.join(history, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.col("dup_of").isNull().alias("is_novel"),
+            "dup_of",
+        )
+    )
+
+
 def q_geo_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial join — the reference's geolocation enrichment
     (silver_geolocations + dim_customers geo join) generalized to a true
@@ -2597,6 +2633,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "incremental_dedup": q_incremental_dedup,
     "geo_cell_join": q_geo_cell_join,
     "window_dedup_agg": q_window_dedup_agg,
     "jsonl_ingest_roundtrip": q_jsonl_ingest_roundtrip,
@@ -2724,6 +2761,22 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "incremental_dedup": r"""
+      WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                 regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fingerprint
+        FROM documents
+      ),
+      history AS (
+        SELECT fingerprint, MIN(doc_id) AS dup_of
+        FROM fp WHERE doc_id < 250 GROUP BY fingerprint
+      )
+      SELECT b.doc_id, b.fingerprint,
+             h.dup_of IS NULL AS is_novel, h.dup_of
+      FROM fp b LEFT JOIN history h USING (fingerprint)
+      WHERE b.doc_id >= 250
+    """,
     "geo_cell_join": """
       WITH cust AS (
         SELECT c_custkey,

@@ -66,6 +66,7 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "incremental_dedup",
     "geo_cell_join",
     "window_dedup_agg",
     "jsonl_ingest_roundtrip",
