@@ -2341,6 +2341,14 @@ def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive, so total work is O(rows · 1), not O(rows · depth).
     """
     tune_session(spark)
+    # the recursion emits one row per order; Spark guards runaway recursion
+    # with a total-output row cap (default 1e6) — size it to the data like
+    # any other admission limit (rows of the table being walked, NOT
+    # unlimited; the depth cap stays at its default)
+    try:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    except Exception:
+        pass  # conf absent on this Spark build; default cap applies
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     # materialize the successor-edge table ONCE — a CTE reference inside the

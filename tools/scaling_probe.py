@@ -36,15 +36,25 @@ PROBE = [
     "order_totals",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
+    "tpch_q9",
+    "tpch_q13",
     "tpch_q18",
+    "tpch_q21",
     "window_dedup",
     "date_expr_join",
     "sessionize_batch",
     "asof_join",
     "range_join",
     "grouped_median",
+    "exact_quantiles",
+    "time_range_window",
     "lateral_topk",
+    "recursive_chain",
+    "variant_extract",
+    "geo_cell_join",
+    "fuzzy_join",
     # text / corpus operators (per-row + vocabulary shuffles)
     "text_analysis",
     "top_ngrams",
@@ -52,6 +62,8 @@ PROBE = [
     "segment_dedup",
     "bpe_pairs",
     "mix_temperature",
+    "incremental_dedup",
+    "multimodal_phash",
     # dedup composition with bounded output
     "dedup_survivors",
     # vector ops
