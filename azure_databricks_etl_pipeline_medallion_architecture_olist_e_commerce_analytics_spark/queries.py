@@ -1985,6 +1985,89 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space leakage detection: every EVAL item (vec_id < 100)
+    checked for a TRAIN-set neighbor above a cosine threshold — the
+    semantic complement of the n-gram `decontaminate` probe (paraphrased
+    leakage that shares no 5-gram still lands nearby in embedding space).
+    Emits per-eval-item contamination flags with the nearest train id.
+
+    Scale: eval sets are small — the eval side broadcasts and the train
+    corpus streams through one pass (no shuffle of train); the SRP-LSH
+    bucketed path (srp_lsh_dup_pairs) is the composition when the eval set
+    itself is too large to broadcast.
+    """
+    from .operators.similarity import dot_col, norm_col
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select("vec_id", F.col("embedding").alias("v"), norm_col(F.col("embedding")).alias("n"))
+    ev, tr = t.filter(F.col("vec_id") < 100).alias("e"), t.filter(
+        F.col("vec_id") >= 100
+    ).alias("t")
+    cos = F.round(
+        dot_col(F.col("e.v"), F.col("t.v")) / (F.col("e.n") * F.col("t.n")), 6
+    )
+    pairs = (
+        tr.join(F.broadcast(ev))
+        .select(
+            F.col("e.vec_id").alias("eval_id"),
+            F.col("t.vec_id").alias("train_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+    best = pairs.groupBy("eval_id").agg(
+        F.max(F.struct("cosine", F.col("train_id"))).alias("b"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    evals = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("eval_id"))
+    return evals.join(best, "eval_id", "left").select(
+        "eval_id",
+        F.col("b.cosine").alias("max_cosine"),
+        F.col("b.train_id").alias("nearest_train_id"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.col("b").isNotNull().alias("is_contaminated"),
+    )
+
+
+def q_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram statistics for n-gram language modeling: for each
+    head word, its top-3 continuations with integer parts-per-million
+    conditional probability — count tables are THE classic LM/quality
+    artifact, and integer ppm keeps the oracle exact (a float P(w2|w1)
+    would be division-order-dependent).
+
+    Scale: corpus collapses to bigram counts in one explode + hash-agg
+    pass; the per-head top-3 is WindowGroupLimit-bounded.
+    """
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    head = Window.partitionBy("w1")
+    rank_w = Window.partitionBy("w1").orderBy(F.desc("n12"), F.asc("w2"))
+    return (
+        counts.withColumn("n1", F.sum("n12").over(head))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            F.expr("n12 * 1000000 div n1").alias("cond_ppm"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-growth dedup: a NEW document batch deduplicated against the
     HISTORICAL corpus by fingerprint — the incremental form every
@@ -2641,6 +2724,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "bigram_lm_counts": q_bigram_lm_counts,
     "incremental_dedup": q_incremental_dedup,
     "geo_cell_join": q_geo_cell_join,
     "window_dedup_agg": q_window_dedup_agg,
@@ -2769,6 +2854,54 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "semantic_decontaminate": """
+      WITH t AS (SELECT vec_id, embedding AS e FROM embeddings),
+      pairs AS (
+        SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+               round(list_sum(list_transform(range(1, 65), i -> ev.e[i]::DOUBLE * tr.e[i]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(range(1, 65), i -> ev.e[i]::DOUBLE * ev.e[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(1, 65), i -> tr.e[i]::DOUBLE * tr.e[i]::DOUBLE)))), 6)
+                 AS cosine
+        FROM t ev JOIN t tr ON ev.vec_id < 100 AND tr.vec_id >= 100
+      ),
+      hits AS (SELECT * FROM pairs WHERE cosine >= 0.35),
+      best AS (
+        SELECT eval_id, cosine AS max_cosine, train_id AS nearest_train_id, n_hits
+        FROM (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY eval_id ORDER BY cosine DESC, train_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY eval_id) AS n_hits
+          FROM hits
+        ) WHERE rn = 1
+      )
+      SELECT e.vec_id AS eval_id, b.max_cosine, b.nearest_train_id,
+             COALESCE(b.n_hits, 0) AS n_hits,
+             b.eval_id IS NOT NULL AS is_contaminated
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < 100) e
+      LEFT JOIN best b ON e.vec_id = b.eval_id
+    """,
+    "bigram_lm_counts": r"""
+      WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+      ),
+      bigrams AS (
+        SELECT w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+        FROM toks, UNNEST(range(1, len(w))) AS t(i)
+      ),
+      counts AS (
+        SELECT w1, w2, COUNT(*) AS n12 FROM bigrams GROUP BY 1, 2
+      )
+      SELECT w1, w2, n12,
+             CAST(n12 * 1000000 // n1 AS BIGINT) AS cond_ppm,
+             CAST(rn AS INT) AS rank
+      FROM (
+        SELECT *,
+               SUM(n12) OVER (PARTITION BY w1) AS n1,
+               row_number() OVER (PARTITION BY w1 ORDER BY n12 DESC, w2 ASC) AS rn
+        FROM counts
+      ) WHERE rn <= 3
+    """,
     "incremental_dedup": r"""
       WITH fp AS (
         SELECT doc_id,

@@ -66,6 +66,8 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "semantic_decontaminate",
+    "bigram_lm_counts",
     "incremental_dedup",
     "geo_cell_join",
     "window_dedup_agg",
