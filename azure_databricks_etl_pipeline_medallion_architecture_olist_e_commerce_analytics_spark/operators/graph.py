@@ -102,12 +102,16 @@ def _driver_union_find(cur: DataFrame) -> DataFrame:
 
 
 # Above this many deduplicated edges the component computation stays fully
-# distributed; below it, the edge list (16 bytes/edge → <= ~32 MB) is
-# union-found on the driver in one pass. Dup graphs are edge-sparse relative
-# to the corpus (edges only between near-duplicates), so the gate is on the
-# EDGE count, which the eager checkpoint has already paid to materialize —
-# the check itself is a metadata-cheap count on cached partitions.
-SMALL_GRAPH_EDGE_LIMIT = 2_000_000
+# distributed; below it, the edge list is union-found on the driver in one
+# pass. The gate is sized where the driver path actually wins: the
+# single-threaded Python union-find costs ~1 µs/edge plus toLocalIterator
+# streaming, so 200k edges is well under one distributed round's scheduling
+# cost (~0.5-1 s) while millions of edges would NOT be — a near-threshold
+# graph must not trade 3-4 parallel rounds for tens of seconds of serial
+# driver work. Dup graphs are edge-sparse relative to the corpus, so real
+# workloads land far below the gate. The count() that prices the gate is a
+# job, but over partitions the eager checkpoint already materialized.
+SMALL_GRAPH_EDGE_LIMIT = 200_000
 
 
 def connected_components(

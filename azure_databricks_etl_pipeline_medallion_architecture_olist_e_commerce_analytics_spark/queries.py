@@ -1642,6 +1642,23 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(staged, budget=5000, order_cols=["doc_id"], token_col="n_tokens")
 
 
+def _side_artifact_dir(sf_dir: str, source_table: str, kind: str) -> str:
+    """Cache dir for a per-corpus side artifact (CSV/JSONL landing copy),
+    keyed by the ABSOLUTE source path and its mtime — a different corpus
+    with the same basename, or a regenerated corpus, gets a fresh dir
+    instead of silently round-tripping stale data."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{source_table}.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(src)))
+    except OSError:
+        mtime = "0"
+    key = hashlib.md5(f"{src}|{mtime}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{key}")
+
+
 def q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Auto-Loader-equivalent ingestion path (S1-S3) end-to-end,
     driver-checkable: orders lands as header CSV once per sf_dir (cached
@@ -1658,8 +1675,7 @@ def q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.csv_ingest import CsvIngestor
 
     tune_session(spark)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    csv_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_csv_{tag}")
+    csv_dir = _side_artifact_dir(sf_dir, "orders", "csv")
     marker = os.path.join(csv_dir, "_READY")
     if not os.path.exists(marker):
         orders = load_table(spark, sf_dir, "orders").select(
@@ -2043,7 +2059,11 @@ def q_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_session(spark)
     docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("w"))
+    # single-token/empty docs have no bigram — and sequence(1, 0) would run
+    # DESCENDING and index out of bounds, so the guard is load-bearing
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("w")).filter(
+        F.size("w") >= 2
+    )
     bigrams = toks.select(
         F.explode(
             F.expr(
@@ -2213,8 +2233,7 @@ def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.json_ingest import JsonlIngestor
 
     tune_session(spark)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    jsonl_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_{tag}")
+    jsonl_dir = _side_artifact_dir(sf_dir, "documents", "jsonl")
     marker = os.path.join(jsonl_dir, "_READY")
     if not os.path.exists(marker):
         docs = load_table(spark, sf_dir, "documents")
@@ -2370,7 +2389,9 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("variant_get(v, '$.k', 'int')").alias("k"),
     )
-    return v.groupBy(F.expr("k div 10").cast("int").alias("k_bucket")).agg(
+    # floor-div, not `div`: Spark's div truncates toward zero while the
+    # DuckDB oracle's // floors — they diverge on negative k
+    return v.groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_bucket")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),

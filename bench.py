@@ -115,6 +115,18 @@ HEADLINE = [
 WARMUP = True
 
 
+def time_noop(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    """Warm once, then min-of-N timed noop-sink executions — the shared
+    measurement primitive for bench.py and the scaling/skew probes."""
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def release_cached_state(spark) -> None:
     """Drop dead cached state between queries: each catalog query re-builds
     its own persisted DataFrames / localCheckpoint RDDs per invocation, so
@@ -151,16 +163,13 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in names:
         fn = SPARK_QUERIES[name]
-        runs = 2
         try:
             if warmup:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            for _ in range(runs):
+                timings[name] = round(time_noop(spark, fn, sf_dir, runs=2), 3)
+            else:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                elapsed = round(time.perf_counter() - t0, 3)
-                if name not in timings or elapsed < timings[name]:
-                    timings[name] = elapsed
+                timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one broken query must not void the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)

@@ -75,14 +75,7 @@ PROBE = [
 ]
 
 
-def timed(fn, sf_dir: str) -> float:
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+from bench import time_noop  # noqa: E402
 
 
 if __name__ == "__main__":
@@ -92,8 +85,8 @@ if __name__ == "__main__":
     for name in PROBE:
         fn = SPARK_QUERIES[name]
         try:
-            t_small = timed(fn, SMALL)
-            t_big = timed(fn, BIG)
+            t_small = time_noop(spark, fn, SMALL)
+            t_big = time_noop(spark, fn, BIG)
             print(
                 f"| {name} | {t_small:.2f} | {t_big:.2f} | "
                 f"{t_big / t_small:.1f}x |",

@@ -71,14 +71,7 @@ def build() -> None:
         )
 
 
-def timed(spark, fn, sf_dir: str) -> float:
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+from bench import time_noop  # noqa: E402
 
 
 if __name__ == "__main__":
@@ -90,8 +83,8 @@ if __name__ == "__main__":
     for name in PROBE:
         fn = SPARK_QUERIES[name]
         try:
-            t_u = timed(spark, fn, SRC)
-            t_s = timed(spark, fn, OUT)
+            t_u = time_noop(spark, fn, SRC)
+            t_s = time_noop(spark, fn, OUT)
             print(f"| {name} | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |", flush=True)
         except Exception as exc:
             print(f"| {name} | — | — | ERROR {type(exc).__name__} |", flush=True)
