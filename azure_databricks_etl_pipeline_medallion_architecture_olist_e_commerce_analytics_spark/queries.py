@@ -2001,6 +2001,44 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation capstone: the quality/repetition signals composed into one
+    integer score and per-source quality deciles — the final ranked-select
+    step of a data-curation pipeline (keep the top half of every source).
+
+    Score is a deterministic integer: floor(quality*1e6) minus halved /
+    quartered repetition penalties in ppm, so the composition is bitwise
+    reproducible. Deciles are PER SOURCE (a partitioned window — a global
+    ntile would funnel the corpus through one task at scale; per-source
+    ranking is also the curation-correct choice, since quality scales
+    differ across sources)."""
+    from .operators.textops import analyze_documents, repetition_signals
+
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    qa = analyze_documents(docs).select("doc_id", "quality_score")
+    rep = repetition_signals(docs).select(
+        "doc_id", "dup_word_frac", "dup_bigram_frac"
+    )
+    j = (
+        docs.select("doc_id", "source")
+        .join(qa, "doc_id")
+        .join(rep, "doc_id")
+    )
+    score = (
+        F.floor(F.col("quality_score") * 1e6)
+        - F.expr("floor(dup_word_frac * 1000000) div 2")
+        - F.expr("floor(dup_bigram_frac * 1000000) div 4")
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    return (
+        j.withColumn("score_ppm", score)
+        .withColumn("source_decile", F.ntile(10).over(w))
+        .withColumn("selected", F.col("source_decile") <= 5)
+        .select("doc_id", "source", "score_ppm", "source_decile", "selected")
+    )
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space leakage detection: every EVAL item (vec_id < 100)
     checked for a TRAIN-set neighbor above a cosine threshold — the
@@ -2745,6 +2783,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "quality_rank": q_quality_rank,
     "semantic_decontaminate": q_semantic_decontaminate,
     "bigram_lm_counts": q_bigram_lm_counts,
     "incremental_dedup": q_incremental_dedup,
@@ -2875,6 +2914,47 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "quality_rank": r"""
+      WITH base AS (
+        SELECT doc_id, source, text,
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+               string_split(text, ' ') AS words
+        FROM documents
+      ),
+      sig AS (
+        SELECT doc_id, source,
+               round(0.4 * least(1.0, n_chars / 500.0)
+                   + 0.3 * least(1.0, (CAST(len(list_intersect(toks,
+                       ['the','and','of','to','a','in','is','it','that','for'])) AS DOUBLE)
+                       / greatest(CAST(len(toks) AS DOUBLE), 1.0)) * 5.0)
+                   + 0.3 * (alpha_chars / greatest(n_chars, 1.0)), 6) AS quality_score,
+               1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)
+                 AS dup_word_frac,
+               CASE WHEN len(words) >= 2 THEN
+                 1.0 - CAST(len(list_distinct(list_transform(range(1, len(words)),
+                         g -> array_to_string(words[g:g+1], ' ')))) AS DOUBLE)
+                     / CAST(len(words) - 1 AS DOUBLE)
+               ELSE 0.0 END AS dup_bigram_frac
+        FROM base
+      ),
+      scored AS (
+        SELECT doc_id, source,
+               CAST(floor(quality_score * 1e6)
+                    - floor(floor(dup_word_frac * 1000000) / 2)
+                    - floor(floor(dup_bigram_frac * 1000000) / 4) AS BIGINT) AS score_ppm
+        FROM sig
+      )
+      SELECT doc_id, source, score_ppm,
+             CAST(ntile(10) OVER (
+               PARTITION BY source ORDER BY score_ppm DESC, doc_id ASC) AS INT)
+               AS source_decile,
+             ntile(10) OVER (
+               PARTITION BY source ORDER BY score_ppm DESC, doc_id ASC) <= 5
+               AS selected
+      FROM scored
+    """,
     "semantic_decontaminate": """
       WITH t AS (SELECT vec_id, embedding AS e FROM embeddings),
       pairs AS (
