@@ -2001,6 +2001,32 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-file corpus ingestion (.txt, one document per line — the
+    third corpus interchange format after parquet and JSONL): documents
+    land as plain text once per corpus, spark.read.text reads them back,
+    and the line-level aggregate must match the source exactly (count,
+    distinct count, total characters — exact integer sums)."""
+    import shutil
+
+    tune_session(spark)
+    txt_dir = _side_artifact_dir(sf_dir, "documents", "txt")
+    marker = os.path.join(txt_dir, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(txt_dir, ignore_errors=True)
+        load_table(spark, sf_dir, "documents").select("text").coalesce(4).write.text(
+            txt_dir
+        )
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("ok")
+    lines = spark.read.text(txt_dir)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("value").alias("n_distinct_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )
+
+
 def q_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation capstone: the quality/repetition signals composed into one
     integer score and per-source quality deciles — the final ranked-select
@@ -2783,6 +2809,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "text_ingest": q_text_ingest,
     "quality_rank": q_quality_rank,
     "semantic_decontaminate": q_semantic_decontaminate,
     "bigram_lm_counts": q_bigram_lm_counts,
@@ -2914,6 +2941,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "text_ingest": """
+      SELECT COUNT(*) AS n_lines,
+             COUNT(DISTINCT text) AS n_distinct_lines,
+             CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      FROM documents
+    """,
     "quality_rank": r"""
       WITH base AS (
         SELECT doc_id, source, text,

@@ -66,6 +66,7 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "text_ingest",
     "quality_rank",
     "semantic_decontaminate",
     "bigram_lm_counts",
