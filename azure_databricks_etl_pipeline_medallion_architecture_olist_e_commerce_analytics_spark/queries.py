@@ -2001,6 +2001,57 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (completing the join-type matrix): large-order
+    lineitems right-joined to customers' orders — order rows with no
+    qualifying lineitem survive with nulls. Catalyst plans it as the
+    mirrored left join; the preserved side drives the build/stream choice."""
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 80000
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "right")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "l_linenumber",
+            "l_extendedprice",
+        )
+    )
+
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL — the
+    multiplicity-preserving twins of the distinct set ops in `set_ops`):
+    order-priority multisets of two customer segments compared with
+    duplicates retained. Spark plans both as aggregate-with-count
+    rewrites — no row-pairing join."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderpriority", "o_orderstatus"
+    )
+    a = j.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    b = j.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    inter = a.intersectAll(b).groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("op", F.lit("intersect_all"))
+    exc = a.exceptAll(b).groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(exc)
+
+
 def q_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw text-file corpus ingestion (.txt, one document per line — the
     third corpus interchange format after parquet and JSONL): documents
@@ -2809,6 +2860,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "right_join": q_right_join,
+    "set_ops_all": q_set_ops_all,
     "text_ingest": q_text_ingest,
     "quality_rank": q_quality_rank,
     "semantic_decontaminate": q_semantic_decontaminate,
@@ -2941,6 +2994,27 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "right_join": """
+      SELECT o_orderkey, o_orderstatus, o_totalprice, l_linenumber, l_extendedprice
+      FROM (SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem WHERE l_extendedprice > 80000) li
+      RIGHT JOIN (SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+        ON li.l_orderkey = o.o_orderkey
+    """,
+    "set_ops_all": """
+      WITH j AS (
+        SELECT c_mktsegment, o_orderpriority, o_orderstatus
+        FROM orders JOIN customer ON o_custkey = c_custkey
+      ),
+      a AS (SELECT o_orderpriority, o_orderstatus FROM j WHERE c_mktsegment = 'BUILDING'),
+      b AS (SELECT o_orderpriority, o_orderstatus FROM j WHERE c_mktsegment = 'MACHINERY')
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, 'intersect_all' AS op
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1, 2
+      UNION ALL
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, 'except_all' AS op
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1, 2
+    """,
     "text_ingest": """
       SELECT COUNT(*) AS n_lines,
              COUNT(DISTINCT text) AS n_distinct_lines,

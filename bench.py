@@ -66,6 +66,8 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "right_join",
+    "set_ops_all",
     "text_ingest",
     "quality_rank",
     "semantic_decontaminate",
