@@ -40,17 +40,23 @@ def fuzzy_pairs(
     verification cost scales with vocabulary size, not corpus size, and the
     dedup is the same hash aggregate exact_dedup uses.
     """
-    lv = left.select(F.col(col).alias("name_a")).distinct()
-    rv = right.select(F.col(col).alias("name_b")).distinct()
-    a = lv.withColumn("__blk", block(F.col("name_a")))
-    b = rv.withColumn("__blk", block(F.col("name_b")))
+    lv = left.select(F.col(col).alias("__l")).distinct()
+    rv = right.select(F.col(col).alias("__r")).distinct()
+    a = lv.withColumn("__blk", block(F.col("__l")))
+    b = rv.withColumn("__blk", block(F.col("__r")))
+    # normalize the pair with least/greatest rather than filtering __l < __r:
+    # a one-sided filter would silently drop every cross-table match whose
+    # left value sorts after its right value (~half of genuine links);
+    # normalization keeps them all and dropDuplicates collapses the
+    # both-orders duplicates a self-join produces
     return (
         a.join(b, "__blk")
-        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.col("__l") != F.col("__r"))
         .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+            F.least("__l", "__r").alias("name_a"),
+            F.greatest("__l", "__r").alias("name_b"),
+            F.levenshtein("__l", "__r").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= max_dist)
+        .dropDuplicates(["name_a", "name_b"])
     )

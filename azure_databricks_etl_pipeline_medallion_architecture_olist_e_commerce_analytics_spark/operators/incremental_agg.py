@@ -45,13 +45,18 @@ _SUM_DECIMAL = "decimal(38,6)"
 
 def aggregate_state(df: DataFrame, keys: list[str], value: str) -> DataFrame:
     """Partial-aggregate ``df`` into a mergeable state: one row per key group
-    with ``n_rows`` / ``sum_value`` / ``min_value`` / ``max_value``.
+    with ``n_rows`` / ``n_values`` / ``sum_value`` / ``min_value`` /
+    ``max_value``.
 
     ``sum_value`` accumulates in DECIMAL(38,6) so that any merge order
-    reproduces bit-identical totals.
+    reproduces bit-identical totals. ``n_values`` counts NON-NULL values —
+    the denominator SQL AVG uses; ``n_rows`` counts all rows. Deriving avg
+    from n_rows would diverge from AVG whenever the value column has NULLs
+    (sum skips them, count(*) does not).
     """
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.count(value).alias("n_values"),
         F.sum(F.col(value).cast(_SUM_DECIMAL)).alias("sum_value"),
         F.min(value).alias("min_value"),
         F.max(value).alias("max_value"),
@@ -71,6 +76,7 @@ def merge_states(state: DataFrame, batch_state: DataFrame, keys: list[str]) -> D
         .groupBy(*keys)
         .agg(
             F.sum("n_rows").alias("n_rows"),
+            F.sum("n_values").alias("n_values"),
             F.sum("sum_value").alias("sum_value"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
@@ -89,5 +95,5 @@ def finalize(state: DataFrame) -> DataFrame:
     return state.select(
         *[c for c in state.columns if c not in ("sum_value",)],
         F.col("sum_value").cast("double").alias("sum_value_d"),
-        (F.col("sum_value").cast("double") / F.col("n_rows")).alias("avg_value"),
+        (F.col("sum_value").cast("double") / F.col("n_values")).alias("avg_value"),
     ).drop("sum_value")

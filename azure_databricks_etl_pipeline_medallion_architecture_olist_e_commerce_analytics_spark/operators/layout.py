@@ -138,7 +138,15 @@ def _numeric_proxy(df: DataFrame, col: str) -> Column:
     if isinstance(t, StringType):
         proxy = F.lit(0).cast("double")
         for i in range(1, 8):
-            byte = F.coalesce(F.ascii(F.substring(F.col(col), i, 1)), F.lit(0))
+            # ascii() returns the CODEPOINT, which exceeds 255 for non-ASCII
+            # characters and would overflow its base-256 place value,
+            # INVERTING order against lexicographically-later strings. Cap
+            # at 255: the mapping stays monotone non-decreasing (non-ASCII
+            # chars tie at the cap — coarser buckets, never inverted ones).
+            byte = F.least(
+                F.coalesce(F.ascii(F.substring(F.col(col), i, 1)), F.lit(0)),
+                F.lit(255),
+            )
             proxy = proxy + byte.cast("double") * F.lit(float(256 ** (7 - i)))
         return proxy
     raise TypeError(f"cannot cluster on column {col!r} of type {t}")

@@ -42,20 +42,37 @@ def _fs(spark: SparkSession, path: str):
 
 
 def parquet_file_stats(spark: SparkSession, path: str) -> dict:
-    """(file count, total bytes, small-file count) for a parquet directory,
-    via the Hadoop FS API (no driver-side local-FS assumptions)."""
-    fs, hpath, _ = _fs(spark, path)
+    """(file count, total bytes, small-file count, partitioned flag) for a
+    parquet directory, via the Hadoop FS API (no driver-side local-FS
+    assumptions). Recurses into subdirectories so hive-partitioned layouts
+    (``k=v/part-*.parquet``) are counted, not silently reported empty."""
+    fs, hpath, jvm = _fs(spark, path)
     n = total = small = 0
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if not name.endswith(".parquet"):
-            continue
-        n += 1
-        size = status.getLen()
-        total += size
-        if size < DEFAULT_TARGET_BYTES // 2:
-            small += 1
-    return {"n_files": n, "total_bytes": total, "n_small": small}
+    partitioned = False
+    stack = [hpath]
+    while stack:
+        cur = stack.pop()
+        for status in fs.listStatus(cur):
+            name = status.getPath().getName()
+            if status.isDirectory():
+                if "=" in name:
+                    partitioned = True
+                if not name.startswith((".", "_")):
+                    stack.append(status.getPath())
+                continue
+            if not name.endswith(".parquet"):
+                continue
+            n += 1
+            size = status.getLen()
+            total += size
+            if size < DEFAULT_TARGET_BYTES // 2:
+                small += 1
+    return {
+        "n_files": n,
+        "total_bytes": total,
+        "n_small": small,
+        "partitioned": partitioned,
+    }
 
 
 def compact_parquet(
@@ -70,8 +87,28 @@ def compact_parquet(
     Returns before/after file stats. No-op (returns early) when the
     directory is already within one file of the target packing and no
     clustering was requested.
+
+    Hive-partitioned directories are rejected: a flat rewrite would drop
+    the partition structure — compact each partition directory instead.
+    A crash between the delete and the rename of a previous run is
+    recovered on entry (the completed tmp rewrite is restored).
     """
+    fs, hpath, jvm = _fs(spark, path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    # crash recovery: a prior run's verified rewrite may be stranded in the
+    # tmp dir with the original already deleted — restore it before stats
+    if not fs.exists(hpath) and fs.exists(tmp_path):
+        if not fs.rename(tmp_path, hpath):
+            raise RuntimeError(f"recovery rename {tmp} -> {path} failed")
+
     before = parquet_file_stats(spark, path)
+    if before["partitioned"]:
+        raise ValueError(
+            f"compact_parquet: {path} is hive-partitioned — a flat rewrite "
+            "would drop the partition layout; compact each partition "
+            "directory individually"
+        )
     n_out = max(1, math.ceil(before["total_bytes"] / target_bytes))
     if not zorder_by and before["n_files"] <= n_out + 1:
         return {"before": before, "after": before, "skipped": True}
@@ -84,11 +121,8 @@ def compact_parquet(
     else:
         out = df.coalesce(n_out)
 
-    tmp = path.rstrip("/") + "._compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
 
-    fs, hpath, jvm = _fs(spark, path)
-    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     # verify the rewrite landed before dropping the original
     written = parquet_file_stats(spark, tmp)
     if written["n_files"] == 0:

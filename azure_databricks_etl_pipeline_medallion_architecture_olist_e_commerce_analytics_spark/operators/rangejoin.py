@@ -41,7 +41,20 @@ def point_in_interval_join(
     ``bucket_seconds`` must be ≥ the longest interval length (asserted
     per-row below via the replication range). Keys in ``on`` must exist on
     both sides under the same names.
+
+    Only ``how='inner'`` is supported: the exact range predicate runs as a
+    post-join filter, which under an outer join would silently drop the
+    null-extended rows it exists to preserve (and bucket-matched rows whose
+    exact predicate fails would vanish rather than null-extend). An outer
+    range join needs the unmatched-remainder union — compose it from this
+    inner join plus a left-anti pass when needed.
     """
+    if how != "inner":
+        raise ValueError(
+            "point_in_interval_join supports how='inner' only — the exact "
+            "range predicate is a post-join filter and would break outer "
+            f"semantics (got how={how!r})"
+        )
     p_bucketed = points.withColumn(
         BUCKET_COL, F.floor(F.col(point).cast("long") / bucket_seconds)
     )

@@ -36,10 +36,12 @@ def _misra_gries_partition(k: int):
     """Per-partition Misra-Gries over Arrow batches of a single `item` column.
 
     Batch-merge variant: add each batch's ``value_counts`` into the counter
-    table, then repeatedly decrement by the minimum count and drop zeros
-    until at most ``k`` counters remain. Decrements only ever shrink counts,
-    so survivors still over-approximate the > n_p/k set (the guarantee the
-    candidate phase needs).
+    table, then decrement by the (len-k)-th smallest count in ONE step and
+    drop non-positives — at most two passes reduce to <= k counters, where
+    min-at-a-time decrementing is worst-case quadratic in batch cardinality
+    (a high-distinct batch would loop thousands of O(len) subtractions).
+    Decrements only ever shrink counts, so survivors still over-approximate
+    the > n_p/k set (the guarantee the candidate phase needs).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -48,7 +50,10 @@ def _misra_gries_partition(k: int):
             vc = pdf["item"].value_counts()
             counters = vc if counters is None else counters.add(vc, fill_value=0)
             while len(counters) > k:
-                counters = counters - counters.min()
+                # the smallest (len-k) counters must die; subtracting the
+                # largest of their counts kills them all in one pass
+                cut = counters.nsmallest(len(counters) - k).max()
+                counters = counters - cut
                 counters = counters[counters > 0]
         if counters is None or counters.empty:
             return

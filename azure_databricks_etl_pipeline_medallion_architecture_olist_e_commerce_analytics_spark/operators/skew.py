@@ -40,7 +40,19 @@ def salted_join(
     broadcast but small enough to replicate ``salt``×. The join keys become
     ``on + [salt]`` so each of a hot key's partitions matches exactly one
     replica of the right row — same rows out, ``salt``× wider key space.
+
+    Supported ``how``: ``inner`` and ``left`` (the preserved side is the
+    salted one, so unmatched left rows survive exactly once). ``right`` /
+    ``full`` would emit every unmatched right row ``salt`` times (one per
+    replica) — rejected rather than silently wrong; salt the other side
+    instead.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'/'left' only — an outer-"
+            "preserved exploded side would duplicate unmatched rows "
+            f"salt times (got how={how!r})"
+        )
     salted_left = left.withColumn(SALT_COL, (F.rand(seed=7) * salt).cast("int"))
     exploded_right = right.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -3315,10 +3315,12 @@ ORACLES: dict[str, str] = {
     "streaming_incremental_mv": """
       SELECT event_type,
              COUNT(*) AS n_rows,
+             COUNT(value) AS n_values,
              MIN(value) AS min_value,
              MAX(value) AS max_value,
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value_d,
-             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(value) AS avg_value
       FROM events
       GROUP BY event_type
     """,
@@ -4077,10 +4079,12 @@ ORACLES["streaming_stream_join"] = """
 ORACLES["incremental_agg"] = """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
+           COUNT(l_extendedprice) AS n_values,
            MIN(l_extendedprice) AS min_value,
            MAX(l_extendedprice) AS max_value,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_value_d,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(l_extendedprice) AS avg_value
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
 """

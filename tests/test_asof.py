@@ -54,3 +54,34 @@ def test_asof_preserves_left_row_count(spark):
     out = as_of_join(left, right, ["k"], "ts", "rts", ["v"])
     assert out.count() == 50
     assert set(out.columns) == {"k", "ts", "ev", "v"}
+
+
+def test_asof_carries_whole_row_not_mixed_columns(spark):
+    """A NULL in the LATEST right row must stay NULL — per-column carry
+    would leak the stale non-null from an older row, fabricating a row
+    that never existed."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.asof import (
+        as_of_join,
+    )
+
+    left = spark.createDataFrame([(1, 30)], ["k", "lt"])
+    right = spark.createDataFrame(
+        [(1, 10, 10.0, None), (1, 20, None, 5.0)],
+        "k int, rt int, price double, qty double",
+    )
+    out = as_of_join(left, right, ["k"], "lt", "rt").collect()[0]
+    assert out["qty"] == 5.0
+    assert out["price"] is None  # from the t=20 row, NOT the stale t=10 value
+
+
+def test_asof_rejects_colliding_value_columns(spark):
+    import pytest as _pytest
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.asof import (
+        as_of_join,
+    )
+
+    left = spark.createDataFrame([(1, 30, 1.0)], ["k", "lt", "price"])
+    right = spark.createDataFrame([(1, 10, 2.0)], ["k", "rt", "price"])
+    with _pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right, ["k"], "lt", "rt")
