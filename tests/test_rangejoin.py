@@ -51,3 +51,16 @@ def test_range_join_boundary_inclusive(spark):
         points, intervals, ["k"], "ts", "start", "end", bucket_seconds=3600
     )
     assert {r.iid for r in out.collect()} == {10, 11}  # both closed ends match
+
+
+def test_point_in_interval_join_rejects_outer_modes(spark):
+    import pytest as _pytest
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    pts = spark.createDataFrame([(1, 100)], ["k", "ts"])
+    ivs = spark.createDataFrame([(1, 90, 110)], ["k", "s", "e"])
+    with _pytest.raises(ValueError, match="inner"):
+        point_in_interval_join(pts, ivs, ["k"], "ts", "s", "e", 3600, how="left")

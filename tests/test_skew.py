@@ -55,3 +55,20 @@ def test_two_stage_distinct_count_matches_count_distinct(spark):
         for r in two_stage_distinct_count(li, "l_orderkey", "l_returnflag").collect()
     }
     assert got == expected
+
+
+def test_salted_join_rejects_outer_preserved_exploded_side(spark):
+    import pytest as _pytest
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.skew import (
+        salted_join,
+    )
+
+    l = spark.createDataFrame([(1, "a")], ["k", "v"])
+    r = spark.createDataFrame([(2, "b")], ["k", "w"])
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(l, r, ["k"], how=how)
+    # left IS supported: unmatched left rows survive exactly once
+    out = salted_join(l, r, ["k"], how="left").collect()
+    assert len(out) == 1 and out[0]["w"] is None
