@@ -2001,6 +2001,34 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udaf_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (GROUPED_AGG) — completing the user-function surface
+    (§2.10: scalar pandas UDF, UDTF, and now a true vectorized aggregate):
+    per event type, the sum of squared bucketed ids computed by an
+    Arrow-batched numpy reduction. Integer math end-to-end, so the oracle
+    reproduces the aggregate exactly.
+
+    Scale note: unlike built-in aggregates, a grouped-agg pandas UDAF gets
+    NO map-side partial aggregation — every group's rows shuffle to its
+    reducer. That (plus the Python round-trip) is why built-in SUM(x*x)
+    is the hot path for this exact computation; the UDAF form exists for
+    aggregations built-ins can't express (custom sketches, exotic
+    statistics), and skewed group keys need pre-salting with a mergeable
+    two-phase design."""
+    from .operators.udaf import sum_of_squares as sumsq
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.pmod("event_id", F.lit(1000))
+    )
+    # a grouped-agg pandas UDF cannot share an agg() with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggregates over the
+    # tiny group domain, joined on the key
+    squared = ev.groupBy("event_type").agg(sumsq("k").alias("sum_sq"))
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return squared.join(counts, "event_type")
+
+
 def q_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT OUTER join (completing the join-type matrix): large-order
     lineitems right-joined to customers' orders — order rows with no
@@ -2860,6 +2888,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "multimodal_features": q_multimodal_features,
     # -- group 0b: new this round (no driver signal yet) --
+    "udaf_sumsq": q_udaf_sumsq,
     "right_join": q_right_join,
     "set_ops_all": q_set_ops_all,
     "text_ingest": q_text_ingest,
@@ -2994,6 +3023,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     **_TPCH_ORACLES,
+    "udaf_sumsq": """
+      SELECT event_type,
+             CAST(SUM((event_id % 1000) * (event_id % 1000)) AS BIGINT) AS sum_sq,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY event_type
+    """,
     "right_join": """
       SELECT o_orderkey, o_orderstatus, o_totalprice, l_linenumber, l_extendedprice
       FROM (SELECT l_orderkey, l_linenumber, l_extendedprice

@@ -66,6 +66,7 @@ HEADLINE = [
     "winsorize",
     "bucketed_join",
     "fuzzy_join",
+    "udaf_sumsq",
     "right_join",
     "set_ops_all",
     "text_ingest",
