@@ -11,7 +11,9 @@ parquet:
   (``row_number`` over the sequencing column, descending — a batch can carry
   several versions of one key and only the last may win),
 - then merged into the current table snapshot with
-  :func:`..operators.merge.merge_upsert` (one anti-join shuffle),
+  a per-key latest-wins window over union(snapshot, batch) — the
+  sequence comparison covers the STORED row too, so stale late batches
+  cannot overwrite newer data,
 - and the result is committed as a **new versioned snapshot directory**
   (``v=N+1``) with a tiny ``_VERSION`` pointer file flipped last — readers
   resolve the pointer, then read an immutable directory, so a crash
@@ -20,12 +22,11 @@ parquet:
   table format's atomic commit log.
 
 Scale notes:
-- Per microbatch the cost is O(batch) + one anti-join against the current
-  snapshot on the merge keys. At 100 TB the snapshot side of that join is
-  the dominant term — partition the snapshot by a stable hash of the key
-  (``partition_cols``) so the anti-join prunes to the key ranges the batch
-  actually touches, or bucket both sides (sinks.py ``bucket_by``) to drop
-  the Exchange entirely.
+- Per microbatch the cost is one key-partitioned window over
+  union(snapshot, batch). At 100 TB the snapshot side is the dominant
+  term — partition the snapshot by a stable hash of the key so the union
+  prunes to the key ranges the batch actually touches, or bucket both
+  sides (sinks.py ``bucket_by``) to drop the Exchange entirely.
 - Full-snapshot rewrite per batch is the parquet tax relative to a
   format with row-level commits; the versioned layout at least makes each
   rewrite atomic, keeps readers unblocked, and old versions double as
@@ -38,8 +39,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-
-from ..operators.merge import merge_upsert
 
 _POINTER = "_VERSION"
 
@@ -78,22 +77,38 @@ def apply_changes_batch(
     keys: list[str],
     sequence_by: str,
 ) -> None:
-    """Apply one change-batch: latest-per-key wins, MERGE into the snapshot.
+    """Apply one change-batch: highest ``sequence_by`` per key wins —
+    compared against BOTH the rest of the batch and the stored snapshot
+    row, so a stale change delivered in a later batch cannot overwrite
+    newer data (the same contract DLT's APPLY CHANGES enforces by
+    comparing SEQUENCE BY against the target).
+
+    Requirements: ``sequence_by`` must totally order each key's changes
+    (pass a struct(ts, unique_id) when timestamps can tie — an arbitrary
+    tie winner would also break replay idempotency), and rows with a NULL
+    key are dropped as malformed (NULL never equi-matches, so they would
+    accumulate as duplicates instead of upserting).
 
     Idempotent per batch content: re-applying the same batch produces an
-    identical next snapshot (upsert of already-present rows is a no-op on
-    values), which is what makes foreachBatch's at-least-once redelivery
-    safe here.
+    identical next snapshot, which is what makes foreachBatch's
+    at-least-once redelivery safe here.
     """
+    keyed = batch
+    for k in keys:
+        keyed = keyed.filter(F.col(k).isNotNull())
+    v = current_version(table_path)
+    target = read_current(spark, table_path)
+    candidates = (
+        keyed.unionByName(target.select(*keyed.columns))
+        if target is not None
+        else keyed
+    )
     w = Window.partitionBy(*keys).orderBy(F.desc(sequence_by))
-    latest = (
-        batch.withColumn("__rn", F.row_number().over(w))
+    merged = (
+        candidates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    v = current_version(table_path)
-    target = read_current(spark, table_path)
-    merged = merge_upsert(target, latest, keys) if target is not None else latest
     _commit(merged, table_path, v + 1)
 
 

@@ -343,10 +343,13 @@ def windowed_distinct_users(
     surviving row keeps its event time, so the downstream window sees real
     event-time semantics).
 
-    The dedup bucket uses ``date_trunc('hour')``, which coincides with the
-    1-hour tumbling windows downstream — any surviving row of a
-    (bucket, user, type) group lands in the same window, so the final counts
-    are deterministic even though WHICH duplicate survives is not.
+    The dedup bucket is the DOWNSTREAM WINDOW itself (``window(ts,
+    window).start``), so bucket and aggregation window stay aligned for ANY
+    window length — a fixed hour bucket would undercount sub-hour windows
+    (one survivor per hour) and double-count multi-hour ones (one survivor
+    per hour, several per window). Any surviving row of a (bucket, user,
+    type) group lands in exactly its window, so the final counts are
+    deterministic even though WHICH duplicate survives is not.
 
     State per operator is O(active windows × distinct users), not O(rows);
     both stores expire at the same watermark.
@@ -354,7 +357,7 @@ def windowed_distinct_users(
     return (
         events.filter(F.col(ts_col).isNotNull())
         .withWatermark(ts_col, watermark)
-        .withColumn("__bucket", F.date_trunc("hour", F.col(ts_col)))
+        .withColumn("__bucket", F.window(F.col(ts_col), window).getField("start"))
         .dropDuplicatesWithinWatermark(["__bucket", "user_id", "event_type"])
         .groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("distinct_users"))

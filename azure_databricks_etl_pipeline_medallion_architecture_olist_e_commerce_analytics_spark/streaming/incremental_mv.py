@@ -90,7 +90,22 @@ def refresh_increment(
     os.makedirs(mv_path, exist_ok=True)
     merged.write.mode("overwrite").parquet(_state_path(mv_path, version + 1))
     _flip_pointer(mv_path, version + 1, batch_id)
+    _vacuum_state(mv_path, keep=2)
     return True
+
+
+def _vacuum_state(mv_path: str, keep: int = 2) -> None:
+    """Drop state snapshots older than the newest ``keep`` (never the
+    current one) — each fold writes a full new state dir, so without
+    cleanup disk grows with batch count, not state size."""
+    import shutil
+
+    cur, _ = _read_pointer(mv_path)
+    for d in os.listdir(mv_path):
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit():
+            v = int(d.split("=", 1)[1])
+            if v < cur and v <= cur - keep:
+                shutil.rmtree(os.path.join(mv_path, d), ignore_errors=True)
 
 
 def maintain_aggregate_mv(
@@ -100,13 +115,25 @@ def maintain_aggregate_mv(
     keys: list[str],
     value: str,
 ) -> None:
-    """Run an availableNow pass folding a streaming source into the MV."""
+    """Run an availableNow pass folding a streaming source into the MV.
+
+    The replay guard keys on the checkpoint's foreachBatch batch ids — the
+    checkpoint and the MV state pointer share a lifetime. If the checkpoint
+    is reset/relocated while mv_path persists, the restarted ids replay
+    below the stored high-water mark and every batch would be skipped as a
+    redelivery; that situation is raised loudly here instead of leaving
+    the MV silently frozen (reset both, or neither).
+    """
     spark = source.sparkSession
+    stats = {"applied": 0, "skipped_nonempty": 0}
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        refresh_increment(spark, batch, mv_path, keys, value, int(batch_id))
+        if refresh_increment(spark, batch, mv_path, keys, value, int(batch_id)):
+            stats["applied"] += 1
+        else:
+            stats["skipped_nonempty"] += 1
 
     q = (
         source.writeStream.foreachBatch(_fold)
@@ -115,3 +142,10 @@ def maintain_aggregate_mv(
         .start()
     )
     q.awaitTermination()
+    if stats["skipped_nonempty"] and not stats["applied"]:
+        raise RuntimeError(
+            f"maintain_aggregate_mv: all {stats['skipped_nonempty']} non-empty "
+            f"batches were skipped as replays — the checkpoint at {checkpoint} "
+            f"restarted below the MV pointer's batch id at {mv_path}. The "
+            "checkpoint and MV state share a lifetime: reset both or neither."
+        )

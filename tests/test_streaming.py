@@ -391,3 +391,27 @@ def test_incremental_mv_replay_guard_skips_duplicate_batch(spark, tmp_path):
     r = read_mv(spark, mv).collect()[0]
     assert (r.n_rows, r.sum_value_d) == (1, 5.0)
     assert _read_pointer(mv) == (1, 0)
+
+
+def test_cdc_apply_stale_late_batch_cannot_overwrite(spark, tmp_path):
+    """A change with an OLDER sequence delivered in a LATER batch must not
+    clobber the newer stored row (the sequence comparison covers the
+    snapshot, not just the batch), and NULL-key rows are dropped."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.cdc import (
+        apply_changes_batch,
+        read_current,
+    )
+
+    table = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([(1, 10, "new"), (2, 10, "x")], ["k", "seq", "v"])
+    apply_changes_batch(spark, b1, table, ["k"], "seq")
+    # late batch: key 1 with an OLDER sequence, plus a malformed null key
+    b2 = spark.createDataFrame(
+        [(1, 5, "stale"), (None, 99, "junk"), (2, 20, "y")],
+        "k int, seq int, v string",
+    )
+    apply_changes_batch(spark, b2, table, ["k"], "seq")
+    snap = {r["k"]: (r["seq"], r["v"]) for r in read_current(spark, table).collect()}
+    assert snap[1] == (10, "new")   # stale change rejected
+    assert snap[2] == (20, "y")     # newer change applied
+    assert None not in snap and len(snap) == 2  # null key dropped
