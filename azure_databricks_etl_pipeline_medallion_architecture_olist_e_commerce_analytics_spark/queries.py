@@ -1981,7 +1981,13 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"), "o_totalprice", "o_orderpriority"
     )
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    # keyed by applicationId: two concurrent sessions on one host must not
+    # race on the side artifact (same keying discipline as the CSV/JSONL
+    # ingest artifacts, which key by source path+mtime)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bucketed_{spark.sparkContext.applicationId}",
+    )
     return bucketed_equi_join(
         spark, li, orders, "okey", buckets=16, base_path=base
     )
@@ -2292,12 +2298,13 @@ def q_geo_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the largest radius the 3x3 neighborhood provably covers)
 
     def coords(df, key, prefix, m_lat, m_lon):
-        lat = F.pmod(F.col(key) * F.lit(m_lat), F.lit(180_000_000)) - F.lit(
-            90_000_000
-        )
-        lon = F.pmod(F.col(key) * F.lit(m_lon), F.lit(360_000_000)) - F.lit(
-            180_000_000
-        )
+        # cast the int32 key to long BEFORE the multiply: with an int
+        # literal multiplier the arithmetic stays 32-bit and silently
+        # wraps (ANSI off) once key * m exceeds 2^31, diverging from the
+        # oracle's wider-int arithmetic — both sides must compute in 64-bit
+        k = F.col(key).cast("long")
+        lat = F.pmod(k * F.lit(m_lat), F.lit(180_000_000)) - F.lit(90_000_000)
+        lon = F.pmod(k * F.lit(m_lon), F.lit(360_000_000)) - F.lit(180_000_000)
         return df.select(
             F.col(key),
             lat.alias(f"{prefix}_lat"),
@@ -2590,8 +2597,9 @@ def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     # the recursion emits one row per order; Spark guards runaway recursion
     # with a total-output row cap (default 1e6) — size it to the data like
-    # any other admission limit (rows of the table being walked, NOT
-    # unlimited; the depth cap stays at its default)
+    # any other admission limit. The override is scoped, not leaked:
+    # tune_session (called at every catalog query's entry) resets it to the
+    # default, so the weakened guard lasts only for this query's execution.
     try:
         spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     except Exception:
@@ -3019,6 +3027,33 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stat_aggregates": q_stat_aggregates,
     "array_functions": q_array_functions,
     "window_frames": q_window_frames,
+}
+
+# The driver samples a PREFIX of this dict each round (50 entries), so
+# catalog order is driver-signal-first: the queries that have never
+# received a hard CORRECTNESS row (52 after rounds 1-2 — every one
+# value-matches its DuckDB oracle in the local full-catalog sim, but a
+# driver row is stronger signal) are hoisted to the front, followed by
+# queries new this round, then everything already driver-green.
+_DRIVER_PRIORITY = [
+    "tpch_q19", "tpch_q22", "inverted_index", "doc_chunking", "winsorize",
+    "bucketed_join", "decontaminate", "repetition_quality", "source_rebalance",
+    "streaming_enrich", "embedding_quantize", "corpus_rarity",
+    "expectation_metrics", "csv_ingest_roundtrip", "pack_shards",
+    "dedup_survivors", "cube_sales", "grouping_sets", "anti_join",
+    "cross_join", "scalar_subquery", "explode_tokens", "string_funcs",
+    "skew_salted_join", "top_ngrams", "tf_idf", "quality_filter",
+    "deterministic_sample", "merge_upsert", "scd2_customers", "json_extract",
+    "sketch_distinct", "approx_quantiles", "sessionize_batch",
+    "gap_fill_ffill", "rank_matrix", "not_in_subquery", "union_by_name",
+    "histogram_bins", "snapshot_diff", "correlated_subquery",
+    "group_normalize", "streaming_distinct_users", "unpivot_metrics",
+    "heavy_hitters", "embedding_centroids", "full_outer_join", "pii_scrub",
+    "incremental_agg", "group_topk", "stratified_sample", "exists_subquery",
+]
+SPARK_QUERIES = {
+    **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
+    **{k: v for k, v in SPARK_QUERIES.items() if k not in set(_DRIVER_PRIORITY)},
 }
 
 ORACLES: dict[str, str] = {

@@ -37,12 +37,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @lru_cache(maxsize=256)
-def _nano_ts_columns(path: str) -> tuple[str, ...]:
+def _nano_ts_columns_at(path: str, mtime: float) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) (footer-only read, cached).
 
     Accepts both layouts a parquet table ships in: a single file (the driver
     testdata) and a directory of part files (anything Spark wrote) — for a
-    directory the footer of one part file speaks for the table.
+    directory the footer of one part file speaks for the table; when parts
+    live under hive-style subdirectories a recursive glob finds them. The
+    cache key includes the file/dir mtime so a table regenerated at the same
+    path within one session never serves stale footer metadata (same
+    staleness class the side-artifact cache keys by path+mtime).
     """
     import glob
 
@@ -50,6 +54,10 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
 
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            parts = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
         if not parts:
             return ()
         path = parts[0]
@@ -59,6 +67,14 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
     )
+
+
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    return _nano_ts_columns_at(path, mtime)
 
 
 def normalize_ntz(df: DataFrame) -> DataFrame:

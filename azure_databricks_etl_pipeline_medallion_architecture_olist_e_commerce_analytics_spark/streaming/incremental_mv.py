@@ -118,22 +118,32 @@ def maintain_aggregate_mv(
     """Run an availableNow pass folding a streaming source into the MV.
 
     The replay guard keys on the checkpoint's foreachBatch batch ids — the
-    checkpoint and the MV state pointer share a lifetime. If the checkpoint
-    is reset/relocated while mv_path persists, the restarted ids replay
-    below the stored high-water mark and every batch would be skipped as a
-    redelivery; that situation is raised loudly here instead of leaving
-    the MV silently frozen (reset both, or neither).
+    checkpoint and the MV state pointer share a lifetime. Two skip shapes
+    must be told apart:
+
+    - ``batch_id == stored high-water mark``: the documented crash-recovery
+      redelivery (crash between the MV pointer flip and the streaming
+      checkpoint commit re-delivers the last batch once). refresh_increment
+      correctly skips it and the MV is intact — NOT an error, even when no
+      newer data arrived and the whole run is applied=0/skipped=1.
+    - ``batch_id <  stored high-water mark``: the checkpoint was genuinely
+      reset/relocated while mv_path persists; every restarted id replays
+      below the mark and the MV would silently freeze. Raised loudly
+      (reset both, or neither).
     """
     spark = source.sparkSession
-    stats = {"applied": 0, "skipped_nonempty": 0}
+    stats = {"applied": 0, "reset_skips": []}
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        if refresh_increment(spark, batch, mv_path, keys, value, int(batch_id)):
+        bid = int(batch_id)
+        _, last_batch = _read_pointer(mv_path)
+        if refresh_increment(spark, batch, mv_path, keys, value, bid):
             stats["applied"] += 1
-        else:
-            stats["skipped_nonempty"] += 1
+        elif bid < last_batch:
+            stats["reset_skips"].append(bid)
+        # bid == last_batch: benign crash-recovery redelivery — skip quietly
 
     q = (
         source.writeStream.foreachBatch(_fold)
@@ -142,10 +152,10 @@ def maintain_aggregate_mv(
         .start()
     )
     q.awaitTermination()
-    if stats["skipped_nonempty"] and not stats["applied"]:
+    if stats["reset_skips"] and not stats["applied"]:
         raise RuntimeError(
-            f"maintain_aggregate_mv: all {stats['skipped_nonempty']} non-empty "
-            f"batches were skipped as replays — the checkpoint at {checkpoint} "
-            f"restarted below the MV pointer's batch id at {mv_path}. The "
-            "checkpoint and MV state share a lifetime: reset both or neither."
+            f"maintain_aggregate_mv: batch ids {stats['reset_skips']} replayed "
+            f"BELOW the MV pointer's stored batch id — the checkpoint at "
+            f"{checkpoint} was reset while {mv_path} persists. The checkpoint "
+            "and MV state share a lifetime: reset both or neither."
         )

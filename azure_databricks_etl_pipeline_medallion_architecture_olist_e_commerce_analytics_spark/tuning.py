@@ -17,6 +17,12 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # restore the runaway-recursion admission guard to its default on every
+    # query entry: q_recursive_chain must raise it for the duration of its
+    # (lazy) execution, and the returned DataFrame is collected by the
+    # caller after the function returns — so the reset lives here, at the
+    # next query's entry point, not in a finally that would fire too early
+    "spark.sql.cteRecursionRowLimit": "1000000",
 }
 
 

@@ -393,6 +393,47 @@ def test_incremental_mv_replay_guard_skips_duplicate_batch(spark, tmp_path):
     assert _read_pointer(mv) == (1, 0)
 
 
+def test_incremental_mv_crash_redelivery_vs_reset_checkpoint(spark, tmp_path):
+    """The two applied=0 skip shapes must be told apart: redelivery of
+    exactly the stored high-water batch (crash between pointer flip and
+    checkpoint commit) passes quietly with the MV intact, while a
+    checkpoint reset (ids replaying BELOW the mark) raises."""
+    import datetime as dt
+    import shutil
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental_mv import (
+        _flip_pointer,
+        _read_pointer,
+        maintain_aggregate_mv,
+        read_mv,
+    )
+
+    src = str(tmp_path / "landing")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+
+    _drop(spark, [(1, 2.0, t0), (2, 3.0, t0)], src)
+    maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
+    v, b = _read_pointer(mv)
+
+    # simulate the crash window: pointer flipped for batch b+1 but the
+    # checkpoint never committed it — the next run redelivers that exact
+    # batch id, refresh_increment skips it, and the run must NOT raise
+    _drop(spark, [(1, 10.0, t0)], src)
+    _flip_pointer(mv, v, b + 1)  # pointer one batch ahead of the checkpoint
+    maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
+    assert _read_pointer(mv) == (v, b + 1)  # skipped quietly, MV intact
+    assert read_mv(spark, mv).count() == 2
+
+    # genuine reset: checkpoint wiped while mv persists → replayed ids are
+    # below the stored mark → loud failure, not a silently frozen MV
+    shutil.rmtree(ckpt)
+    _drop(spark, [(3, 4.0, t0)], src)
+    with pytest.raises(RuntimeError, match="reset"):
+        maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
+
+
 def test_cdc_apply_stale_late_batch_cannot_overwrite(spark, tmp_path):
     """A change with an OLDER sequence delivered in a LATER batch must not
     clobber the newer stored row (the sequence comparison covers the

@@ -1,0 +1,99 @@
+"""Full driver simulation: vanilla session, entry() on sf0.001, then every
+queries()/oracle_sql() pair value-compared against DuckDB at sf0.01 — the
+exact shape of the grading driver's CORRECTNESS check, run locally in ONE
+session (~2 min for the full catalog).
+
+Usage:
+    python tools/driver_sim.py                 # full catalog
+    python tools/driver_sim.py name1 name2 ... # subset
+    SPARK_GRAFT_SIM_SF=/root/testdata/sf0.01 python tools/driver_sim.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as e
+    from oracle_utils import compare_frames
+
+    sf = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "12g")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = e.entry(spark)
+    n = df.count()
+    print(f"entry(): {n} rows, schema ok", flush=True)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    queries = e.queries()
+    oracles = e.oracle_sql()
+    try:
+        from bench import release_cached_state
+    except Exception:
+        release_cached_state = lambda s: None  # noqa: E731
+
+    failures, rows_only = [], []
+    t_all = time.time()
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf).toPandas()
+            if name in oracles:
+                ddf = con.execute(oracles[name]).fetchdf()
+                probs = compare_frames(sdf, ddf, name)
+                if probs:
+                    failures.append((name, probs))
+                    print(f"FAIL {name}: {probs[0][:300]}", flush=True)
+                else:
+                    print(f"ok   {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)", flush=True)
+            else:
+                rows_only.append(name)
+                print(f"ROWS {name} ({len(sdf)} rows) — no oracle", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, [f"err: {ex}"]))
+            print(f"ERR  {name}: {str(ex)[:300]}", flush=True)
+        release_cached_state(spark)
+
+    n_run = len([q for q in queries if not only or q in only])
+    print(
+        f"\n=== {n_run} queries in {time.time()-t_all:.0f}s: "
+        f"{n_run - len(failures) - len(rows_only)} value-match, "
+        f"{len(rows_only)} rows-only, {len(failures)} FAILURES ==="
+    )
+    for name, probs in failures:
+        print(f"  {name}: {probs[0][:200]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
