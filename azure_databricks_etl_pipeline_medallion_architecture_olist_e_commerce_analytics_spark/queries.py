@@ -3050,6 +3050,8 @@ _DRIVER_PRIORITY = [
     "group_normalize", "streaming_distinct_users", "unpivot_metrics",
     "heavy_hitters", "embedding_centroids", "full_outer_join", "pii_scrub",
     "incremental_agg", "group_topk", "stratified_sample", "exists_subquery",
+    # new this round (no driver signal yet): the TPC-H decorrelation pack
+    "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},

@@ -818,7 +818,311 @@ _TPCH_Q21_SQL = """
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog (min-cost supplier): for every sized/typed part, the
+    supplier(s) in one region offering the MINIMUM unit cost — the classic
+    correlated scalar-MIN subquery over a 5-way join, executed as actual
+    SQL so Catalyst performs the decorrelation (rewrites the correlated
+    MIN into a grouped aggregate joined back on the correlation key).
+
+    The partsupp relation (absent from the driver schema) is derived from
+    lineitem: a supplier's unit cost for a part = MIN(extendedprice /
+    quantity) over their shipped lines. Unit cost is a double division —
+    IEEE-754-identical across engines, so the correlated-MIN equality
+    predicate is knife-edge-safe.
+
+    Scale: the subquery side reduces to one grouped aggregate on partkey
+    (map-side partial), the outer is dim-broadcast joins; the final sort is
+    bounded by LIMIT 100 → TakeOrderedAndProject.
+    """
+    tune_session(spark)
+    for t in ("part", "supplier", "nation", "region", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__q2_{t}")
+    return spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 MIN(l_extendedprice / l_quantity) AS ps_supplycost
+          FROM __q2_lineitem GROUP BY 1, 2
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+               ps.ps_supplycost
+        FROM __q2_part p
+        JOIN ps ON p.p_partkey = ps.ps_partkey
+        JOIN __q2_supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN __q2_nation n ON s.s_nationkey = n.n_nationkey
+        JOIN __q2_region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size <= 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+          AND ps.ps_supplycost = (
+            SELECT MIN(ps2.ps_supplycost)
+            FROM ps ps2
+            JOIN __q2_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN __q2_nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN __q2_region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+        """
+    )
+
+
+_TPCH_Q2_SQL = """
+  WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(l_extendedprice / l_quantity) AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2
+  )
+  SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+         ps.ps_supplycost
+  FROM part p
+  JOIN ps ON p.p_partkey = ps.ps_partkey
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size <= 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+    AND ps.ps_supplycost = (
+      SELECT MIN(ps2.ps_supplycost)
+      FROM ps ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+    )
+  ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+  LIMIT 100
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 analog (important inventory value): per-part shipped value from
+    one nation group's suppliers, keeping parts whose value exceeds
+    2x THE AVERAGE PART VALUE (a global-scalar threshold that self-scales
+    with part cardinality, unlike TPC-H's fixed fraction/SF) — the HAVING-against-a-global-scalar
+    shape. The uncorrelated scalar subquery evaluates once and broadcasts
+    into the HAVING filter (no per-group re-evaluation).
+
+    Exactness: both the per-part value and the global total use the
+    decimal-sum pattern; the threshold multiply (decimal-as-double *
+    0.0005) is a deterministic IEEE double op on both engines.
+    """
+    tune_session(spark)
+    for t in ("supplier", "nation", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__q11_{t}")
+    return spark.sql(
+        """
+        SELECT l_partkey AS ps_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS part_value
+        FROM __q11_lineitem
+        JOIN __q11_supplier ON l_suppkey = s_suppkey
+        JOIN __q11_nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_7', 'NATION_17')
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+          SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   * 2.0 / COUNT(DISTINCT l_partkey)
+          FROM __q11_lineitem
+          JOIN __q11_supplier ON l_suppkey = s_suppkey
+          JOIN __q11_nation ON s_nationkey = n_nationkey
+          WHERE n_name IN ('NATION_7', 'NATION_17')
+        )
+        """
+    )
+
+
+_TPCH_Q11_SQL = """
+  SELECT l_partkey AS ps_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_7', 'NATION_17')
+  GROUP BY l_partkey
+  HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             * 2.0 / COUNT(DISTINCT l_partkey)
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_7', 'NATION_17')
+  )
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analog (shipping-class priority counts): lines delivered in a
+    60-120-day window after ordering, grouped by return flag (the schema's
+    ship-class stand-in for the absent l_shipmode), with CASE-aggregated
+    high/low order-priority counts — the conditional-aggregation-over-join
+    shape.
+
+    One shuffle on the grouping key after the fact⋈orders equi-join; the
+    date-window predicate is evaluated rowwise pre-aggregation (no
+    second pass).
+    """
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") > F.date_add("o_orderdate", 60))
+            & (F.col("l_shipdate") <= F.date_add("o_orderdate", 120))
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+_TPCH_Q12_SQL = """
+  SELECT l_returnflag AS ship_class,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
+  GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 analog (supplier count by part attributes): distinct suppliers
+    per (brand, type, size) bucket, EXCLUDING suppliers from a NOT IN
+    subquery (negative account balance as the "customer complaints"
+    stand-in) — null-aware anti join + grouped COUNT(DISTINCT), executed
+    as SQL so Catalyst plans the NOT IN rewrite itself.
+
+    Scale: the exclusion list is tiny (one dim scan) → broadcast
+    anti join; COUNT(DISTINCT supplier) expands to the standard two-phase
+    distinct aggregate on the group key.
+    """
+    tune_session(spark)
+    for t in ("part", "supplier", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__q16_{t}")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM __q16_lineitem
+        JOIN __q16_part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM __q16_supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+_TPCH_Q16_SQL = """
+  SELECT p_brand, p_type, p_size,
+         COUNT(DISTINCT l_suppkey) AS supplier_cnt
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+    AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analog (dominant part suppliers): suppliers in chosen regions
+    who, for some red part, shipped MORE THAN 30% of that part's total 1997
+    volume — three nested IN subqueries (region membership, part-name
+    membership, and a grouped-HAVING supplier set), executed as SQL so
+    Catalyst plans the IN→semi-join rewrites.
+
+    The availqty>½·shipped correlation of real Q20 becomes a
+    per-(supplier, part) share-of-part-total test: the part total joins in
+    from one grouped aggregate (the decorrelated form), and quantity sums
+    are integer-valued doubles, so the 0.3 threshold compare is exact.
+
+    Scale: each IN collapses to a semi join with a small build side
+    (region: 5 rows; red parts: LIKE-filtered dim; qualifying suppliers:
+    grouped fact slice) — all broadcastable.
+    """
+    tune_session(spark)
+    for t in ("part", "supplier", "nation", "region", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__q20_{t}")
+    return spark.sql(
+        """
+        WITH part_total AS (
+          SELECT l_partkey AS pt_partkey, SUM(l_quantity) AS pt_qty
+          FROM __q20_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_partkey
+        )
+        SELECT s_name, s_acctbal
+        FROM __q20_supplier
+        JOIN __q20_nation ON s_nationkey = n_nationkey
+        WHERE n_regionkey IN (
+            SELECT r_regionkey FROM __q20_region
+            WHERE r_name IN ('ASIA', 'EUROPE')
+          )
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM __q20_lineitem
+            JOIN part_total ON l_partkey = pt_partkey
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM __q20_part WHERE p_name LIKE 'red%'
+              )
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey, l_partkey, pt_qty
+            HAVING SUM(l_quantity) > 0.3 * pt_qty
+          )
+        """
+    )
+
+
+_TPCH_Q20_SQL = """
+  WITH part_total AS (
+    SELECT l_partkey AS pt_partkey, SUM(l_quantity) AS pt_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey
+  )
+  SELECT s_name, s_acctbal
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_regionkey IN (
+      SELECT r_regionkey FROM region WHERE r_name IN ('ASIA', 'EUROPE')
+    )
+    AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      JOIN part_total ON l_partkey = pt_partkey
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey, pt_qty
+      HAVING SUM(l_quantity) > 0.3 * pt_qty
+    )
+"""
+
+
 TPCH_QUERIES = {
+    "tpch_q2": q_tpch_q2,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
     "tpch_q1": q_tpch_q1,
     "tpch_q4": q_tpch_q4,
     "tpch_q9": q_tpch_q9,
@@ -839,6 +1143,11 @@ TPCH_QUERIES = {
 }
 
 TPCH_ORACLES = {
+    "tpch_q2": _TPCH_Q2_SQL,
+    "tpch_q11": _TPCH_Q11_SQL,
+    "tpch_q12": _TPCH_Q12_SQL,
+    "tpch_q16": _TPCH_Q16_SQL,
+    "tpch_q20": _TPCH_Q20_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q4": _TPCH_Q4_SQL,
     "tpch_q9": _TPCH_Q9_SQL,

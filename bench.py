@@ -111,6 +111,11 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
