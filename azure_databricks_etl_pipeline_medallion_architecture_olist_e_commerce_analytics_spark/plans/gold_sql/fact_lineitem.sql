@@ -45,7 +45,19 @@ event_summary AS (
   FROM LIVE.silver_events
   GROUP BY user_id
 )
-SELECT
+-- Join strategy (sf1 plan audit, round 3): the chain is ordered so each of
+-- the fact's two hash partitionings is paid ONCE and reused — first the
+-- orderkey chain (orders, order_totals, dim_orders: all keyed by the order
+-- key, so the aggregate's shuffle partitioning carries through two more
+-- joins with only sorts), then the custkey chain (customer + dim_customers,
+-- one exchange serving both; dim_customers is customer-cardinality and must
+-- NOT broadcast at scale), then the genuinely small dims as explicit
+-- broadcasts (Catalyst's stats mispriced dim_suppliers — ~1k rows — into a
+-- full-fact SortMergeJoin exchange, and conversely auto-broadcast the
+-- order-cardinality dim_orders, ~110 MB at sf1 and unbounded at 100 TB;
+-- the hints pin both the right way). event_summary aggregates to distinct
+-- users and broadcasts.
+SELECT /*+ BROADCAST(dp, ds, dd, dd_ship, es), MERGE(do, dc, ot) */
   sha2(concat(CAST(li.l_orderkey AS STRING), '|', CAST(li.l_linenumber AS STRING)), 256) AS lineitem_key,
   do.order_key,
   dc.customer_key,
@@ -75,10 +87,12 @@ SELECT
 FROM LIVE.silver_lineitem li
 INNER JOIN LIVE.silver_orders o
   ON li.l_orderkey = o.o_orderkey
-INNER JOIN LIVE.silver_customer c
-  ON o.o_custkey = c.c_custkey
+LEFT JOIN order_totals ot
+  ON li.l_orderkey = ot.l_orderkey
 INNER JOIN gold.dim_orders do
   ON o.o_orderkey = do.order_natural_key
+INNER JOIN LIVE.silver_customer c
+  ON o.o_custkey = c.c_custkey
 INNER JOIN gold.dim_customers dc
   ON c.c_custkey = dc.customer_natural_key
 INNER JOIN gold.dim_parts dp
@@ -89,8 +103,6 @@ INNER JOIN gold.dim_date dd
   ON DATE(o.o_orderdate) = dd.date_actual
 LEFT JOIN gold.dim_date dd_ship
   ON DATE(li.l_shipdate) = dd_ship.date_actual
-LEFT JOIN order_totals ot
-  ON li.l_orderkey = ot.l_orderkey
 LEFT JOIN event_summary es
   ON o.o_custkey = es.user_id
 WHERE li.l_orderkey IS NOT NULL

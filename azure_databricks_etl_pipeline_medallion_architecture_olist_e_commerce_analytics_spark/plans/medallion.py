@@ -60,15 +60,19 @@ BRONZE_TABLES = (
     "documents",
 )
 
-# Fact-side tables big enough that a one-partition scan (single-row-group
-# parquet) serializes the whole silver/gold pipeline onto one core. Safe to
-# repartition: every downstream construct is value-deterministic under any
-# physical order — the rn-dedup windows order by (ts, event_id) with event_id
-# unique (total order), dropDuplicates keys are unique in the source data, and
-# all fact aggregates are order-insensitive (decimal SUM, MAX, COUNT DISTINCT,
-# sort_array'd collect_set). Dim-side tables stay as-is: they are broadcast
-# joined, so an extra shuffle would cost more than it buys.
-_SPREAD_TABLES = frozenset({"lineitem", "orders", "events"})
+# NOTE on partition spreading: bronze deliberately does NOT call
+# spread_partitions. A round-robin repartition cannot raise SCAN parallelism
+# (the repartition's shuffle-write runs inside the same scan tasks, whose
+# count is fixed by the file's row-group splits) — it only parallelizes
+# narrow CPU work placed after it, and every bronze→silver stage here is a
+# cheap filter/projection that flows straight into a hash shuffle (join or
+# aggregate) which re-distributes to full parallelism anyway. Spreading the
+# fact tables was measured to ADD one full-table shuffle per source ahead of
+# each join's exchange (sf1 plan audit, round 3) for zero downstream benefit.
+# spread_partitions remains the right tool directly inside CPU-heavy
+# operators (fingerprinting, signature computation, Arrow-batch scoring) —
+# see operators/dedup.py, similarity.py, textops.py.
+_SPREAD_TABLES = frozenset()
 
 
 def build_pipeline(sf_dir: str) -> Pipeline:
