@@ -57,7 +57,11 @@ event_summary AS (
 -- order-cardinality dim_orders, ~110 MB at sf1 and unbounded at 100 TB;
 -- the hints pin both the right way). event_summary aggregates to distinct
 -- users and broadcasts.
-SELECT /*+ BROADCAST(dp, ds, dd, dd_ship, es), MERGE(do, dc, ot) */
+-- (no hint on the order_totals CTE: a join-strategy hint naming a CTE
+-- alias trips Spark's InlineCTE.buildCTEMap on some write plans
+-- ("key not found" NoSuchElementException); its join needs no hint anyway —
+-- both sides are already hash-partitioned on the order key)
+SELECT /*+ BROADCAST(dp, ds, dd, dd_ship, es), MERGE(do, dc) */
   sha2(concat(CAST(li.l_orderkey AS STRING), '|', CAST(li.l_linenumber AS STRING)), 256) AS lineitem_key,
   do.order_key,
   dc.customer_key,

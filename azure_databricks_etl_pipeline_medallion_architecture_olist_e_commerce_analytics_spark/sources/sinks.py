@@ -91,16 +91,20 @@ def write_table(
         # fact_order_items.sql:9): Morton-key range clustering so parquet
         # footer min/max stats prune scans on ANY clustered column, not just
         # the leading one. The clustered write makes extra passes over the
-        # frame (stats aggregate + range-partitioner sampling), so persist
-        # it once rather than re-running the MV's build DAG per pass — the
-        # local analog of Delta's post-write OPTIMIZE, which clusters from
-        # already-materialized files.
+        # frame (stats aggregate + range-partitioner sampling), so
+        # materialize it once rather than re-running the MV's build DAG per
+        # pass — the local analog of Delta's post-write OPTIMIZE, which
+        # clusters from already-materialized files. localCheckpoint (not
+        # persist) on purpose: it TRUNCATES the logical lineage, so the
+        # morton stats self-join sees plain checkpointed scans. A lazy
+        # persist leaves the MV's CTE definitions in both sides of that
+        # self-join, which trips Spark's InlineCTE.buildCTEMap
+        # ("key not found" NoSuchElementException) on some write plans.
         from ..operators.layout import cluster_frame
 
         cols = list(dataset.cluster_by)
         if len(cols) > 1:
-            persisted = df.persist()
-            out = persisted
+            out = df.localCheckpoint()
         out = cluster_frame(out, cols)
 
     use_fmt = "delta" if (HAVE_DELTA and fmt == "delta") else "parquet"

@@ -170,6 +170,70 @@ def test_full_medallion_run_materializes_warehouse(spark):
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_mv_cluster_by_layout_prunes_nonleading_column(spark, tmp_path):
+    """CLUSTER BY on the fact MV must reach the WRITTEN FILES as a real
+    multi-dimensional (Morton) layout: parquet footer min/max on
+    order_date_key — the THIRD clustering column — must bound each file to
+    a fraction of the global range. A linear sort on the leading column (or
+    a plain hash write) leaves every file covering ~the whole date range,
+    so a date-filtered scan prunes nothing; liquid-clustering semantics
+    (reference fact_order_items.sql:9) require pruning on any clustered
+    column, not just the first."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans.medallion import (
+        build_pipeline,
+    )
+
+    from conftest import SF_SMALL
+
+    p = build_pipeline(SF_SMALL)
+    # tiny corpus: shrink AQE's advisory partition size so the
+    # range-clustered write keeps multiple files (at real scale the 64 MB
+    # advisory target sizes the files; here it would merge everything into
+    # one file and leave nothing to measure)
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # the 1 MB minPartitionSize floor otherwise overrides the advisory
+        # target and still merges the tiny corpus into one file
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    prior = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        p.run(spark, warehouse=str(tmp_path / "wh"), collect_metrics=False)
+        files = sorted(
+            globmod.glob(str(tmp_path / "wh" / "gold" / "fact_lineitem" / "*.parquet"))
+        )
+        assert len(files) > 4, files
+
+        spans, glo, ghi = [], None, None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("order_date_key")
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            lo, hi = min(los), max(his)
+            spans.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        avg_span_frac = (sum(spans) / len(spans)) / max(ghi - glo, 1)
+        # morton interleave constrains every lane's top bits per z-range:
+        # each file must cover well under the full date-key range
+        assert avg_span_frac < 0.8, (avg_span_frac, spans, (glo, ghi))
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
+        for db in ("bronze", "silver", "gold"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_bucketed_tables_join_without_exchange(spark):
     """Two tables bucketed the same way on the join key: Spark's bucketed
     scan satisfies the join's distribution requirement, so the query plan
