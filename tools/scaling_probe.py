@@ -72,6 +72,13 @@ PROBE = [
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
     "streaming_running_totals",
+    "running_totals_window",   # JVM twin of the Python-state path above
+    # round-3 TPC-H decorrelation pack
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 

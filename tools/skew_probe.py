@@ -36,6 +36,9 @@ SRC = "/tmp/spark_graft_scale/sf1"  # the 10x replica (gen_scale_data.py)
 OUT = "/tmp/spark_graft_scale/skew"
 
 PROBE = [
+    "gold_fact_lineitem",  # flagship star fact: hot orderkey hits the big
+    #                        SMJ chain AND the order_totals hash aggregate
+    #                        (AQE skew-split + map-side combine must hold)
     "window_dedup",       # per-key window sort: the pathological shape
     "window_dedup_agg",   # skew-safe twin: map-side-combined hash agg
     "order_totals",       # hash agg on the hot lineitem key
