@@ -28,14 +28,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # query -> why this plan is the one you'd want at 100 TB
 ANNOTATIONS = {
     "gold_fact_lineitem": (
-        "Star fact build. Dims ship as BroadcastExchange; the only "
-        "sort-merge joins are big-x-big on natural keys (lineitem-orders, "
-        "orders-customer) — the correct choice at scale, where neither side "
-        "fits an executor. Per-order aggregates (CTE) shuffle once on "
-        "l_orderkey; COUNT(DISTINCT) derives from size(collect_set) in the "
-        "same pass, avoiding the Expand rewrite's second aggregation. "
-        "Round-robin exchanges are the single-row-group input spread "
-        "(no-op on production-split files)."
+        "Star fact build, join order chosen so each of the fact's two hash "
+        "partitionings is paid once and reused: the orderkey chain "
+        "(orders, per-order aggregate CTE, dim_orders) then the custkey "
+        "chain (customer, dim_customers). Small dims ship as "
+        "BroadcastExchange by explicit hint (stats mispriced the ~1k-row "
+        "supplier dim into a full-fact SMJ exchange); order-cardinality "
+        "dim_orders is hinted MERGE — broadcasting it is unbounded at "
+        "100 TB. COUNT(DISTINCT) derives from size(collect_set) in the "
+        "same pass, avoiding the Expand rewrite's second aggregation."
     ),
     "dedup_minhash_lsh": (
         "Banded LSH near-dup. Exactly-once band emission keys the shuffle "
@@ -146,10 +147,12 @@ ANNOTATIONS = {
         "block — never an all-pairs comparison."
     ),
     "recursive_chain": (
-        "Spark 4 recursive CTE: successor edges materialized ONCE "
-        "(localCheckpoint) before the recursion — a CTE reference would "
-        "re-run the window at every level; each level is then one "
-        "frontier⋈edges hash join, total work O(rows)."
+        "Spark 4 recursive CTE with K=8-step edges (path doubling folded "
+        "into the edge build: lead(key, 8) rides the same window pass, the "
+        "seed covers rn<=8, each position decomposes uniquely as s + m*8). "
+        "Edges materialized ONCE (localCheckpoint) before the recursion — "
+        "a CTE reference would re-run the window at every round; rounds = "
+        "ceil(depth/8) instead of depth, each one frontier-edges hash join."
     ),
     "lateral_topk": (
         "Correlated LATERAL with ORDER BY+LIMIT: Catalyst decorrelates to "
