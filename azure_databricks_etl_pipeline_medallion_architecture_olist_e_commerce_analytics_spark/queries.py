@@ -2684,6 +2684,45 @@ def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_list_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel list ranking by pointer jumping (operators/listrank.py) —
+    the log-rounds fallback the recursive chain walk names for degenerate
+    chain depths: ceil(log2(depth)) self-joins instead of depth/K recursion
+    rounds, so a corpus where one customer owns half the orders (a
+    750k-deep chain) still finishes in ~20 rounds. Same contract as
+    ``recursive_chain`` and the same declarative ROW_NUMBER oracle —
+    recursion, ranking, and pointer jumping must agree exactly.
+
+    Scale: each round is one hash self-join on the node id +
+    localCheckpoint (O(n) per round); the round count is bounded by the
+    measured max orders-per-customer, one cheap aggregate.
+    """
+    from .operators.listrank import list_rank
+
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nodes = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    ).localCheckpoint()
+    depth = (
+        nodes.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    ranked = list_rank(
+        nodes, "o_orderkey", "prev_key", rank_col="__r", max_depth=int(depth)
+    )
+    return nodes.select("o_custkey", "o_orderkey").join(ranked, "o_orderkey").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("__r") + 1).cast("int").alias("seq_pos"),
+    )
+
+
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with ORDER BY + LIMIT: per order, the
     top-priced line item. Catalyst decorrelates the lateral into a
@@ -2962,6 +3001,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_extract": q_variant_extract,
     "udtf_split": q_udtf_split,
     "recursive_chain": q_recursive_chain,
+    "list_ranking": q_list_ranking,
     "lateral_topk": q_lateral_topk,
     "multimodal_phash": q_multimodal_phash,
     "bpe_pairs": q_bpe_pairs,
@@ -3101,7 +3141,7 @@ _DRIVER_PRIORITY = [
     "incremental_agg", "group_topk", "stratified_sample", "exists_subquery",
     # new this round (no driver signal yet): the TPC-H decorrelation pack
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
-    "running_totals_window",
+    "running_totals_window", "list_ranking",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -3351,6 +3391,14 @@ ORACLES: dict[str, str] = {
       LIMIT 20
     """,
     "recursive_chain": """
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS INT) AS seq_pos
+      FROM orders
+    """,
+    # same contract, third path: pointer-jumping list ranking
+    "list_ranking": """
       SELECT o_custkey, o_orderkey,
              CAST(row_number() OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
