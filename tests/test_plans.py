@@ -274,3 +274,22 @@ def test_tpch_q19_disjunction_stays_equi_hash_join(spark):
     assert "HashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fact_plan_shape_is_regression_locked(spark):
+    """Lock the round-3 flagship plan overhaul: (a) ZERO round-robin
+    exchanges — bronze no longer spreads fact tables (the repartition ran
+    inside the scan tasks and only added a full-table shuffle before every
+    join's exchange); (b) the exchange count stays near the audited floor
+    (11 at sf0.001; cap with small headroom) — the star join order pays each
+    of the two fact hash partitionings (orderkey chain, then custkey chain)
+    once; (c) the two joins Catalyst's stats mispriced stay pinned by hint:
+    order-cardinality dim_orders merges (SMJ present even at this tiny SF,
+    where an unhinted plan would auto-broadcast a dim that is unbounded at
+    100 TB) while small dims broadcast (BHJ present)."""
+    plan = _formatted_plan(SPARK_QUERIES["gold_fact_lineitem"](spark, SF_SMALL))
+    assert "RoundRobinPartitioning" not in plan, "bronze spread crept back"
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 14, f"{n_exchanges} exchanges (audited floor: 11)"
+    assert "SortMergeJoin" in plan, "dim_orders merge hint lost (would broadcast an unbounded dim)"
+    assert "BroadcastHashJoin" in plan
