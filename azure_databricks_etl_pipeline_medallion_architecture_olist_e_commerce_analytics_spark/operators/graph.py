@@ -196,3 +196,83 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col("component_id") == F.col(id_col))
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER micro-unit arithmetic.
+
+    Classic power iteration (Brin & Page 1998; the Pregel showcase
+    algorithm), re-expressed as DataFrame joins with one deliberate twist:
+    every rank is a 64-bit integer count of ``1/scale`` units and every
+    step uses integer floor division, so the result is EXACTLY
+    order-independent — floating-point PageRank sums incoming
+    contributions in nondeterministic shuffle order and differs in ulps
+    across engines/partitionings, which would make a value-level oracle
+    impossible. Integer ranks make the whole fixpoint bitwise-reproducible
+    (same trick as the curation score's ppm units).
+
+    Update rule per iteration (d = damping_pct/100, n = node count)::
+
+        contrib(v) = rank(v) div outdeg(v)          -- per out-edge
+        rank'(u)   = (100-d%)*(scale div n) div 100
+                   + d% * sum(contrib over in-edges) div 100
+
+    Dangling nodes (no out-edges) leak their damped mass rather than
+    redistributing it — the simplest standard variant; both engines apply
+    the identical rule so the oracle stays exact.
+
+    Scale: the edge list with attached out-degree is the reused loop
+    operand — hash-partitioned on ``src`` once, localCheckpoint-ed so each
+    iteration reads a materialized table instead of an exponentially
+    deeper lineage. Each iteration is one equi-join (ranks × edges on src,
+    partitioning reused) plus one hash aggregate on dst with map-side
+    partial sums — the Pregel message-combine pattern; no driver-side
+    state beyond the iteration counter, no collect. O(E) per iteration,
+    ``iterations`` rounds.
+
+    Returns (node, rank) with ``rank`` in integer micro-units of
+    ``1/scale``; sum over all nodes ≤ scale (leakage from dangling nodes).
+    """
+    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    nodes = (
+        e.select(F.col("__src").alias("__node"))
+        .union(e.select("__dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    e_deg = e.join(outdeg, "__src").localCheckpoint()
+    base = F.lit((100 - damping_pct) * (scale // n) // 100)
+    ranks = nodes.select("__node", F.lit(scale // n).alias("__rank"))
+    for _ in range(iterations):
+        inc = (
+            e_deg.join(ranks, e_deg["__src"] == ranks["__node"])
+            .select(
+                "__dst",
+                F.expr("__rank div __deg").alias("__contrib"),
+            )
+            .groupBy("__dst")
+            .agg(F.sum("__contrib").alias("__inc"))
+        )
+        ranks = (
+            nodes.join(inc, nodes["__node"] == inc["__dst"], "left")
+            .select(
+                "__node",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__inc, 0L)) div 100"
+                    )
+                ).alias("__rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("__node").alias("node"), F.col("__rank").alias("rank"))

@@ -2723,6 +2723,104 @@ def q_list_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔customer trade graph
+    (operators/graph.py::pagerank_integer): distinct lineitem⋈orders
+    supplier–customer pairs become bidirectional edges (node id = key*2
+    for suppliers, key*2+1 for customers — disjoint integer namespaces),
+    then 5 power iterations in integer micro-unit arithmetic. The
+    Pregel-showcase iterative algorithm joining connected components and
+    list ranking in the graph family; importance scoring like this drives
+    crawl-corpus curation (rank sources by link structure, keep the head).
+
+    Integer ranks (floor-division update rule) make the fixpoint exactly
+    order-independent, so the oracle is the same 5 iterations unrolled as
+    chained CTEs in DuckDB — bitwise equality, no float tolerance.
+
+    Scale: edge build is one equi-join + distinct (hash shuffles on
+    orderkey then the pair); each iteration one join on src (partitioning
+    reused from the localCheckpoint-ed degree-annotated edge list) + one
+    map-side-combined hash aggregate on dst. O(E) per round, no driver
+    state, no collect.
+    """
+    from .operators.graph import pagerank_integer
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey").cast("long") * 2).alias("src"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_integer(edges, iterations=5)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("entity_type"),
+        F.expr("node div 2").alias("entity_key"),
+        F.col("rank").alias("rank_micro"),
+    )
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernández & Stolfo 1995)
+    — the classic record-linkage blocking family the catalog's other
+    dedup paths (MinHash-LSH, SimHash, n-gram Jaccard) don't cover: sort
+    documents by a normalized key and compare each only to its w=3
+    predecessors in sort order, so candidate generation is O(n·w) instead
+    of O(n²), with edit distance as the verifier.
+
+    Scale twist vs the textbook: the textbook's single GLOBAL sort would
+    funnel 100 TB through one window task. Here the window partitions by a
+    2-char blocking prefix of the key (near-identical texts share it) and
+    sorts within the block — fully parallel, at the standard blocking
+    cost of missing pairs that straddle a block boundary. The sort key is
+    capped at 64 chars and the distance probe at 80 so neither the shuffle
+    nor the Levenshtein DP ever sees unbounded text.
+
+    Oracle: identical lag-window + levenshtein construction in DuckDB.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.lower(F.trim(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        key.alias("__key"),
+        F.substring(key, 1, 2).alias("__blk"),
+    )
+    w = Window.partitionBy("__blk").orderBy(F.substring(F.col("__key"), 1, 64), "doc_id")
+    lagged = base.select(
+        "doc_id",
+        "__key",
+        *[F.lag("doc_id", i).over(w).alias(f"__p{i}_id") for i in (1, 2, 3)],
+        *[F.lag("__key", i).over(w).alias(f"__p{i}_key") for i in (1, 2, 3)],
+    )
+    probes = [
+        lagged.select(
+            F.col(f"__p{i}_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.levenshtein(
+                F.substring(F.col("__key"), 1, 80),
+                F.substring(F.col(f"__p{i}_key"), 1, 80),
+            ).alias("edit_dist"),
+        ).where(F.col(f"__p{i}_id").isNotNull())
+        for i in (1, 2, 3)
+    ]
+    out = probes[0].union(probes[1]).union(probes[2])
+    return out.where(F.col("edit_dist") <= 10).select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+        "edit_dist",
+    )
+
+
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery with ORDER BY + LIMIT: per order, the
     top-priced line item. Catalyst decorrelates the lateral into a
@@ -3002,6 +3100,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_split": q_udtf_split,
     "recursive_chain": q_recursive_chain,
     "list_ranking": q_list_ranking,
+    "pagerank_trade": q_pagerank_trade,
+    "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "lateral_topk": q_lateral_topk,
     "multimodal_phash": q_multimodal_phash,
     "bpe_pairs": q_bpe_pairs,
@@ -3129,7 +3229,8 @@ _DRIVER_PRIORITY = [
     # prefix reaches them; then the round-2 never-checked block (43 of its
     # 52 fit in the remaining window, meeting the >=40 coverage target)
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
-    "running_totals_window", "list_ranking",
+    "running_totals_window", "list_ranking", "pagerank_trade",
+    "dedup_sorted_neighborhood",
     "tpch_q19", "tpch_q22", "inverted_index", "doc_chunking", "winsorize",
     "bucketed_join", "decontaminate", "repetition_quality", "source_rebalance",
     "streaming_enrich", "embedding_quantize", "corpus_rarity",
@@ -3406,6 +3507,99 @@ ORACLES: dict[str, str] = {
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ) AS INT) AS seq_pos
       FROM orders
+    """,
+    # integer-arithmetic PageRank: the 5 power iterations unrolled as
+    # chained CTEs — floor-division micro-unit ranks are exactly
+    # order-independent, so this is bitwise, not tolerance-based
+    "pagerank_trade": """
+      WITH p AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src,
+                        CAST(o_custkey AS BIGINT)*2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ),
+      e AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      prm AS (SELECT 1000000000000 // COUNT(*) AS r0,
+                     15 * (1000000000000 // COUNT(*)) // 100 AS base
+              FROM nodes),
+      r0 AS (SELECT node, (SELECT r0 FROM prm) AS rank FROM nodes),
+      r1 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+          FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      ),
+      r2 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+          FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      ),
+      r3 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+          FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      ),
+      r4 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+          FROM e JOIN r3 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      ),
+      r5 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.rank // d.deg) AS s
+          FROM e JOIN r4 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      )
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS entity_type,
+             node // 2 AS entity_key,
+             CAST(rank AS BIGINT) AS rank_micro
+      FROM r5
+    """,
+    # sorted-neighborhood blocking: identical lag-window + levenshtein
+    "dedup_sorted_neighborhood": """
+      WITH b AS (
+        SELECT doc_id, lower(trim(text)) AS key,
+               substr(lower(trim(text)), 1, 2) AS blk
+        FROM documents
+      ),
+      w AS (
+        SELECT doc_id, key,
+               lag(doc_id, 1) OVER win AS p1_id, lag(key, 1) OVER win AS p1_key,
+               lag(doc_id, 2) OVER win AS p2_id, lag(key, 2) OVER win AS p2_key,
+               lag(doc_id, 3) OVER win AS p3_id, lag(key, 3) OVER win AS p3_key
+        FROM b
+        WINDOW win AS (PARTITION BY blk ORDER BY substr(key, 1, 64), doc_id)
+      ),
+      pairs AS (
+        SELECT p1_id AS da, doc_id AS db,
+               levenshtein(substr(key,1,80), substr(p1_key,1,80)) AS d
+        FROM w WHERE p1_id IS NOT NULL
+        UNION ALL
+        SELECT p2_id, doc_id,
+               levenshtein(substr(key,1,80), substr(p2_key,1,80))
+        FROM w WHERE p2_id IS NOT NULL
+        UNION ALL
+        SELECT p3_id, doc_id,
+               levenshtein(substr(key,1,80), substr(p3_key,1,80))
+        FROM w WHERE p3_id IS NOT NULL
+      )
+      SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+             CAST(d AS INT) AS edit_dist
+      FROM pairs WHERE d <= 10
     """,
     "lateral_topk": """
       SELECT o_orderkey, o_totalprice, l_linenumber, l_extendedprice
