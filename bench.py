@@ -93,6 +93,15 @@ HEADLINE = [
     "semantic_prune",
     "mix_temperature",
     "grouped_median",
+    # round-3 additions: iterative-graph + product-analytics families
+    "list_ranking",
+    "pagerank_trade",
+    "dedup_sorted_neighborhood",
+    "funnel_conversion",
+    "cohort_retention",
+    "copurchase_lift",
+    "triangle_count",
+    "running_totals_window",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",
     "tpch_q3",

@@ -986,3 +986,52 @@ def test_connected_components_paths_agree(spark):
     }
     assert fast == dist
     assert fast  # non-empty
+
+
+def test_list_rank_known_chains(spark):
+    """Pointer jumping on two hand-built chains (one length-5, one
+    length-1, one length-3) returns exact predecessor counts, including
+    a rounds budget from max_depth."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.listrank import (
+        list_rank,
+    )
+
+    rows = [  # (id, pred): chain A 1<-2<-3<-4<-5; B: 10; C: 20<-21<-22
+        (1, None), (2, 1), (3, 2), (4, 3), (5, 4),
+        (10, None),
+        (20, None), (21, 20), (22, 21),
+    ]
+    nodes = spark.createDataFrame(rows, "id long, pred long")
+    got = {
+        r["id"]: r["r"]
+        for r in list_rank(nodes, "id", "pred", rank_col="r", max_depth=5).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: 0, 20: 0, 21: 1, 22: 2}
+
+
+def test_pagerank_integer_known_graph(spark):
+    """Star graph a<->b, a<->c, a<->d: the hub must outrank the spokes,
+    all three spokes must tie exactly (integer arithmetic is symmetric),
+    and total mass stays <= scale with zero dangling leakage here (every
+    node has out-edges)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    e = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank_integer(edges, iterations=4).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[0] > got[1]
+    scale = 10**12
+    assert sum(got.values()) <= scale
+    # hand-rolled reference: same floor-division update rule in python
+    n, base = 4, 15 * (10**12 // 4) // 100
+    r = {v: scale // n for v in range(4)}
+    deg = {0: 3, 1: 1, 2: 1, 3: 1}
+    for _ in range(4):
+        inc = {v: 0 for v in range(4)}
+        for s, d in e:
+            inc[d] += r[s] // deg[s]
+        r = {v: base + 85 * inc[v] // 100 for v in range(4)}
+    assert got == r

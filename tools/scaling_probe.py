@@ -79,6 +79,14 @@ PROBE = [
     "tpch_q12",
     "tpch_q16",
     "tpch_q20",
+    # round-3 iterative-graph + product-analytics families
+    "list_ranking",
+    "pagerank_trade",
+    "dedup_sorted_neighborhood",
+    "funnel_conversion",
+    "cohort_retention",
+    "copurchase_lift",
+    "triangle_count",
 ]
 
 
