@@ -2723,6 +2723,26 @@ def q_list_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional supplier↔customer trade graph shared by the graph
+    family (pagerank_trade, bfs_reach): distinct lineitem⋈orders pairs,
+    node id = key*2 for suppliers / key*2+1 for customers (disjoint
+    integer namespaces, 64-bit safe via the explicit long cast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey").cast("long") * 2).alias("src"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier↔customer trade graph
     (operators/graph.py::pagerank_integer): distinct lineitem⋈orders
@@ -2746,19 +2766,7 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank_integer
 
     tune_session(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    pairs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            (F.col("l_suppkey").cast("long") * 2).alias("src"),
-            (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _trade_edges(spark, sf_dir)
     ranks = pagerank_integer(edges, iterations=5)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
@@ -2818,6 +2826,95 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("doc_a", "doc_b").alias("doc_a"),
         F.greatest("doc_a", "doc_b").alias("doc_b"),
         "edit_dist",
+    )
+
+
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS / shortest hop distance over the trade graph:
+    minimum hops (≤3) from the seed set (suppliers of nation 1) to every
+    reachable node — the frontier-expansion primitive completing the
+    graph family (components, PageRank, list ranking, triangles).
+
+    The hop bound is a FIXED unroll — each level is one equi-join of the
+    previous frontier against the edge list (hash on the node key, reused
+    partitioning) + distinct; the final distance is MIN over the leveled
+    union, so re-visits resolve to the earliest level without per-level
+    visited-set state. Unbounded-diameter BFS would iterate the same step
+    with a fixpoint probe (the connected-components loop shape); bounded
+    unrolls keep the oracle expressible as plain chained SQL.
+    """
+    tune_session(spark)
+    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    supplier = load_table(spark, sf_dir, "supplier")
+    l0 = (
+        supplier.where(F.col("s_nationkey") == 1)
+        .select((F.col("s_suppkey").cast("long") * 2).alias("node"))
+        .distinct()
+    )
+    levels = [l0]
+    for _ in range(3):
+        levels.append(
+            edges.join(levels[-1], edges["src"] == levels[-1]["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+    leveled = None
+    for hops, lv in enumerate(levels):
+        tagged = lv.select("node", F.lit(hops).alias("hops"))
+        leveled = tagged if leveled is None else leveled.union(tagged)
+    return (
+        leveled.groupBy("node")
+        .agg(F.min("hops").alias("hops"))
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("entity_type"),
+            F.expr("node div 2").alias("entity_key"),
+            F.col("hops").cast("int").alias("hops"),
+        )
+    )
+
+
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ordinary-least-squares fit of extended price on quantity
+    (REGR_SLOPE / REGR_INTERCEPT analog) via the closed-form sufficient
+    statistics — the aggregate-only regression every SQL engine's REGR_*
+    family hides: slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²).
+
+    Cross-engine exactness: each Σ accumulates in DECIMAL (exact,
+    order-independent — raw double SUM differs in ulps across shuffle
+    orders), then the slope/intercept arithmetic runs in DOUBLE with the
+    expression written identically on both sides, so the IEEE operation
+    sequence — and therefore every bit of the result — matches. One
+    map-side-combined hash aggregate; no second pass, no window.
+    """
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    sums = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,6)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
 
 
@@ -3277,6 +3374,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "list_ranking": q_list_ranking,
     "pagerank_trade": q_pagerank_trade,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+    "bfs_reach": q_bfs_reach,
+    "ols_trend": q_ols_trend,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "copurchase_lift": q_copurchase_lift,
@@ -3410,7 +3509,7 @@ _DRIVER_PRIORITY = [
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "running_totals_window", "list_ranking", "pagerank_trade",
     "dedup_sorted_neighborhood", "funnel_conversion", "cohort_retention",
-    "copurchase_lift", "triangle_count",
+    "copurchase_lift", "triangle_count", "bfs_reach", "ols_trend",
     "tpch_q19", "tpch_q22", "inverted_index", "doc_chunking", "winsorize",
     "bucketed_join", "decontaminate", "repetition_quality", "source_rebalance",
     "streaming_enrich", "embedding_quantize", "corpus_rarity",
@@ -3748,6 +3847,49 @@ ORACLES: dict[str, str] = {
              node // 2 AS entity_key,
              CAST(rank AS BIGINT) AS rank_micro
       FROM r5
+    """,
+    "bfs_reach": """
+      WITH p AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src,
+                        CAST(o_custkey AS BIGINT)*2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ),
+      e AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+      l0 AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT)*2 AS node
+             FROM supplier WHERE s_nationkey = 1),
+      l1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN l0 ON e.src = l0.node),
+      l2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN l1 ON e.src = l1.node),
+      l3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN l2 ON e.src = l2.node),
+      u AS (
+        SELECT node, 0 AS hops FROM l0
+        UNION ALL SELECT node, 1 FROM l1
+        UNION ALL SELECT node, 2 FROM l2
+        UNION ALL SELECT node, 3 FROM l3
+      )
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+               AS entity_type,
+             node // 2 AS entity_key,
+             CAST(MIN(hops) AS INT) AS hops
+      FROM u GROUP BY 1, 2
+    """,
+    "ols_trend": """
+      WITH s AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6)))
+                    AS DOUBLE) AS sxx
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+      )
+      SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept
+      FROM s
     """,
     "funnel_conversion": """
       WITH v AS (SELECT user_id, MIN(ts) AS t_view

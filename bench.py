@@ -101,6 +101,8 @@ HEADLINE = [
     "cohort_retention",
     "copurchase_lift",
     "triangle_count",
+    "bfs_reach",
+    "ols_trend",
     "running_totals_window",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",

@@ -87,6 +87,8 @@ PROBE = [
     "cohort_retention",
     "copurchase_lift",
     "triangle_count",
+    "bfs_reach",
+    "ols_trend",
 ]
 
 
