@@ -2918,6 +2918,63 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling of ``orders`` (the Deequ / DLT
+    expectations-profiling surface): one output row per column with row
+    count, null count, distinct count, and min/max rendered as strings —
+    the stats a quality layer computes before proposing constraints.
+
+    Shape: ONE pass — every per-column stat is a conditional aggregate in
+    a single groupBy-less agg (count_distinct expands per column but
+    map-side-dedups), then the wide 1-row result unpivots to one row per
+    column via a stack/VALUES expression on the driver-side-free plan. No
+    per-column scans: profiling N columns costs one table read. Min/max
+    stringification uses ISO date rendering so both engines agree.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    # (column, SQL rendering of an aggregated min/max to string) — min/max
+    # aggregate on the NATIVE type (numeric/date order, not lexicographic),
+    # rendering happens after the aggregate so both engines stringify the
+    # same canonical value
+    cols = [
+        ("o_orderkey", "CAST({v} AS STRING)"),
+        ("o_custkey", "CAST({v} AS STRING)"),
+        ("o_orderstatus", "{v}"),
+        ("o_totalprice", "CAST(CAST({v} AS DECIMAL(18,2)) AS STRING)"),
+        ("o_orderdate", "date_format({v}, 'yyyy-MM-dd')"),
+        ("o_orderpriority", "{v}"),
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, _ in cols:
+        aggs += [
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(f"__null_{name}"),
+            F.countDistinct(name).alias(f"__dist_{name}"),
+            F.min(name).alias(f"__min_{name}"),
+            F.max(name).alias(f"__max_{name}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        "'{n}', __null_{n}, __dist_{n}, {mn}, {mx}".format(
+            n=name,
+            mn=render.format(v=f"__min_{name}"),
+            mx=render.format(v=f"__max_{name}"),
+        )
+        for name, render in cols
+    )
+    return wide.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {stack}) as (column_name, n_nulls, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): how many users
     complete each stage IN ORDER — the canonical product-analytics query.
@@ -3376,6 +3433,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "bfs_reach": q_bfs_reach,
     "ols_trend": q_ols_trend,
+    "profile_table": q_profile_table,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "copurchase_lift": q_copurchase_lift,
@@ -3510,6 +3568,7 @@ _DRIVER_PRIORITY = [
     "running_totals_window", "list_ranking", "pagerank_trade",
     "dedup_sorted_neighborhood", "funnel_conversion", "cohort_retention",
     "copurchase_lift", "triangle_count", "bfs_reach", "ols_trend",
+    "profile_table",
     "tpch_q19", "tpch_q22", "inverted_index", "doc_chunking", "winsorize",
     "bucketed_join", "decontaminate", "repetition_quality", "source_rebalance",
     "streaming_enrich", "embedding_quantize", "corpus_rarity",
@@ -3890,6 +3949,43 @@ ORACLES: dict[str, str] = {
              (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
                AS intercept
       FROM s
+    """,
+    "profile_table": """
+      WITH s AS (
+        SELECT COUNT(*) AS n,
+          SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+          COUNT(DISTINCT o_orderkey) AS d1, MIN(o_orderkey) AS mn1, MAX(o_orderkey) AS mx1,
+          SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+          COUNT(DISTINCT o_custkey) AS d2, MIN(o_custkey) AS mn2, MAX(o_custkey) AS mx2,
+          SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+          COUNT(DISTINCT o_orderstatus) AS d3, MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+          SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu4,
+          COUNT(DISTINCT o_totalprice) AS d4, MIN(o_totalprice) AS mn4, MAX(o_totalprice) AS mx4,
+          SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nu5,
+          COUNT(DISTINCT o_orderdate) AS d5, MIN(o_orderdate) AS mn5, MAX(o_orderdate) AS mx5,
+          SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu6,
+          COUNT(DISTINCT o_orderpriority) AS d6, MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
+        FROM orders
+      )
+      SELECT 'o_orderkey' AS column_name, CAST(n AS BIGINT) AS n_rows,
+             CAST(nu1 AS BIGINT) AS n_nulls, CAST(d1 AS BIGINT) AS n_distinct,
+             CAST(mn1 AS VARCHAR) AS min_value, CAST(mx1 AS VARCHAR) AS max_value FROM s
+      UNION ALL
+      SELECT 'o_custkey', CAST(n AS BIGINT), CAST(nu2 AS BIGINT), CAST(d2 AS BIGINT),
+             CAST(mn2 AS VARCHAR), CAST(mx2 AS VARCHAR) FROM s
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(nu3 AS BIGINT), CAST(d3 AS BIGINT),
+             mn3, mx3 FROM s
+      UNION ALL
+      SELECT 'o_totalprice', CAST(n AS BIGINT), CAST(nu4 AS BIGINT), CAST(d4 AS BIGINT),
+             CAST(CAST(mn4 AS DECIMAL(18,2)) AS VARCHAR),
+             CAST(CAST(mx4 AS DECIMAL(18,2)) AS VARCHAR) FROM s
+      UNION ALL
+      SELECT 'o_orderdate', CAST(n AS BIGINT), CAST(nu5 AS BIGINT), CAST(d5 AS BIGINT),
+             strftime(mn5, '%Y-%m-%d'), strftime(mx5, '%Y-%m-%d') FROM s
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(nu6 AS BIGINT), CAST(d6 AS BIGINT),
+             mn6, mx6 FROM s
     """,
     "funnel_conversion": """
       WITH v AS (SELECT user_id, MIN(ts) AS t_view
