@@ -223,11 +223,20 @@ def _pipeline_q(dataset: str, drop: tuple[str, ...] = ()) -> Callable:
         return df.drop(*drop) if drop else df
 
     q.__name__ = f"q_{dataset.replace('.', '_')}"
+    q.__doc__ = (
+        f"Medallion pipeline dataset `{dataset}`: runs the full registry DAG "
+        "(bronze ingestion -> silver typed/cleansed -> gold SQL MVs with "
+        "expectations) and returns this dataset's DataFrame — the reference's "
+        "DLT surface re-expressed on the engine's registry/medallion planner."
+    )
     return q
 
 
 def _cast_dim_date_int(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # date_key is row_number (int in Spark); oracle casts its BIGINT to INTEGER.
+    """Medallion pipeline dataset `gold.dim_date`: the scale-safe calendar
+    dimension (sequence()+explode generator, W2/W3 date_key windows) from
+    the registry DAG; oracle casts its BIGINT date_key to INTEGER to match
+    Spark's ROW_NUMBER int."""
     tune_session(spark)
     return pipeline_dataframe(spark, sf_dir, "gold.dim_date")
 
