@@ -2984,6 +2984,154 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase attributes to the
+    same user's most recent click at-or-before it, within a 7-day
+    lookback — the as-of join (operators/asof.py) composed into the
+    product-analytics shape it exists for. Clicks are pre-aggregated to
+    unique (user, ts) (max event_id wins a same-microsecond tie) per the
+    operator's determinism contract; the lookback is a post-filter on the
+    carried click timestamp, so out-of-window purchases keep a NULL
+    attribution instead of silently dropping.
+
+    Gap arithmetic is integer microseconds (exact both engines). One
+    shuffle on user_id serves the union+window carry — no pair explosion
+    on hyperactive users.
+    """
+    from .operators.asof import as_of_join
+
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "click_id",
+            F.col("ts").alias("click_ts_at"),
+        )
+    )
+    joined = as_of_join(
+        purchases, clicks, ["user_id"], "ts", "click_ts", ["click_id", "click_ts_at"]
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts_at"))
+    ok = F.col("click_ts_at").isNotNull() & (gap_us <= F.lit(7 * 86400 * 1000000))
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.when(ok, F.col("click_id")).alias("click_id"),
+        F.when(ok, gap_us).cast("bigint").alias("gap_us"),
+    )
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (the pre-flight a 100 TB join plan needs
+    before choosing salt/broadcast/AQE-skew strategies): for each fact
+    join key, the distinct-key count, the hottest key's row count, and its
+    corpus share in integer ppm — top1_share_ppm ≥ ~30000 (3%) on a
+    1000-partition cluster means one reducer owns 30× its fair share and
+    the salted-join path (skew_salted_join) applies.
+
+    Shape: one hash aggregate per key column (map-side combined) feeding a
+    3-row union — profiling K keys costs K aggregates, no window, no
+    sort. Share arithmetic is floor-division ppm, bitwise across engines.
+    """
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        per_key = li.groupBy(key).agg(F.count(F.lit(1)).alias("__c"))
+        outs.append(
+            per_key.agg(
+                F.lit(key).alias("key_col"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("__c").alias("top1_cnt"),
+                F.expr("(max(__c) * 1000000) div sum(__c)").alias("top1_share_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: exact median + exact MAD
+    (median absolute deviation) via rank selection, then the 3σ-equivalent
+    cutoff |x − med| > 3·1.4826·MAD — the robust-statistics twin of
+    z-score filtering that survives the heavy tails that break mean/stddev
+    (grouped_median's recipe applied twice).
+
+    Exactness: both medians use explicit middle-rank selection ((lo+hi)/2
+    — no interpolation ambiguity) and the cutoff multiply is one IEEE
+    double expression written identically on both engines. Cost: two
+    window sorts per group (the honest price of exact percentiles; the
+    sketch path is approx_quantiles).
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(((F.min("value") + F.max("value")) / 2).alias("med"))
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "value",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    mad = (
+        dranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(((F.min("adev") + F.max("adev")) / 2).alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.any_value("med").alias("median_value"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): how many users
     complete each stage IN ORDER — the canonical product-analytics query.
@@ -3443,6 +3591,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_reach": q_bfs_reach,
     "ols_trend": q_ols_trend,
     "profile_table": q_profile_table,
+    "attribution_last_touch": q_attribution_last_touch,
+    "skew_profile": q_skew_profile,
+    "robust_zscore": q_robust_zscore,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "copurchase_lift": q_copurchase_lift,
@@ -3577,7 +3728,8 @@ _DRIVER_PRIORITY = [
     "running_totals_window", "list_ranking", "pagerank_trade",
     "dedup_sorted_neighborhood", "funnel_conversion", "cohort_retention",
     "copurchase_lift", "triangle_count", "bfs_reach", "ols_trend",
-    "profile_table",
+    "profile_table", "attribution_last_touch", "skew_profile",
+    "robust_zscore",
     "tpch_q19", "tpch_q22", "inverted_index", "doc_chunking", "winsorize",
     "bucketed_join", "decontaminate", "repetition_quality", "source_rebalance",
     "streaming_enrich", "embedding_quantize", "corpus_rarity",
@@ -3995,6 +4147,76 @@ ORACLES: dict[str, str] = {
       UNION ALL
       SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(nu6 AS BIGINT), CAST(d6 AS BIGINT),
              mn6, mx6 FROM s
+    """,
+    "attribution_last_touch": """
+      WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.purchase_id, p.user_id,
+             CASE WHEN c.click_ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(c.click_ts) <= 604800000000
+                  THEN c.click_id END AS click_id,
+             CASE WHEN c.click_ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(c.click_ts) <= 604800000000
+                  THEN CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT)
+                  END AS gap_us
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+    "skew_profile": """
+      WITH o AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey),
+      pp AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+      sp AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey)
+      SELECT 'l_orderkey' AS key_col, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS top1_cnt,
+             CAST((MAX(c) * 1000000) // SUM(c) AS BIGINT) AS top1_share_ppm
+      FROM o
+      UNION ALL
+      SELECT 'l_partkey', CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+             CAST((MAX(c) * 1000000) // SUM(c) AS BIGINT) FROM pp
+      UNION ALL
+      SELECT 'l_suppkey', CAST(COUNT(*) AS BIGINT), CAST(MAX(c) AS BIGINT),
+             CAST((MAX(c) * 1000000) // SUM(c) AS BIGINT) FROM sp
+    """,
+    "robust_zscore": """
+      WITH ev AS (SELECT event_type, event_id, value
+                  FROM events WHERE value IS NOT NULL),
+      r1 AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev
+      ),
+      med AS (
+        SELECT event_type, (MIN(value) + MAX(value)) / 2 AS med
+        FROM r1 WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        GROUP BY 1
+      ),
+      dev AS (
+        SELECT ev.event_type, ev.event_id, ev.value, med.med,
+               abs(ev.value - med.med) AS adev
+        FROM ev JOIN med ON ev.event_type = med.event_type
+      ),
+      r2 AS (
+        SELECT event_type, adev,
+               row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ),
+      mad AS (
+        SELECT event_type, (MIN(adev) + MAX(adev)) / 2 AS mad
+        FROM r2 WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        GROUP BY 1
+      )
+      SELECT dev.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             ANY_VALUE(dev.med) AS median_value,
+             ANY_VALUE(mad.mad) AS mad,
+             CAST(SUM(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad ON dev.event_type = mad.event_type
+      GROUP BY 1
     """,
     "funnel_conversion": """
       WITH v AS (SELECT user_id, MIN(ts) AS t_view

@@ -103,6 +103,10 @@ HEADLINE = [
     "triangle_count",
     "bfs_reach",
     "ols_trend",
+    "profile_table",
+    "attribution_last_touch",
+    "skew_profile",
+    "robust_zscore",
     "running_totals_window",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",

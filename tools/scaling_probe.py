@@ -89,6 +89,10 @@ PROBE = [
     "triangle_count",
     "bfs_reach",
     "ols_trend",
+    "profile_table",
+    "attribution_last_touch",
+    "skew_profile",
+    "robust_zscore",
 ]
 
 
