@@ -198,6 +198,55 @@ def dedup_clusters(
     )
 
 
+def count_triangles(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Distributed triangle counting with DEGREE orientation (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    WWW 2011 — public literature).
+
+    ``edges`` is an undirected, duplicate-free edge list (one row per
+    unordered pair). Every edge is oriented toward its higher-(degree, id)
+    endpoint, bounding each vertex's out-degree by O(√m); the wedge
+    self-join therefore cannot explode on a hub vertex, where natural id
+    orientation is O(hub-degree²). Each triangle is counted exactly once —
+    at its unique orientation-source vertex (the (deg,id) total order
+    makes every triangle's orientation acyclic) — so the total is
+    orientation-invariant and an id-oriented SQL twin still matches.
+
+    Returns a 1-row DataFrame (n_edges, n_triangles).
+    """
+    und = edges.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    deg = (
+        und.select(F.col("__a").alias("v"))
+        .union(und.select("__b"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("v").alias("__a"), F.col("d").alias("da")), "__a")
+        .join(deg.select(F.col("v").alias("__b"), F.col("d").alias("db")), "__b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("__a") < F.col("__b"))),
+                F.struct(F.col("__a").alias("src"), F.col("__b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("__b").alias("src"), F.col("__a").alias("dst")))
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
+    w1 = e.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+    w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "v").where(F.col("x") < F.col("y"))
+    closing = e.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])
+    return n_edges.join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
 def pagerank_integer(
     edges: DataFrame,
     src_col: str = "src",

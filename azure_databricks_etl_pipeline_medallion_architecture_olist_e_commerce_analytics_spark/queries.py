@@ -3287,24 +3287,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_b), so each triangle a<b<c matches exactly once as
     e(a,b)⋈e(b,c)⋈e(a,c) — no per-triangle dedup needed.
 
-    Shape: wedge build is one self-join on the shared middle vertex, then
-    one join probing the closing edge; both hash joins on vertex keys. At
-    hostile degree skew the standard upgrade is degree-based orientation
-    (point edges from low- to high-degree endpoints, bounding wedge fanout
-    by √m) — id-orientation is kept here because the support-filtered
-    basket graph has bounded degree by construction.
+    Shape: the execution uses DEGREE orientation (Suri & Vassilvitskii's
+    MR triangle counting): every edge points from its lower-(degree, id)
+    endpoint to the higher one, so each vertex's out-degree is bounded by
+    O(√m) and the wedge self-join cannot explode on a hub vertex — an
+    id-oriented wedge join is O(d²) on the hub (a 500k-degree node means
+    1.25e11 wedges; degree orientation caps it at the √m fringe). The
+    triangle TOTAL is orientation-invariant (each triangle is counted at
+    exactly one vertex — its orientation-source), which is why the oracle
+    can stay in natural id orientation and still match bitwise.
     """
+    from .operators.graph import count_triangles
+
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    e = _copurchase_edges(li, min_support=2).select("part_a", "part_b")
-    e1 = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
-    e2 = e.select(F.col("part_a").alias("b"), F.col("part_b").alias("c"))
-    e3 = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("c"))
-    wedges = e1.join(e2, "b")
-    tri = wedges.join(e3, ["a", "c"])
-    return e.agg(F.count(F.lit(1)).alias("n_edges")).join(
-        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    und = _copurchase_edges(li, min_support=2).select("part_a", "part_b")
+    return count_triangles(und, "part_a", "part_b")
 
 
 def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1035,3 +1035,25 @@ def test_pagerank_integer_known_graph(spark):
             inc[d] += r[s] // deg[s]
         r = {v: base + 85 * inc[v] // 100 for v in range(4)}
     assert got == r
+
+
+def test_count_triangles_hub_graph_degree_orientation(spark):
+    """A 3000-degree hub plus planted triangles: id orientation would build
+    ~4.5M wedges at the hub (the 'curse of the last reducer'); degree
+    orientation points every hub edge INTO the hub, so the hub sources no
+    wedges and the count still lands exactly — triangles touching the hub
+    are counted at their fringe source vertex."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        count_triangles,
+    )
+
+    hub = 0
+    edges = [(hub, i) for i in range(1, 3001)]  # star: no triangles yet
+    # plant triangles ON the hub: (0, i), (0, i+1) exist; close (i, i+1)
+    edges += [(1, 2), (3, 4), (5, 6)]
+    # plant one triangle off-hub: 5001-5002-5003
+    edges += [(5001, 5002), (5002, 5003), (5001, 5003)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    row = count_triangles(df, "a", "b").collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == 4
