@@ -3132,6 +3132,75 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys:
+    for each (previous event type → event type) pair, the transition count
+    and row-normalized probability in integer ppm — the user-journey
+    analysis behind funnel design, and the event-sequence twin of the text
+    bigram LM counts (same lag-window → hash-agg shape).
+
+    One shuffle on user_id for the lag window, one map-side-combined
+    aggregate on the 25-cell transition matrix, one tiny self-join for the
+    per-source normalizer. Integer ppm floor division keeps the oracle
+    bitwise.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("__tot"))
+    return trans.join(totals, "prev_type").select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        "n_trans",
+        F.expr("(n_trans * 1000000) div __tot").alias("prob_ppm"),
+    )
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / out-of-vocabulary rate per source: build the
+    corpus top-1000 token vocabulary (frequency-ranked, token-lexical
+    tie-break — deterministic), then measure each source's share of token
+    occurrences falling outside it, in integer ppm. The tokenizer-health
+    metric an LLM data pipeline runs before committing a vocab: rising OOV
+    on a new source means the tokenizer fragments it.
+
+    Scale: tokens explode map-side; the vocabulary is a bounded top-k
+    (TakeOrderedAndProject, no global sort) broadcast into the membership
+    probe, so the corpus-side pass stays one explode + one aggregate.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "tok")
+        .limit(1000)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    probed = toks.join(F.broadcast(vocab), "tok", "left")
+    return probed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.expr(
+            "(sum(case when __in_vocab is null then 1 else 0 end) * 1000000)"
+            " div count(1)"
+        ).alias("oov_ppm"),
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): how many users
     complete each stage IN ORDER — the canonical product-analytics query.
@@ -3592,6 +3661,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_last_touch": q_attribution_last_touch,
     "skew_profile": q_skew_profile,
     "robust_zscore": q_robust_zscore,
+    "event_transitions": q_event_transitions,
+    "oov_rate": q_oov_rate,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "copurchase_lift": q_copurchase_lift,
@@ -3727,7 +3798,7 @@ _DRIVER_PRIORITY = [
     "dedup_sorted_neighborhood", "funnel_conversion", "cohort_retention",
     "copurchase_lift", "triangle_count", "bfs_reach", "ols_trend",
     "profile_table", "attribution_last_touch", "skew_profile",
-    "robust_zscore",
+    "robust_zscore", "event_transitions", "oov_rate",
     "tpch_q19", "tpch_q22", "inverted_index", "doc_chunking", "winsorize",
     "bucketed_join", "decontaminate", "repetition_quality", "source_rebalance",
     "streaming_enrich", "embedding_quantize", "corpus_rarity",
@@ -4215,6 +4286,41 @@ ORACLES: dict[str, str] = {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM dev JOIN mad ON dev.event_type = mad.event_type
       GROUP BY 1
+    """,
+    "event_transitions": """
+      WITH t AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+      ),
+      tr AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+             FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT prev_type, SUM(n_trans) AS tot FROM tr GROUP BY 1)
+      SELECT tr.prev_type, tr.next_type, CAST(tr.n_trans AS BIGINT) AS n_trans,
+             CAST((tr.n_trans * 1000000) // tot.tot AS BIGINT) AS prob_ppm
+      FROM tr JOIN tot ON tr.prev_type = tot.prev_type
+    """,
+    "oov_rate": r"""
+      WITH toks AS (
+        SELECT source, u.tok
+        FROM (SELECT source,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+              FROM documents) d, unnest(arr) AS u(tok)
+        WHERE u.tok <> ''
+      ),
+      vocab AS (
+        SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+                         ORDER BY c DESC, tok LIMIT 1000)
+      ),
+      probed AS (
+        SELECT s.source, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks s LEFT JOIN vocab v ON s.tok = v.tok
+      )
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(oov) AS BIGINT) AS n_oov,
+             CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
+      FROM probed GROUP BY 1
     """,
     "funnel_conversion": """
       WITH v AS (SELECT user_id, MIN(ts) AS t_view
