@@ -107,6 +107,8 @@ HEADLINE = [
     "attribution_last_touch",
     "skew_profile",
     "robust_zscore",
+    "event_transitions",
+    "oov_rate",
     "running_totals_window",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",

@@ -93,6 +93,8 @@ PROBE = [
     "attribution_last_touch",
     "skew_profile",
     "robust_zscore",
+    "event_transitions",
+    "oov_rate",
 ]
 
 
