@@ -77,6 +77,61 @@ def build() -> None:
 from bench import time_noop  # noqa: E402
 
 
+def _hub_edges(spark, hub_deg: int, chain: int = 500_000):
+    """Deterministic hostile graph: one hub adjacent to ``hub_deg`` nodes
+    plus a ``chain``-node path as sparse background (so degree ranking has
+    a fringe to orient toward)."""
+    star = spark.range(1, hub_deg + 1).select(
+        F.lit(0).alias("a"), F.col("id").alias("b")
+    )
+    path = spark.range(hub_deg + 1, hub_deg + chain).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    return star.union(path)
+
+
+def _triangles_id_oriented(edges):
+    """The textbook id-oriented wedge join — O(hub_degree²) wedges at the
+    hub; kept here ONLY as the pathological comparison point."""
+    e = edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    e1 = e.select(F.col("a").alias("u"), F.col("b").alias("x"))
+    e2 = e.select(F.col("a").alias("u"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "u").where(F.col("x") < F.col("y"))
+    return wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    ).count()
+
+
+def probe_graph_hub(spark) -> None:
+    """Second section: the graph family under a hub vertex. Degree
+    orientation (operators/graph.py::count_triangles) must stay flat as
+    the hub grows 100×, while id orientation grows with hub², and
+    PageRank's hub in-sum must stay flat thanks to map-side combine."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        count_triangles,
+        pagerank_integer,
+    )
+
+    print()
+    print("## Graph-family hub probe (synthetic star + path background)")
+    print()
+    print("| case | hub degree | wall (s) |")
+    print("|---|---|---|")
+    for deg in (5_000, 500_000):
+        ed = _hub_edges(spark, deg).localCheckpoint()
+        t0 = time.perf_counter()
+        count_triangles(ed, "a", "b").collect()
+        print(f"| triangles degree-oriented | {deg} | {time.perf_counter()-t0:.2f} |", flush=True)
+        if deg <= 5_000:  # 12.5M wedges — feasible; 500k would be 1.25e11
+            t0 = time.perf_counter()
+            _triangles_id_oriented(ed)
+            print(f"| triangles id-oriented (pathological) | {deg} | {time.perf_counter()-t0:.2f} |", flush=True)
+        both = ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        t0 = time.perf_counter()
+        pagerank_integer(both, "a", "b", iterations=3).count()
+        print(f"| pagerank 3 iters (hub in-degree {deg}) | {deg} | {time.perf_counter()-t0:.2f} |", flush=True)
+
+
 if __name__ == "__main__":
     if not os.path.exists(os.path.join(OUT, "events.parquet")):
         build()
@@ -91,3 +146,4 @@ if __name__ == "__main__":
             print(f"| {name} | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |", flush=True)
         except Exception as exc:
             print(f"| {name} | — | — | ERROR {type(exc).__name__} |", flush=True)
+    probe_graph_hub(spark)
