@@ -2655,7 +2655,10 @@ def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with a total-output row cap (default 1e6) — size it to the data like
     # any other admission limit. The override is scoped, not leaked:
     # tune_session (called at every catalog query's entry) resets it to the
-    # default, so the weakened guard lasts only for this query's execution.
+    # default, so the weakened guard lasts only for this query's execution —
+    # and because the returned frame is localCheckpoint-ed (executed HERE,
+    # under the raised cap), a caller that builds this query, runs another,
+    # and only then collects cannot trip the re-armed 1e6 cap at action time.
     try:
         spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     except Exception:
@@ -2690,7 +2693,7 @@ def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey, CAST(seq_pos AS INT) AS seq_pos
         FROM chain
         """
-    )
+    ).localCheckpoint()
 
 
 def q_list_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2916,14 +2919,22 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # zero-variance guard: a degenerate group (single row / all-equal x)
+    # makes the denominator exactly 0.0, where Spark's non-ANSI division
+    # yields NULL but DuckDB's IEEE mode yields ±inf/nan — divergent.
+    # Both sides NULL the fit explicitly instead.
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
     )
     return sums.select(
         "p_brand",
         F.col("n").cast("bigint").alias("n_rows"),
         slope.alias("slope"),
-        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        F.when(den != 0, (F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
     )
 
 
@@ -3306,7 +3317,8 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over co-purchased parts: support,
     confidence, and lift per oriented pair — the A-priori 2-itemset pass
     re-expressed as joins. All three metrics are integer ppm via floor
-    division (lift_ppm = pair·N·10⁶ div cnt_a·cnt_b), so the oracle is
+    division (lift_ppm = conf_ppm·N div cnt_b, floored stepwise so the
+    numerator stays inside int64 at any corpus scale), so the oracle is
     bitwise like the curation score — no float division anywhere.
 
     Shape: per-order pair expansion bounded by basket size, one hash
@@ -3342,7 +3354,11 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_b",
             "pair_orders",
             F.expr("(pair_orders * 1000000) div __ca").alias("conf_ppm"),
-            F.expr("(pair_orders * __n * 1000000) div (__ca * __cb)").alias(
+            # lift as confidence × inverse base rate, floored stepwise:
+            # the naive pair·N·10⁶ numerator exceeds int64 once N ~ 1e11
+            # (the 100 TB story) — Spark would wrap silently (ANSI off)
+            # while DuckDB errors. conf_ppm·N caps at 1e6·N, in range.
+            F.expr("(((pair_orders * 1000000) div __ca) * __n) div __cb").alias(
                 "lift_ppm"
             ),
         )
@@ -3790,15 +3806,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # driver row is stronger signal) are hoisted to the front, followed by
 # queries new this round, then everything already driver-green.
 _DRIVER_PRIORITY = [
-    # new this round (no driver signal yet) lead so the driver's 50-sample
-    # prefix reaches them; then the round-2 never-checked block (43 of its
-    # 52 fit in the remaining window, meeting the >=40 coverage target)
-    "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
-    "running_totals_window", "list_ranking", "pagerank_trade",
-    "dedup_sorted_neighborhood", "funnel_conversion", "cohort_retention",
-    "copurchase_lift", "triangle_count", "bfs_reach", "ols_trend",
-    "profile_table", "attribution_last_touch", "skew_profile",
-    "robust_zscore", "event_transitions", "oov_rate",
+    # The driver samples a 50-entry prefix. Budget: the 10 most novel
+    # round-3 queries lead (custom iterative/graph/analytics algorithms —
+    # the entries where a hard driver row adds the most beyond the local
+    # sim), then the round-2 never-checked block — exactly 40 of its 52
+    # fit, meeting the >=40 coverage target. The remaining 12 of those 52
+    # and the other 11 round-3 queries (mostly TPC-H shapes and
+    # composition twins, all sim-verified) queue behind for round 4.
+    "pagerank_trade", "list_ranking", "triangle_count",
+    "dedup_sorted_neighborhood", "bfs_reach", "ols_trend",
+    "copurchase_lift", "attribution_last_touch", "profile_table",
+    "funnel_conversion",
     "tpch_q19", "tpch_q22", "inverted_index", "doc_chunking", "winsorize",
     "bucketed_join", "decontaminate", "repetition_quality", "source_rebalance",
     "streaming_enrich", "embedding_quantize", "corpus_rarity",
@@ -3813,6 +3831,10 @@ _DRIVER_PRIORITY = [
     "group_normalize", "streaming_distinct_users", "unpivot_metrics",
     "heavy_hitters", "embedding_centroids", "full_outer_join", "pii_scrub",
     "incremental_agg", "group_topk", "stratified_sample", "exists_subquery",
+    # round-3 remainder (sim-verified; driver rows in round 4)
+    "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
+    "running_totals_window", "cohort_retention", "skew_profile",
+    "robust_zscore", "event_transitions", "oov_rate",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -4175,9 +4197,11 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
       )
       SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
-             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-             (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
-               AS intercept
+             CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+             CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                  END AS intercept
       FROM s
     """,
     "profile_table": """
@@ -4361,8 +4385,8 @@ ORACLES: dict[str, str] = {
       )
       SELECT part_a, part_b, pair_orders,
              CAST((pair_orders * 1000000) // ca.cnt AS BIGINT) AS conf_ppm,
-             CAST((pair_orders * n.n_orders * 1000000)
-                  // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+             CAST((((pair_orders * 1000000) // ca.cnt) * n.n_orders)
+                  // cb.cnt AS BIGINT) AS lift_ppm
       FROM pairs
       JOIN pc ca ON ca.l_partkey = part_a
       JOIN pc cb ON cb.l_partkey = part_b

@@ -84,7 +84,6 @@ def write_table(
             shutil.rmtree(stale, ignore_errors=True)
 
     out = df
-    persisted = None
     bucket_by = tuple(getattr(dataset, "bucket_by", ()) or ())
     if dataset.cluster_by and not bucket_by:
         # Liquid-clustering equivalent (CLUSTER BY, reference
@@ -125,6 +124,4 @@ def write_table(
     if location:
         writer = writer.option("path", location)
     writer.saveAsTable(ident)
-    if persisted is not None:
-        persisted.unpersist()
     return spark.table(ident).count() if count else -1

@@ -50,15 +50,49 @@ def _read_pointer(mv_path: str) -> tuple[int, int]:
     if not os.path.exists(ptr):
         return 0, -1
     with open(ptr, encoding="utf-8") as fh:
-        version, batch_id = fh.read().split()
-    return int(version), int(batch_id)
+        parts = fh.read().split()
+    return int(parts[0]), int(parts[1])
 
 
-def _flip_pointer(mv_path: str, version: int, batch_id: int) -> None:
+def _read_fingerprint(mv_path: str) -> str | None:
+    """Content fingerprint of the last applied batch's aggregate state, or
+    None for pointers written before fingerprints existed (then an
+    equal-id redelivery is assumed benign — the legacy behavior)."""
+    ptr = os.path.join(mv_path, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as fh:
+        parts = fh.read().split()
+    return parts[2] if len(parts) > 2 else None
+
+
+def _flip_pointer(
+    mv_path: str, version: int, batch_id: int, fingerprint: str | None = None
+) -> None:
     tmp = os.path.join(mv_path, _POINTER + ".tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(f"{version} {batch_id}")
+        fh.write(f"{version} {batch_id}" + (f" {fingerprint}" if fingerprint else ""))
     os.replace(tmp, os.path.join(mv_path, _POINTER))
+
+
+def _state_fingerprint(state: DataFrame) -> str:
+    """Order-independent content fingerprint of a (small) aggregate-state
+    frame: row count + commutative sum of per-row xxhash64, summed in
+    DECIMAL so the value is exact under any partitioning. O(groups) rows —
+    the cheap identity that distinguishes 'the same batch redelivered'
+    from 'a reset checkpoint replaying a DIFFERENT batch under the same
+    id' (same id + different content = the silent-freeze case)."""
+    from pyspark.sql import functions as F
+
+    row = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(F.struct(*[F.col(c) for c in state.columns])).cast(
+                "decimal(38,0)"
+            )
+        ).alias("h"),
+    ).first()
+    return f"{row['n']}:{row['h']}"
 
 
 def read_state(spark: SparkSession, mv_path: str) -> DataFrame | None:
@@ -84,12 +118,12 @@ def refresh_increment(
     version, last_batch = _read_pointer(mv_path)
     if batch_id <= last_batch:
         return False  # at-least-once redelivery of an already-folded batch
-    bstate = aggregate_state(batch, keys, value)
+    bstate = aggregate_state(batch, keys, value).localCheckpoint()
     cur = read_state(spark, mv_path)
     merged = merge_states(cur, bstate, keys) if cur is not None else bstate
     os.makedirs(mv_path, exist_ok=True)
     merged.write.mode("overwrite").parquet(_state_path(mv_path, version + 1))
-    _flip_pointer(mv_path, version + 1, batch_id)
+    _flip_pointer(mv_path, version + 1, batch_id, _state_fingerprint(bstate))
     _vacuum_state(mv_path, keep=2)
     return True
 
@@ -121,15 +155,20 @@ def maintain_aggregate_mv(
     checkpoint and the MV state pointer share a lifetime. Two skip shapes
     must be told apart:
 
-    - ``batch_id == stored high-water mark``: the documented crash-recovery
-      redelivery (crash between the MV pointer flip and the streaming
-      checkpoint commit re-delivers the last batch once). refresh_increment
-      correctly skips it and the MV is intact — NOT an error, even when no
-      newer data arrived and the whole run is applied=0/skipped=1.
-    - ``batch_id <  stored high-water mark``: the checkpoint was genuinely
-      reset/relocated while mv_path persists; every restarted id replays
-      below the mark and the MV would silently freeze. Raised loudly
-      (reset both, or neither).
+    - ``batch_id == stored high-water mark`` with MATCHING content
+      fingerprint: the documented crash-recovery redelivery (crash between
+      the MV pointer flip and the streaming checkpoint commit re-delivers
+      the last batch once). refresh_increment correctly skips it and the
+      MV is intact — NOT an error, even when no newer data arrived and the
+      whole run is applied=0/skipped=1.
+    - ``batch_id <  stored high-water mark``, or ``== mark`` with a
+      DIFFERENT fingerprint: the checkpoint was genuinely reset/relocated
+      while mv_path persists. A reset after exactly one applied batch
+      restarts ids at the stored mark itself (0), so the id alone cannot
+      distinguish it from crash redelivery — but a reset batch 0 re-reads
+      ALL files (old + new) and its content differs, which the stored
+      fingerprint catches. Raised loudly (reset both, or neither). Legacy
+      pointers without a fingerprint keep the old id-only behavior.
     """
     spark = source.sparkSession
     stats = {"applied": 0, "reset_skips": []}
@@ -143,7 +182,13 @@ def maintain_aggregate_mv(
             stats["applied"] += 1
         elif bid < last_batch:
             stats["reset_skips"].append(bid)
-        # bid == last_batch: benign crash-recovery redelivery — skip quietly
+        else:  # bid == last_batch: redelivery OR a reset's first batch
+            stored = _read_fingerprint(mv_path)
+            if stored is not None and stored != _state_fingerprint(
+                aggregate_state(batch, keys, value)
+            ):
+                stats["reset_skips"].append(bid)
+            # fingerprint matches (or legacy pointer): benign redelivery
 
     q = (
         source.writeStream.foreachBatch(_fold)
@@ -155,7 +200,8 @@ def maintain_aggregate_mv(
     if stats["reset_skips"] and not stats["applied"]:
         raise RuntimeError(
             f"maintain_aggregate_mv: batch ids {stats['reset_skips']} replayed "
-            f"BELOW the MV pointer's stored batch id — the checkpoint at "
-            f"{checkpoint} was reset while {mv_path} persists. The checkpoint "
-            "and MV state share a lifetime: reset both or neither."
+            f"below the MV pointer's stored batch id (or AT it with different "
+            f"content) — the checkpoint at {checkpoint} was reset while "
+            f"{mv_path} persists. The checkpoint and MV state share a "
+            "lifetime: reset both or neither."
         )

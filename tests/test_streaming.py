@@ -456,3 +456,35 @@ def test_cdc_apply_stale_late_batch_cannot_overwrite(spark, tmp_path):
     assert snap[1] == (10, "new")   # stale change rejected
     assert snap[2] == (20, "y")     # newer change applied
     assert None not in snap and len(snap) == 2  # null key dropped
+
+
+def test_incremental_mv_reset_after_single_batch_raises(spark, tmp_path):
+    """Review regression: a checkpoint reset after exactly ONE applied
+    batch restarts ids at the stored mark itself (0), so the id-only guard
+    classified it as benign redelivery and froze the MV silently. The
+    stored content fingerprint now catches it: reset batch 0 re-reads ALL
+    files (old + new), its aggregate-state fingerprint differs, and the
+    run raises. True crash redelivery (same content) still passes quietly."""
+    import datetime as dt
+    import shutil
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental_mv import (
+        maintain_aggregate_mv,
+        read_mv,
+    )
+
+    src = str(tmp_path / "landing")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+
+    _drop(spark, [(1, 2.0, t0), (2, 3.0, t0)], src)
+    maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
+    assert read_mv(spark, mv).count() == 2
+
+    # reset the checkpoint while the MV persists, land NEW data: the fresh
+    # stream's batch 0 == stored mark 0 but contains old+new files
+    shutil.rmtree(ckpt)
+    _drop(spark, [(3, 4.0, t0)], src)
+    with pytest.raises(RuntimeError, match="reset"):
+        maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
