@@ -293,3 +293,33 @@ def test_fact_plan_shape_is_regression_locked(spark):
     assert n_exchanges <= 14, f"{n_exchanges} exchanges (audited floor: 11)"
     assert "SortMergeJoin" in plan, "dim_orders merge hint lost (would broadcast an unbounded dim)"
     assert "BroadcastHashJoin" in plan
+
+
+def test_oov_vocab_probe_is_broadcast(spark):
+    """The bounded top-1000 vocabulary must broadcast into the corpus-side
+    membership probe (a shuffled join here would re-shuffle the whole
+    exploded token stream at 100 TB) and the vocab itself must come from
+    a TakeOrderedAndProject, not a global sort."""
+    plan = _formatted_plan(SPARK_QUERIES["oov_rate"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_funnel_stage_filters_reach_scan(spark):
+    """Each funnel stage pre-filters its event type BEFORE the shuffle —
+    the predicate must reach the parquet scan, not sit above a join."""
+    plan = _formatted_plan(SPARK_QUERIES["funnel_conversion"](spark, SF_SMALL))
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,view\)", plan), plan
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,purchase\)", plan), plan
+
+
+def test_graph_queries_never_nested_loop(spark):
+    """The iterative-graph family must stay on hash joins: a nested-loop
+    anywhere in pagerank/bfs/triangles is quadratic at scale."""
+    for name in ("pagerank_trade", "bfs_reach", "triangle_count"):
+        plan = _formatted_plan(SPARK_QUERIES[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        # the 1-row count-join in triangle_count is the only permitted
+        # BroadcastNestedLoopJoin (joining two single-row aggregates)
+        if name != "triangle_count":
+            assert "BroadcastNestedLoopJoin" not in plan, name
