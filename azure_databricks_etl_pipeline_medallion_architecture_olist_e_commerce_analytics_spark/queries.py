@@ -3212,6 +3212,61 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources (Jaccard over
+    distinct-token sets, integer ppm): the corpus-diagnostics matrix that
+    flags two "different" sources as near-mirrors before they double-feed
+    a training mix — the source-level complement of the per-document dedup
+    family.
+
+    Shape: tokens dedup per source map-side (one distinct on
+    (source, token)), then the intersection counts come from a token-level
+    self-join — each token contributes its source-pair combinations, so
+    the shuffle carries (token → pairs), never materializing per-source
+    token sets on one node; union sizes derive from the same distinct
+    relation (|A|+|B|−|A∩B|). With S sources the output is S·(S−1)/2
+    rows; token-frequency skew is bounded because a token contributes at
+    most S·(S−1)/2 pairs regardless of its document frequency.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    a = tok.select(F.col("source").alias("source_a"), "tok")
+    b = tok.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("__n").alias("__na")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("__n").alias("__nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.expr("(n_common * 1000000) div (__na + __nb - n_common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): how many users
     complete each stage IN ORDER — the canonical product-analytics query.
@@ -3679,6 +3734,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_zscore": q_robust_zscore,
     "event_transitions": q_event_transitions,
     "oov_rate": q_oov_rate,
+    "source_overlap": q_source_overlap,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "copurchase_lift": q_copurchase_lift,
@@ -3834,7 +3890,7 @@ _DRIVER_PRIORITY = [
     # round-3 remainder (sim-verified; driver rows in round 4)
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "running_totals_window", "cohort_retention", "skew_profile",
-    "robust_zscore", "event_transitions", "oov_rate",
+    "robust_zscore", "event_transitions", "oov_rate", "source_overlap",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -4345,6 +4401,27 @@ ORACLES: dict[str, str] = {
              CAST(SUM(oov) AS BIGINT) AS n_oov,
              CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
       FROM probed GROUP BY 1
+    """,
+    "source_overlap": r"""
+      WITH tok AS (
+        SELECT DISTINCT source, u.tok
+        FROM (SELECT source,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+              FROM documents) d, unnest(arr) AS u(tok)
+        WHERE u.tok <> ''
+      ),
+      sizes AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY 1),
+      inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+      )
+      SELECT i.source_a, i.source_b, CAST(i.n_common AS BIGINT) AS n_common,
+             CAST((i.n_common * 1000000) // (sa.n + sb.n - i.n_common) AS BIGINT)
+               AS jaccard_ppm
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.source_a
+      JOIN sizes sb ON sb.source = i.source_b
     """,
     "funnel_conversion": """
       WITH v AS (SELECT user_id, MIN(ts) AS t_view
