@@ -109,6 +109,7 @@ HEADLINE = [
     "robust_zscore",
     "event_transitions",
     "oov_rate",
+    "source_overlap",
     "running_totals_window",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",

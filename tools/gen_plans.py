@@ -180,6 +180,47 @@ ANNOTATIONS = {
         "aggregate with map-side partial combine — a hot key reduces to "
         "one row per input partition before the exchange."
     ),
+    "pagerank_trade": (
+        "Integer PageRank, 5 power iterations. The final plan reads the "
+        "last localCheckpoint — the per-iteration shape (one equi-join of "
+        "ranks against the degree-annotated checkpointed edge list + one "
+        "map-side-combined hash aggregate on dst, the Pregel "
+        "message-combine pattern) is measured in the hub probe: 100x hub "
+        "in-degree moves wall-time 6.9s -> 7.5s."
+    ),
+    "triangle_count": (
+        "Degree-oriented triangle counting: two hash joins (wedge build "
+        "on the orientation-source vertex, closing-edge probe on the "
+        "normalized pair). Degree orientation bounds per-vertex wedge "
+        "fanout by O(sqrt m) — the hub probe shows id orientation "
+        "crossing 1.6s -> 99s for a 10x hub while this plan stays ~3s "
+        "through 100x."
+    ),
+    "list_ranking": (
+        "Wyllie pointer jumping: ceil(log2 depth) rounds, each ONE hash "
+        "self-join on the node id over a localCheckpoint-ed frame — round "
+        "count independent of chain shape, the degenerate-depth fallback "
+        "for the K-step recursive CTE."
+    ),
+    "copurchase_lift": (
+        "A-priori 2-itemset pass: per-order pair expansion bounded by "
+        "basket size, support filter BEFORE the metric joins, 1-row "
+        "global order count broadcast; all metrics integer ppm with the "
+        "lift numerator floored stepwise to stay in int64 at any scale."
+    ),
+    "oov_rate": (
+        "Corpus pass is one explode + one aggregate; the top-1000 vocab "
+        "is TakeOrderedAndProject (bounded k, no global sort) and "
+        "broadcasts into the membership probe — plan-guarded in "
+        "tests/test_plans.py."
+    ),
+    "source_overlap": (
+        "Source-level Jaccard matrix: distinct (source, token) relation "
+        "feeds both the sizes aggregate and a token-keyed self-join whose "
+        "output is bounded by S(S-1)/2 pairs per token regardless of "
+        "token frequency — set intersection without materializing any "
+        "per-source token set."
+    ),
 }
 
 

@@ -95,6 +95,7 @@ PROBE = [
     "robust_zscore",
     "event_transitions",
     "oov_rate",
+    "source_overlap",
 ]
 
 
