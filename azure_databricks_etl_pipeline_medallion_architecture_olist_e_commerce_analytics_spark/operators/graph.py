@@ -254,6 +254,7 @@ def pagerank_integer(
     iterations: int = 5,
     scale: int = 10**12,
     damping_pct: int = 85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER micro-unit arithmetic.
 
@@ -288,8 +289,18 @@ def pagerank_integer(
 
     Returns (node, rank) with ``rank`` in integer micro-units of
     ``1/scale``; sum over all nodes ≤ scale (leakage from dangling nodes).
+
+    ``weight_col`` (positive integer edge weights) generalizes the update
+    to contrib(e) = rank(src)·w(e) div Σw(src) — mass splits
+    proportionally to weight, still floor-per-edge so the weighted
+    fixpoint stays bitwise. The unweighted path IS the w=1 special case
+    (rank·1 div count ≡ rank div deg), so one code path serves both.
     """
-    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    e = edges.select(
+        F.col(src_col).alias("__src"),
+        F.col(dst_col).alias("__dst"),
+        (F.col(weight_col).cast("long") if weight_col else F.lit(1)).alias("__w"),
+    )
     nodes = (
         e.select(F.col("__src").alias("__node"))
         .union(e.select("__dst"))
@@ -297,7 +308,7 @@ def pagerank_integer(
         .localCheckpoint()
     )
     n = nodes.count()
-    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    outdeg = e.groupBy("__src").agg(F.sum("__w").alias("__deg"))
     e_deg = e.join(outdeg, "__src").localCheckpoint()
     base = F.lit((100 - damping_pct) * (scale // n) // 100)
     ranks = nodes.select("__node", F.lit(scale // n).alias("__rank"))
@@ -306,7 +317,7 @@ def pagerank_integer(
             e_deg.join(ranks, e_deg["__src"] == ranks["__node"])
             .select(
                 "__dst",
-                F.expr("__rank div __deg").alias("__contrib"),
+                F.expr("(__rank * __w) div __deg").alias("__contrib"),
             )
             .groupBy("__dst")
             .agg(F.sum("__contrib").alias("__inc"))

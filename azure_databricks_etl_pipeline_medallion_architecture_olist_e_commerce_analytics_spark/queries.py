@@ -2841,6 +2841,48 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the trade graph: edge weight = number of
+    distinct orders linking the supplier and customer, so rank mass flows
+    proportionally to trade VOLUME, not mere adjacency —
+    contrib(e) = rank(src)·w(e) div Σw(src), still floor-per-edge integer
+    arithmetic, so the weighted fixpoint is as bitwise-reproducible as the
+    unweighted one (operators/graph.py::pagerank_integer, weight_col
+    path; the unweighted query is the w=1 special case of the same code).
+
+    Scale shape identical to pagerank_trade: one weighted-degree join per
+    iteration against the localCheckpoint-ed edge list + one
+    map-side-combined aggregate on dst.
+    """
+    from .operators.graph import pagerank_integer
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    wpairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey").cast("long") * 2).alias("src"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
+            "l_orderkey",
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = wpairs.union(
+        wpairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    ranks = pagerank_integer(edges, iterations=5, weight_col="w")
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("entity_type"),
+        F.expr("node div 2").alias("entity_key"),
+        F.col("rank").alias("rank_micro"),
+    )
+
+
 def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop BFS / shortest hop distance over the trade graph:
     minimum hops (≤3) from the seed set (suppliers of nation 1) to every
@@ -3725,6 +3767,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_chain": q_recursive_chain,
     "list_ranking": q_list_ranking,
     "pagerank_trade": q_pagerank_trade,
+    "pagerank_weighted": q_pagerank_weighted,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "bfs_reach": q_bfs_reach,
     "ols_trend": q_ols_trend,
@@ -3891,6 +3934,7 @@ _DRIVER_PRIORITY = [
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "running_totals_window", "cohort_retention", "skew_profile",
     "robust_zscore", "event_transitions", "oov_rate", "source_overlap",
+    "pagerank_weighted",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -4482,6 +4526,68 @@ ORACLES: dict[str, str] = {
               FROM e e1 JOIN e e2 ON e1.pb = e2.pa
                         JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
                AS n_triangles
+    """,
+    # weighted PageRank: same 5 unrolled iterations, mass split by weight
+    "pagerank_weighted": """
+      WITH p AS (
+        SELECT CAST(l_suppkey AS BIGINT)*2 AS src,
+               CAST(o_custkey AS BIGINT)*2 + 1 AS dst,
+               COUNT(DISTINCT l_orderkey) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+      ),
+      e AS (SELECT src, dst, w FROM p
+            UNION ALL SELECT dst AS src, src AS dst, w FROM p),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      deg AS (SELECT src, SUM(w) AS deg FROM e GROUP BY 1),
+      prm AS (SELECT 1000000000000 // COUNT(*) AS r0,
+                     15 * (1000000000000 // COUNT(*)) // 100 AS base
+              FROM nodes),
+      r0 AS (SELECT node, (SELECT r0 FROM prm) AS rank FROM nodes),
+      r1 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM((r.rank * e.w) // d.deg) AS s
+          FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      ),
+      r2 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM((r.rank * e.w) // d.deg) AS s
+          FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      ),
+      r3 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM((r.rank * e.w) // d.deg) AS s
+          FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      ),
+      r4 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM((r.rank * e.w) // d.deg) AS s
+          FROM e JOIN r3 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      ),
+      r5 AS (
+        SELECT n.node, CAST((SELECT base FROM prm)
+                            + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM((r.rank * e.w) // d.deg) AS s
+          FROM e JOIN r4 r ON e.src = r.node JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) i ON i.node = n.node
+      )
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS entity_type,
+             node // 2 AS entity_key,
+             CAST(rank AS BIGINT) AS rank_micro
+      FROM r5
     """,
     # sorted-neighborhood blocking: identical lag-window + levenshtein
     "dedup_sorted_neighborhood": """
