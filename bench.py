@@ -110,6 +110,7 @@ HEADLINE = [
     "event_transitions",
     "oov_rate",
     "source_overlap",
+    "pagerank_weighted",
     "running_totals_window",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",

@@ -96,6 +96,7 @@ PROBE = [
     "event_transitions",
     "oov_rate",
     "source_overlap",
+    "pagerank_weighted",
 ]
 
 
