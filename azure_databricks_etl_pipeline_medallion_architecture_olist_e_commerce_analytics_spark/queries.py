@@ -3309,6 +3309,72 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of a 100 TB-wide column with NO global sort:
+    distributed selection (histogram-pruned quickselect). A global window
+    over all rows would funnel everything through one task — the
+    per-group trick grouped_median uses has no partition key here.
+    Instead each round buckets the candidate range into 1024 histogram
+    bins (one map-side-combined aggregate), the driver picks the bin
+    containing the target rank from the 1024-row histogram, and the next
+    round recurses into that bin. The range shrinks 1024× per round, so
+    doubles converge in ≤5 rounds; the final bounded remnant (≤64k rows)
+    or a degenerate single-value bin resolves exactly.
+
+    Driver traffic is O(1024) rows per round — the same bounded-collect
+    class as the IVF centroids, documented. Median contract matches
+    grouped_median: (lo + hi) / 2 of the explicit middle ranks, so the
+    float math is engine-identical; the oracle states it declaratively as
+    a ROW_NUMBER window (fine at oracle scale, not at 100 TB).
+    """
+    tune_session(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("v"))
+        .where(F.col("v").isNotNull())
+        .localCheckpoint()
+    )
+    n = li.count()
+
+    def kth(k: int) -> float:
+        """k-th smallest (1-based) via histogram-pruned range narrowing."""
+        below = 0
+        cur = li
+        while True:
+            mn, mx, cnt = cur.agg(
+                F.min("v"), F.max("v"), F.count(F.lit(1))
+            ).first()
+            if mn == mx:
+                return mn
+            if cnt <= 65_536:
+                rows = cur.orderBy("v").limit(k - below).collect()
+                return rows[-1]["v"]
+            width = (mx - mn) / 1024.0
+            bucket = F.least(F.floor((F.col("v") - F.lit(mn)) / F.lit(width)), F.lit(1023))
+            hist = {
+                int(r["b"]): r["c"]
+                for r in cur.groupBy(bucket.alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            cum = below
+            target = 1023
+            for b in range(1024):
+                c = hist.get(b, 0)
+                if cum + c >= k:
+                    target = b
+                    break
+                cum += c
+            below = cum
+            cur = cur.where(bucket == target).localCheckpoint()
+
+    lo = kth((n + 1) // 2)
+    hi = kth((n + 2) // 2)
+    return spark.createDataFrame(
+        [(n, (lo + hi) / 2)], "n_values long, median_value double"
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): how many users
     complete each stage IN ORDER — the canonical product-analytics query.
@@ -3778,6 +3844,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "oov_rate": q_oov_rate,
     "source_overlap": q_source_overlap,
+    "global_median_select": q_global_median_select,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "copurchase_lift": q_copurchase_lift,
@@ -3934,7 +4001,7 @@ _DRIVER_PRIORITY = [
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "running_totals_window", "cohort_retention", "skew_profile",
     "robust_zscore", "event_transitions", "oov_rate", "source_overlap",
-    "pagerank_weighted",
+    "pagerank_weighted", "global_median_select",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -4466,6 +4533,17 @@ ORACLES: dict[str, str] = {
       FROM inter i
       JOIN sizes sa ON sa.source = i.source_a
       JOIN sizes sb ON sb.source = i.source_b
+    """,
+    "global_median_select": """
+      WITH ranked AS (
+        SELECT l_extendedprice AS v,
+               row_number() OVER (ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+      )
+      SELECT CAST(MAX(n) AS BIGINT) AS n_values,
+             (MIN(v) + MAX(v)) / 2 AS median_value
+      FROM ranked WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
     """,
     "funnel_conversion": """
       WITH v AS (SELECT user_id, MIN(ts) AS t_view
