@@ -111,6 +111,7 @@ HEADLINE = [
     "oov_rate",
     "source_overlap",
     "pagerank_weighted",
+    "global_median_select",
     "running_totals_window",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",

@@ -97,6 +97,7 @@ PROBE = [
     "oov_rate",
     "source_overlap",
     "pagerank_weighted",
+    "global_median_select",
 ]
 
 
