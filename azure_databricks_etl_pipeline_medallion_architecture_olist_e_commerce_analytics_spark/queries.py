@@ -3327,52 +3327,16 @@ def q_global_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     float math is engine-identical; the oracle states it declaratively as
     a ROW_NUMBER window (fine at oracle scale, not at 100 TB).
     """
+    from .operators.selection import global_exact_median
+
     tune_session(spark)
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_extendedprice").alias("v"))
-        .where(F.col("v").isNotNull())
         .localCheckpoint()
     )
-    n = li.count()
-
-    def kth(k: int) -> float:
-        """k-th smallest (1-based) via histogram-pruned range narrowing."""
-        below = 0
-        cur = li
-        while True:
-            mn, mx, cnt = cur.agg(
-                F.min("v"), F.max("v"), F.count(F.lit(1))
-            ).first()
-            if mn == mx:
-                return mn
-            if cnt <= 65_536:
-                rows = cur.orderBy("v").limit(k - below).collect()
-                return rows[-1]["v"]
-            width = (mx - mn) / 1024.0
-            bucket = F.least(F.floor((F.col("v") - F.lit(mn)) / F.lit(width)), F.lit(1023))
-            hist = {
-                int(r["b"]): r["c"]
-                for r in cur.groupBy(bucket.alias("b"))
-                .agg(F.count(F.lit(1)).alias("c"))
-                .collect()
-            }
-            cum = below
-            target = 1023
-            for b in range(1024):
-                c = hist.get(b, 0)
-                if cum + c >= k:
-                    target = b
-                    break
-                cum += c
-            below = cum
-            cur = cur.where(bucket == target).localCheckpoint()
-
-    lo = kth((n + 1) // 2)
-    hi = kth((n + 2) // 2)
-    return spark.createDataFrame(
-        [(n, (lo + hi) / 2)], "n_values long, median_value double"
-    )
+    n, med = global_exact_median(li, "v")
+    return spark.createDataFrame([(n, med)], "n_values long, median_value double")
 
 
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:

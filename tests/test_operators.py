@@ -1057,3 +1057,28 @@ def test_count_triangles_hub_graph_degree_orientation(spark):
     row = count_triangles(df, "a", "b").collect()[0]
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == 4
+
+
+def test_exact_kth_histogram_path_forced(spark):
+    """Distributed selection with a tiny threshold so multiple histogram
+    rounds actually run (the sf0.01 oracle check short-circuits into the
+    sorted-collect fallback): k-th order statistics on a known sequence,
+    including duplicates heavy enough to collapse a bin to one value."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.selection import (
+        exact_kth,
+        global_exact_median,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 50_001).select((F.col("id") * 1.5).alias("v"))
+    # threshold 100 + 16 bins forces ~3 histogram rounds before the collect
+    assert exact_kth(df, "v", 1, bins=16, threshold=100) == 1.5
+    assert exact_kth(df, "v", 25_000, bins=16, threshold=100) == 25_000 * 1.5
+    assert exact_kth(df, "v", 50_000, bins=16, threshold=100) == 50_000 * 1.5
+    n, med = global_exact_median(df, "v", bins=16, threshold=100)
+    assert n == 50_000 and med == (25_000 * 1.5 + 25_001 * 1.5) / 2
+    # heavy duplication: half the rows are one value — the bin collapses
+    dup = spark.range(1, 50_001).select(
+        F.when(F.col("id") % 2 == 0, 7.0).otherwise(F.col("id") * 10.0).alias("v")
+    )
+    assert exact_kth(dup, "v", 12_500, bins=16, threshold=100) == 7.0
