@@ -3339,6 +3339,87 @@ def q_global_median_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n, med)], "n_values long, median_value double")
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median order price per order priority: the smallest price
+    whose cumulative quantity weight reaches half the group's total — the
+    weighted-percentile family (inventory-weighted price points, effective
+    training-mix midpoints) the unweighted medians can't express.
+
+    Exactness: weights are integer quantities, so the half-total test is
+    the integer comparison 2·cumw ≥ totw — no float division anywhere;
+    the selected value is an actual data value. One window pass per group
+    for the cumulative weight (cast to long — l_quantity arrives as
+    double) + one rank-1 pick via min over the qualifying rows.
+    """
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    cum = j.select(
+        "o_orderpriority",
+        "price",
+        F.sum("w").over(w).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("o_orderpriority")).alias("totw"),
+    )
+    return (
+        cum.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.any_value("totw").alias("total_weight"),
+        )
+    )
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of document volume across sources per language —
+    the corpus-diagnostics inequality index (a Gini near 1 means one
+    source dominates a language's data; near 0 means even coverage), the
+    continuous complement of skew_profile's hottest-key share.
+
+    Formula (discrete, ascending sort): G = (2·Σᵢ i·xᵢ) / (n·Σx) −
+    (n+1)/n over per-source char counts ranked within language. Σᵢ i·xᵢ
+    and Σx accumulate as exact integers (one rank window over n ≤ sources
+    rows per language — tiny); the final G is one double expression
+    written identically on both engines.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("lang", "source").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("x")
+    )
+    w = Window.partitionBy("lang").orderBy("x", "source")
+    ranked = per_source.select(
+        "lang",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.any_value("n").alias("n_sources"),
+        F.sum(F.col("i") * F.col("x")).alias("__ix"),
+        F.sum("x").alias("__sx"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_sources").cast("int").alias("n_sources"),
+        F.col("__sx").alias("total_chars"),
+        (
+            (2.0 * F.col("__ix")) / (F.col("n_sources") * F.col("__sx"))
+            - (F.col("n_sources") + 1.0) / F.col("n_sources")
+        ).alias("gini"),
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): how many users
     complete each stage IN ORDER — the canonical product-analytics query.
@@ -3809,6 +3890,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_rate": q_oov_rate,
     "source_overlap": q_source_overlap,
     "global_median_select": q_global_median_select,
+    "weighted_median": q_weighted_median,
+    "gini_concentration": q_gini_concentration,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "copurchase_lift": q_copurchase_lift,
@@ -3965,7 +4048,8 @@ _DRIVER_PRIORITY = [
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "running_totals_window", "cohort_retention", "skew_profile",
     "robust_zscore", "event_transitions", "oov_rate", "source_overlap",
-    "pagerank_weighted", "global_median_select",
+    "pagerank_weighted", "global_median_select", "weighted_median",
+    "gini_concentration",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -4497,6 +4581,44 @@ ORACLES: dict[str, str] = {
       FROM inter i
       JOIN sizes sa ON sa.source = i.source_a
       JOIN sizes sb ON sb.source = i.source_b
+    """,
+    "weighted_median": """
+      WITH j AS (
+        SELECT o_orderpriority, l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ),
+      c AS (
+        SELECT o_orderpriority, price,
+               SUM(w) OVER (PARTITION BY o_orderpriority
+                            ORDER BY price, l_orderkey, l_linenumber) AS cumw,
+               SUM(w) OVER (PARTITION BY o_orderpriority) AS totw
+        FROM j
+      )
+      SELECT o_orderpriority, MIN(price) AS weighted_median_price,
+             CAST(ANY_VALUE(totw) AS BIGINT) AS total_weight
+      FROM c WHERE 2 * cumw >= totw GROUP BY 1
+    """,
+    "gini_concentration": """
+      WITH ps AS (
+        SELECT lang, source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS x
+        FROM documents GROUP BY 1, 2
+      ),
+      r AS (
+        SELECT lang, x,
+               row_number() OVER (PARTITION BY lang ORDER BY x, source) AS i,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM ps
+      ),
+      a AS (
+        SELECT lang, ANY_VALUE(n) AS n_sources, SUM(i * x) AS ix, SUM(x) AS sx
+        FROM r GROUP BY 1
+      )
+      SELECT lang, CAST(n_sources AS INT) AS n_sources,
+             CAST(sx AS BIGINT) AS total_chars,
+             (2.0 * ix) / (n_sources * sx) - (n_sources + 1.0) / n_sources
+               AS gini
+      FROM a
     """,
     "global_median_select": """
       WITH ranked AS (
