@@ -112,6 +112,8 @@ HEADLINE = [
     "source_overlap",
     "pagerank_weighted",
     "global_median_select",
+    "weighted_median",
+    "gini_concentration",
     "running_totals_window",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",

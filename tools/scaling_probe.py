@@ -98,6 +98,8 @@ PROBE = [
     "source_overlap",
     "pagerank_weighted",
     "global_median_select",
+    "weighted_median",
+    "gini_concentration",
 ]
 
 
