@@ -317,7 +317,18 @@ def pagerank_integer(
             e_deg.join(ranks, e_deg["__src"] == ranks["__node"])
             .select(
                 "__dst",
-                F.expr("(__rank * __w) div __deg").alias("__contrib"),
+                # identical to (__rank * __w) div __deg for non-negative
+                # ints (rank = q·deg + r ⇒ rank·w div deg = q·w + r·w div
+                # deg) but without the rank·w product, which exceeds int64
+                # once w > ~9.2e6 — Spark would wrap silently (ANSI off)
+                # while the oracle's int128 arithmetic stays exact. The
+                # residual r·w term keeps the result exact while w·Σw per
+                # source is below 2^63 (w ≤ Σw, so far past any realistic
+                # weight mass); the oracle needs no change because the
+                # decomposition is value-identical.
+                F.expr(
+                    "(__rank div __deg) * __w + ((__rank % __deg) * __w) div __deg"
+                ).alias("__contrib"),
             )
             .groupBy("__dst")
             .agg(F.sum("__contrib").alias("__inc"))

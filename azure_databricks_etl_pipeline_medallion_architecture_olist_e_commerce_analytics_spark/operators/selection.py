@@ -36,8 +36,18 @@ def exact_kth(
     """
     cur = df.select(F.col(value_col).alias("__v")).where(F.col("__v").isNotNull())
     below = 0
+    first_round = True
     while True:
         mn, mx, cnt = cur.agg(F.min("__v"), F.max("__v"), F.count(F.lit(1))).first()
+        if first_round:
+            # guard once on the full relation: an empty input would return
+            # None (TypeError far from the cause) and k beyond the row
+            # count would silently return the maximum — both must raise
+            if not 1 <= k <= cnt:
+                raise ValueError(
+                    f"exact_kth: k={k} outside 1..{cnt} non-null rows"
+                )
+            first_round = False
         if mn == mx:
             return mn
         if cnt <= threshold:
@@ -73,6 +83,10 @@ def global_exact_median(
     per-group grouped_median query, so the float math is engine-identical."""
     vals = df.select(F.col(value_col)).where(F.col(value_col).isNotNull())
     n = vals.count()
-    lo = exact_kth(vals, value_col, (n + 1) // 2, bins, threshold)
-    hi = exact_kth(vals, value_col, (n + 2) // 2, bins, threshold)
+    if n == 0:
+        raise ValueError("global_exact_median: no non-null values")
+    k_lo, k_hi = (n + 1) // 2, (n + 2) // 2
+    lo = exact_kth(vals, value_col, k_lo, bins, threshold)
+    # odd n: both middle ranks coincide — don't re-run the whole selection
+    hi = lo if k_hi == k_lo else exact_kth(vals, value_col, k_hi, bins, threshold)
     return n, (lo + hi) / 2

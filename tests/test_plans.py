@@ -310,13 +310,15 @@ def test_funnel_stage_filters_reach_scan(spark):
     the predicate must reach the parquet scan, not sit above a join."""
     plan = _formatted_plan(SPARK_QUERIES["funnel_conversion"](spark, SF_SMALL))
     assert re.search(r"PushedFilters:.*EqualTo\(event_type,view\)", plan), plan
+    assert re.search(r"PushedFilters:.*EqualTo\(event_type,click\)", plan), plan
     assert re.search(r"PushedFilters:.*EqualTo\(event_type,purchase\)", plan), plan
 
 
 def test_graph_queries_never_nested_loop(spark):
     """The iterative-graph family must stay on hash joins: a nested-loop
     anywhere in pagerank/bfs/triangles is quadratic at scale."""
-    for name in ("pagerank_trade", "bfs_reach", "triangle_count"):
+    for name in ("pagerank_trade", "pagerank_weighted", "list_ranking",
+                 "bfs_reach", "triangle_count"):
         plan = _formatted_plan(SPARK_QUERIES[name](spark, SF_SMALL))
         assert "CartesianProduct" not in plan, name
         # the 1-row count-join in triangle_count is the only permitted
