@@ -3420,6 +3420,117 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group with a deterministic tie-break: the most
+    frequent order priority within each market segment (count desc, then
+    value asc — without the tie-break, mode is nondeterministic and
+    un-oracle-able). The aggregate family median/MAD/quantiles don't
+    cover: categorical central tendency.
+
+    Shape: one hash aggregate on (segment, priority) — map-side combined
+    — then a WindowGroupLimit-able rank-1 pick over the tiny
+    (segments × priorities) grid; the window never sees raw rows.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    counts = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n_orders"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n_orders",
+        )
+    )
+
+
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT analog: each nation's share of its region's
+    revenue — the percent-of-parent OLAP shape dashboards are built on.
+    Revenue accumulates in DECIMAL (exact, order-independent), and the
+    share is one double division of exactly-equal operands on both
+    engines, so the ratio is bitwise.
+
+    Shape: one aggregate to nation grain, then a window SUM over the
+    ~25-row nation grid partitioned by region — the partial-then-window
+    pattern that never re-shuffles fact rows for the parent total.
+    """
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            # keep the nation revenue DECIMAL through the window: summing
+            # the doubles over the region partition would re-introduce
+            # shuffle-order ulp drift — the parent total must be exact too
+            F.sum(F.col("l_extendedprice").cast("decimal(20,6)")).alias("__rev")
+        )
+    )
+    w = Window.partitionBy("region_name")
+    return rev.select(
+        "region_name",
+        "nation_name",
+        F.col("__rev").cast("double").alias("revenue"),
+        (
+            F.col("__rev").cast("double")
+            / F.sum("__rev").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active DAYS per user — the classic
+    gaps-and-islands query (engagement streaks). Island key =
+    day-number − dense activity rank: constant exactly across a
+    consecutive run, so one groupBy collapses each island and a max picks
+    the longest. All arithmetic is integer days — bitwise across engines.
+
+    Shape: distinct (user, day) map-side, one user-partitioned window for
+    the rank (already shuffled on user), two hash aggregates on keys no
+    wider than (user, island). The anti-pattern this replaces is a
+    per-user self-join over day offsets — quadratic in streak length.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        (F.datediff(F.col("d"), F.lit("1970-01-01")) - F.row_number().over(w)).alias(
+            "__island"
+        ),
+    )
+    streaks = islands.groupBy("user_id", "__island").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("__len").cast("int").alias("longest_streak_days"),
+        F.sum("__len").cast("bigint").alias("n_active_days"),
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel (view → click → purchase): how many users
     complete each stage IN ORDER — the canonical product-analytics query.
@@ -3892,6 +4003,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_median_select": q_global_median_select,
     "weighted_median": q_weighted_median,
     "gini_concentration": q_gini_concentration,
+    "mode_per_group": q_mode_per_group,
+    "ratio_to_report": q_ratio_to_report,
+    "longest_streak": q_longest_streak,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "copurchase_lift": q_copurchase_lift,
@@ -4049,7 +4163,8 @@ _DRIVER_PRIORITY = [
     "running_totals_window", "cohort_retention", "skew_profile",
     "robust_zscore", "event_transitions", "oov_rate", "source_overlap",
     "pagerank_weighted", "global_median_select", "weighted_median",
-    "gini_concentration",
+    "gini_concentration", "mode_per_group", "ratio_to_report",
+    "longest_streak",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -4581,6 +4696,58 @@ ORACLES: dict[str, str] = {
       FROM inter i
       JOIN sizes sa ON sa.source = i.source_a
       JOIN sizes sb ON sb.source = i.source_b
+    """,
+    "mode_per_group": """
+      WITH counts AS (
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+      ),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY n_orders DESC, o_orderpriority) AS rn
+        FROM counts
+      )
+      SELECT c_mktsegment, o_orderpriority AS modal_priority,
+             CAST(n_orders AS BIGINT) AS n_orders
+      FROM r WHERE rn = 1
+    """,
+    "ratio_to_report": """
+      WITH rev AS (
+        SELECT r_name AS region_name, n_name AS nation_name,
+               SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS rev_dec
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+      )
+      SELECT region_name, nation_name,
+             CAST(rev_dec AS DOUBLE) AS revenue,
+             CAST(rev_dec AS DOUBLE)
+               / CAST(SUM(rev_dec) OVER (PARTITION BY region_name) AS DOUBLE)
+               AS region_share
+      FROM rev
+    """,
+    "longest_streak": """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      ),
+      islands AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', d)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                 AS island
+        FROM days
+      ),
+      streaks AS (
+        SELECT user_id, island, COUNT(*) AS len
+        FROM islands GROUP BY 1, 2
+      )
+      SELECT user_id, CAST(MAX(len) AS INT) AS longest_streak_days,
+             CAST(SUM(len) AS BIGINT) AS n_active_days
+      FROM streaks GROUP BY 1
     """,
     "weighted_median": """
       WITH j AS (
