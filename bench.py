@@ -114,6 +114,9 @@ HEADLINE = [
     "global_median_select",
     "weighted_median",
     "gini_concentration",
+    "mode_per_group",
+    "ratio_to_report",
+    "longest_streak",
     "running_totals_window",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",

@@ -100,6 +100,9 @@ PROBE = [
     "global_median_select",
     "weighted_median",
     "gini_concentration",
+    "mode_per_group",
+    "ratio_to_report",
+    "longest_streak",
 ]
 
 
