@@ -2801,18 +2801,24 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel 100 TB through one window task. Here the window partitions by a
     2-char blocking prefix of the key (near-identical texts share it) and
     sorts within the block — fully parallel, at the standard blocking
-    cost of missing pairs that straddle a block boundary. The sort key is
-    capped at 64 chars and the distance probe at 80 so neither the shuffle
-    nor the Levenshtein DP ever sees unbounded text.
+    cost of missing pairs that straddle a block boundary. The key is
+    truncated to 80 chars AT PROJECTION (before the shuffle), so the
+    window exchange carries at most 80 chars + 3 lagged copies per row —
+    never the full document text; the sort key caps at 64 and the
+    Levenshtein DP at 80 on top of that.
 
-    Oracle: identical lag-window + levenshtein construction in DuckDB.
+    Oracle: identical lag-window + levenshtein construction in DuckDB
+    (its substr(…,1,80)/substr(…,1,64) compose identically over the
+    pre-truncated key).
     """
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     key = F.lower(F.trim(F.col("text")))
     base = docs.select(
         "doc_id",
-        key.alias("__key"),
+        # 80-char cap here bounds the shuffle payload; every downstream
+        # substring (sort 64, DP 80) composes identically with the cap
+        F.substring(key, 1, 80).alias("__key"),
         F.substring(key, 1, 2).alias("__blk"),
     )
     w = Window.partitionBy("__blk").orderBy(F.substring(F.col("__key"), 1, 64), "doc_id")

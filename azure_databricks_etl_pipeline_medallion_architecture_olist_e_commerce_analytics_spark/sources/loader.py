@@ -40,17 +40,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def _nano_ts_columns_at(path: str, mtime: float) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) (footer-only read, cached).
 
-    Accepts both layouts a parquet table ships in: a single file (the driver
-    testdata) and a directory of part files (anything Spark wrote) — for a
-    directory the footer of one part file speaks for the table; when parts
-    live under hive-style subdirectories a recursive glob finds them. The
-    cache key includes the file/dir mtime so a table regenerated at the same
-    path within one session never serves stale footer metadata (same
-    staleness class the side-artifact cache keys by path+mtime).
+    ``path`` is a concrete part FILE (resolution from a table directory
+    happens in ``_nano_ts_columns``) and the cache key is that file's own
+    mtime, so a table regenerated at the same path within one session never
+    serves stale footer metadata — including dynamic partition overwrites
+    that replace part files inside an existing hive subdirectory without
+    bumping the table root's mtime (same staleness class the side-artifact
+    cache keys by path+mtime).
+    """
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    """Resolve a table path (file or directory) and read its NANOS columns.
+
+    For a directory of part files the footer of one part speaks for the
+    table, but the cache must be keyed by the mtime of the part file
+    actually read — the table root's mtime does not change when a dynamic
+    partition overwrite replaces parts inside an existing subdirectory.
     """
     import glob
-
-    import pyarrow as pa
 
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
@@ -61,15 +77,6 @@ def _nano_ts_columns_at(path: str, mtime: float) -> tuple[str, ...]:
         if not parts:
             return ()
         path = parts[0]
-    schema = pq.read_schema(path)
-    return tuple(
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    )
-
-
-def _nano_ts_columns(path: str) -> tuple[str, ...]:
     try:
         mtime = os.path.getmtime(path)
     except OSError:

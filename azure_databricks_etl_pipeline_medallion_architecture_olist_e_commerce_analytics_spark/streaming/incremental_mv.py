@@ -197,11 +197,18 @@ def maintain_aggregate_mv(
         .start()
     )
     q.awaitTermination()
-    if stats["reset_skips"] and not stats["applied"]:
+    # reset_skips only ever holds genuinely-bad replays (id below the mark,
+    # or at the mark with a different content fingerprint) — benign crash
+    # redelivery never lands here. Raise on ANY of them, even when later
+    # batches applied: a reset checkpoint can split old+new files across
+    # more batches than the stored mark, so batches with id > mark pass the
+    # id guard and re-fold old data (double-counting) while applied > 0.
+    if stats["reset_skips"]:
         raise RuntimeError(
             f"maintain_aggregate_mv: batch ids {stats['reset_skips']} replayed "
             f"below the MV pointer's stored batch id (or AT it with different "
             f"content) — the checkpoint at {checkpoint} was reset while "
-            f"{mv_path} persists. The checkpoint and MV state share a "
+            f"{mv_path} persists; any batches applied in this run may have "
+            f"re-folded old data. The checkpoint and MV state share a "
             "lifetime: reset both or neither."
         )

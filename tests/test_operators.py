@@ -1082,3 +1082,47 @@ def test_exact_kth_histogram_path_forced(spark):
         F.when(F.col("id") % 2 == 0, 7.0).otherwise(F.col("id") * 10.0).alias("v")
     )
     assert exact_kth(dup, "v", 12_500, bins=16, threshold=100) == 7.0
+
+
+def test_exact_kth_nan_inf_and_degenerate_range(spark):
+    """ADVICE-driven edge cases: NaN rows are excluded (they would poison
+    min/max and every bucket expression), ±inf resolve as order-extremes
+    via the pre-split, k out of range raises, and a range so tight the
+    bin width underflows falls back to bounded value counts."""
+    import math
+
+    import pytest
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.selection import (
+        exact_kth,
+    )
+    from pyspark.sql import functions as F
+
+    nan, inf = float("nan"), float("inf")
+    vals = [1.0, 2.0, nan, 3.0, nan, 4.0, 5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    # 5 non-NaN rows; NaN must not crash nor count toward ranks
+    assert exact_kth(df, "v", 3) == 3.0
+    assert exact_kth(df, "v", 5) == 5.0
+    with pytest.raises(ValueError):
+        exact_kth(df, "v", 6)
+    with pytest.raises(ValueError):
+        exact_kth(df, "v", 0)
+    with pytest.raises(ValueError):
+        exact_kth(spark.createDataFrame([(nan,)], "v double"), "v", 1)
+    # infinities are order-extremes: pre-split resolves or strips them;
+    # tiny threshold forces the post-split histogram rounds to actually run
+    infs = [-inf, -inf, *(float(i) for i in range(1, 2001)), inf]
+    idf = spark.createDataFrame([(v,) for v in infs], "v double")
+    assert exact_kth(idf, "v", 1, bins=16, threshold=50) == -inf
+    assert exact_kth(idf, "v", 2, bins=16, threshold=50) == -inf
+    assert exact_kth(idf, "v", 3, bins=16, threshold=50) == 1.0
+    assert exact_kth(idf, "v", 1002, bins=16, threshold=50) == 1000.0
+    assert exact_kth(idf, "v", 2003, bins=16, threshold=50) == inf
+    # bin-width underflow: values one ulp apart with threshold 0 so the
+    # sorted-collect shortcut can't hide the degenerate-range path
+    lo = 1.0
+    hi = math.nextafter(lo, 2.0)
+    ddf = spark.createDataFrame([(lo,)] * 6 + [(hi,)] * 6, "v double")
+    assert exact_kth(ddf, "v", 3, bins=16, threshold=0) == lo
+    assert exact_kth(ddf, "v", 9, bins=16, threshold=0) == hi

@@ -434,6 +434,44 @@ def test_incremental_mv_crash_redelivery_vs_reset_checkpoint(spark, tmp_path):
         maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
 
 
+def test_incremental_mv_reset_raises_even_when_later_batches_applied(spark, tmp_path):
+    """ADVICE regression: a reset checkpoint can split old+new files across
+    MORE batches than the stored mark — old files then replay under ids
+    ABOVE the mark, pass the id guard, and re-fold into the MV
+    (double-counting), while applied>0 used to suppress the error. Any
+    observed reset skip must now raise regardless of the applied count.
+
+    Shape: one original batch folds files A+B (mark=0, fingerprint of
+    A+B). After the reset, maxFilesPerTrigger=1 replays A as batch 0
+    (id==mark, fingerprint differs → reset skip), then B as batch 1
+    (id>mark → APPLIES, double-counting B) — the run must fail loudly."""
+    import datetime as dt
+    import shutil
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.incremental_mv import (
+        maintain_aggregate_mv,
+        read_mv,
+    )
+
+    src = str(tmp_path / "landing")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+
+    _drop(spark, [(1, 2.0, t0)], src)   # file A
+    _drop(spark, [(2, 3.0, t0)], src)   # file B
+    maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
+    assert read_mv(spark, mv).count() == 2
+
+    shutil.rmtree(ckpt)
+    _drop(spark, [(3, 4.0, t0)], src)   # file C (genuinely new)
+    with pytest.raises(RuntimeError, match="reset"):
+        maintain_aggregate_mv(
+            stream_source(spark, src, max_files_per_trigger=1),
+            mv, ckpt, ["id"], "v",
+        )
+
+
 def test_cdc_apply_stale_late_batch_cannot_overwrite(spark, tmp_path):
     """A change with an OLDER sequence delivered in a LATER batch must not
     clobber the newer stored row (the sequence comparison covers the
