@@ -3043,6 +3043,64 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ``profile_table``: distinct counts via HLL++
+    (``approx_count_distinct``, rsd=0.02) — the production profiling path
+    at 100 TB. The exact ``count_distinct`` path (its Expand rewrite
+    multiplies rows by the number of distinct-agg columns before the
+    exchange) is retained HERE ONLY as the in-query error-bound proof:
+    each column emits ``nd_within_bound`` = |HLL − exact| ≤
+    max(3·rsd·exact, 2). Production form = this query minus the exact
+    columns: one pass, one ordinary exchange, HLL sketches merge
+    associatively (map-side partials), no Expand.
+
+    The HLL estimate is deterministic for a fixed dataset (register
+    merge is an elementwise max — order-independent), so the boolean is
+    stable across runs/partitionings; the raw estimate is still engine-
+    local (DuckDB's HLL differs), hence bounds, not values, in the
+    contract output (the ``approx_quantiles`` pattern).
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    # production pass: count + nulls + HLL sketches in ONE agg over
+    # UNEXPANDED rows. Keeping the exact count_distinct columns in a
+    # SEPARATE agg matters: mixing them would put the HLL updates above
+    # the Expand rewrite, multiplying per-row sketch work by the number
+    # of distinct-agg columns (measured 3x slower at sf0.1).
+    apx_aggs = [F.count(F.lit(1)).alias("__n")]
+    exact_aggs = []
+    for name in cols:
+        apx_aggs += [
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(f"__null_{name}"),
+            F.approx_count_distinct(name, 0.02).alias(f"__apx_{name}"),
+        ]
+        # proof-only (see docstring): drop in the production form
+        exact_aggs.append(F.countDistinct(name).alias(f"__dist_{name}"))
+    wide = orders.agg(*apx_aggs).crossJoin(orders.agg(*exact_aggs))
+    stack = ", ".join(
+        "'{n}', __null_{n}, "
+        "abs(__apx_{n} - __dist_{n}) <= greatest(0.06 * __dist_{n}, 2.0)".format(n=n)
+        for n in cols
+    )
+    return wide.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {stack}) as (column_name, n_nulls, nd_within_bound)",
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        "nd_within_bound",
+    )
+
+
 def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution: each purchase attributes to the
     same user's most recent click at-or-before it, within a 7-day
@@ -3183,6 +3241,82 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def q_robust_zscore_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ``robust_zscore``: the scale path replaces both
+    exact rank-selection medians (each a full per-group window SORT —
+    the 3.2× 10×-rows ratio SCALING.md documents for the exact twin)
+    with deterministic fixed-width HISTOGRAM medians: bucket the value
+    (width 1.0), hash-aggregate counts per (group, bucket) with map-side
+    combine, take a cumulative sum over the ≤~600 buckets per group (a
+    window over BUCKETS, not rows), and pick the first bucket whose
+    cumulative count reaches half — provably the bucket containing the
+    exact lower median (any earlier bucket's cumulative mass is a strict
+    prefix of the rows below the median). Approx median := that bucket's
+    midpoint, so |approx − exact_lower_median| < width. Applied twice
+    (value, then absolute deviation), then outliers count against the
+    cutoff 3·1.4826·approx_MAD.
+
+    Unlike percentile_approx (GK — deterministic only per insertion
+    order), the histogram is a pure hash-agg: the whole query is
+    engine-reproducible, so the oracle is VALUE-level (DuckDB runs the
+    identical construction), not bound-booleans. Three stateless scans
+    of events (hist1, hist2, outlier count) — recomputation beats
+    materializing the fact at 100 TB, and no scan carries a per-group
+    row sort.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grp = Window.partitionBy("event_type")
+    wb = grp.orderBy("b")
+
+    def hist_median_bucket(df: DataFrame, value_col: str) -> DataFrame:
+        hist = df.groupBy("event_type", F.floor(F.col(value_col)).alias("b")).agg(
+            F.count(F.lit(1)).alias("bw")
+        )
+        cum = hist.select(
+            "event_type",
+            "b",
+            F.sum("bw").over(wb).alias("cumn"),
+            F.sum("bw").over(grp).alias("n"),
+        )
+        return (
+            cum.where(2 * F.col("cumn") >= F.col("n"))
+            .groupBy("event_type")
+            .agg(F.min("b").alias("mb"), F.any_value("n").alias("n_values"))
+        )
+
+    med = hist_median_bucket(ev, "value").select(
+        "event_type",
+        "n_values",
+        (F.col("mb").cast("double") + F.lit(0.5)).alias("approx_median"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "approx_median",
+        F.abs(F.col("value") - F.col("approx_median")).alias("adev"),
+    )
+    mad = hist_median_bucket(dev, "adev").select(
+        "event_type",
+        (F.col("mb").cast("double") + F.lit(0.5)).alias("approx_mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.any_value("approx_median").alias("approx_median"),
+            F.any_value("approx_mad").alias("approx_mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("approx_mad"), 1
                 ).otherwise(0)
             )
             .cast("bigint")
@@ -3382,6 +3516,61 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("price").alias("weighted_median_price"),
             F.any_value("totw").alias("total_weight"),
+        )
+    )
+
+
+def q_weighted_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ``weighted_median``: the scale path replaces the
+    per-group cumulative-weight window over ROWS (a full partition sort —
+    the 3.1× 10×-rows ratio SCALING.md documents for the exact twin) with
+    a deterministic fixed-width histogram: hash-aggregate the integer
+    weight per (group, price bucket of width 100.0) with map-side
+    combine, cumulative-sum over the ≤~1,050 BUCKETS per group, and pick
+    the first bucket whose doubled cumulative weight reaches the total.
+
+    Provable bound: that bucket IS the exact weighted median's bucket —
+    rows in earlier buckets are a strict prefix of the rows strictly
+    below the exact median (their doubled weight < total), and the
+    median's own bucket qualifies by construction — so
+    |approx − exact| ≤ width/2 with approx := bucket midpoint. The
+    oracle checks the containment EMPIRICALLY: DuckDB computes the exact
+    weighted median (its own window sort — oracle-side cost) and emits
+    ``floor(exact/width) == bucket``, while the Spark side claims it by
+    construction (``TRUE``); a broken claim surfaces as a value
+    mismatch. Everything else (bucket id, bounds, total weight) is
+    exact-integer / identical-IEEE and value-compared.
+    """
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.floor(F.col("l_extendedprice") / F.lit(100.0)).alias("b"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    hist = j.groupBy("o_orderpriority", "b").agg(F.sum("w").alias("bw"))
+    grp = Window.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "b",
+        F.sum("bw").over(grp.orderBy("b")).alias("cumw"),
+        F.sum("bw").over(grp).alias("totw"),
+    )
+    return (
+        cum.where(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("b").alias("bucket"), F.any_value("totw").alias("total_weight"))
+        .select(
+            "o_orderpriority",
+            "bucket",
+            (F.col("bucket").cast("double") * 100.0).alias("bucket_lo"),
+            ((F.col("bucket").cast("double") + 1.0) * 100.0).alias("bucket_hi"),
+            ((F.col("bucket").cast("double") + 0.5) * 100.0).alias(
+                "approx_weighted_median_price"
+            ),
+            "total_weight",
+            F.lit(True).alias("exact_in_bucket"),
         )
     )
 
@@ -4000,14 +4189,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_reach": q_bfs_reach,
     "ols_trend": q_ols_trend,
     "profile_table": q_profile_table,
+    "profile_table_approx": q_profile_table_approx,
     "attribution_last_touch": q_attribution_last_touch,
     "skew_profile": q_skew_profile,
     "robust_zscore": q_robust_zscore,
+    "robust_zscore_approx": q_robust_zscore_approx,
     "event_transitions": q_event_transitions,
     "oov_rate": q_oov_rate,
     "source_overlap": q_source_overlap,
     "global_median_select": q_global_median_select,
     "weighted_median": q_weighted_median,
+    "weighted_median_approx": q_weighted_median_approx,
     "gini_concentration": q_gini_concentration,
     "mode_per_group": q_mode_per_group,
     "ratio_to_report": q_ratio_to_report,
@@ -4134,43 +4326,34 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # The driver samples a PREFIX of this dict each round (50 entries), so
 # catalog order is driver-signal-first: the queries that have never
-# received a hard CORRECTNESS row (52 after rounds 1-2 — every one
+# received a hard CORRECTNESS row (31 after rounds 1-3 — every one
 # value-matches its DuckDB oracle in the local full-catalog sim, but a
 # driver row is stronger signal) are hoisted to the front, followed by
 # queries new this round, then everything already driver-green.
 _DRIVER_PRIORITY = [
-    # The driver samples a 50-entry prefix. Budget: the 10 most novel
-    # round-3 queries lead (custom iterative/graph/analytics algorithms —
-    # the entries where a hard driver row adds the most beyond the local
-    # sim), then the round-2 never-checked block — exactly 40 of its 52
-    # fit, meeting the >=40 coverage target. The remaining 12 of those 52
-    # and the other 11 round-3 queries (mostly TPC-H shapes and
-    # composition twins, all sim-verified) queue behind for round 4.
-    "pagerank_trade", "list_ranking", "triangle_count",
-    "dedup_sorted_neighborhood", "bfs_reach", "ols_trend",
-    "copurchase_lift", "attribution_last_touch", "profile_table",
-    "funnel_conversion",
-    "tpch_q19", "tpch_q22", "inverted_index", "doc_chunking", "winsorize",
-    "bucketed_join", "decontaminate", "repetition_quality", "source_rebalance",
-    "streaming_enrich", "embedding_quantize", "corpus_rarity",
-    "expectation_metrics", "csv_ingest_roundtrip", "pack_shards",
-    "dedup_survivors", "cube_sales", "grouping_sets", "anti_join",
-    "cross_join", "scalar_subquery", "explode_tokens", "string_funcs",
-    "skew_salted_join", "top_ngrams", "tf_idf", "quality_filter",
-    "deterministic_sample", "merge_upsert", "scd2_customers", "json_extract",
-    "sketch_distinct", "approx_quantiles", "sessionize_batch",
-    "gap_fill_ffill", "rank_matrix", "not_in_subquery", "union_by_name",
-    "histogram_bins", "snapshot_diff", "correlated_subquery",
-    "group_normalize", "streaming_distinct_users", "unpivot_metrics",
-    "heavy_hitters", "embedding_centroids", "full_outer_join", "pii_scrub",
-    "incremental_agg", "group_topk", "stratified_sample", "exists_subquery",
-    # round-3 remainder (sim-verified; driver rows in round 4)
+    # Round-4 budget: the 31 queries with no hard driver row after three
+    # rounds lead (12 round-2 leftovers + 19 round-3 remainder) — a green
+    # round-4 sample closes driver verification of the ENTIRE catalog.
+    # The remaining ~19 slots go to queries new this round, then the
+    # highest-value regression shapes (flagship, streaming, graph).
+    "correlated_subquery", "group_normalize", "streaming_distinct_users",
+    "unpivot_metrics", "heavy_hitters", "embedding_centroids",
+    "full_outer_join", "pii_scrub", "incremental_agg", "group_topk",
+    "stratified_sample", "exists_subquery",
     "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
     "running_totals_window", "cohort_retention", "skew_profile",
     "robust_zscore", "event_transitions", "oov_rate", "source_overlap",
     "pagerank_weighted", "global_median_select", "weighted_median",
     "gini_concentration", "mode_per_group", "ratio_to_report",
     "longest_streak",
+    # new in round 4 (sketch twins with in-query error-bound proofs)
+    "weighted_median_approx", "robust_zscore_approx", "profile_table_approx",
+    # regression backfill (all already driver-green in rounds 1-3)
+    "gold_fact_lineitem", "pagerank_trade", "triangle_count",
+    "dedup_minhash_lsh", "streaming_running_totals", "tpch_q1",
+    "window_dedup", "order_totals", "gold_dim_customers",
+    "dedup_components", "ann_topk", "asof_join", "sessionize_batch",
+    "profile_table", "list_ranking", "bfs_reach",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -4577,6 +4760,30 @@ ORACLES: dict[str, str] = {
       SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(nu6 AS BIGINT), CAST(d6 AS BIGINT),
              mn6, mx6 FROM s
     """,
+    "profile_table_approx": """
+      WITH s AS (
+        SELECT COUNT(*) AS n,
+          SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+          SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu2,
+          SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu3,
+          SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu4,
+          SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nu5,
+          SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu6
+        FROM orders
+      )
+      SELECT 'o_orderkey' AS column_name, CAST(n AS BIGINT) AS n_rows,
+             CAST(nu1 AS BIGINT) AS n_nulls, TRUE AS nd_within_bound FROM s
+      UNION ALL
+      SELECT 'o_custkey', CAST(n AS BIGINT), CAST(nu2 AS BIGINT), TRUE FROM s
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(nu3 AS BIGINT), TRUE FROM s
+      UNION ALL
+      SELECT 'o_totalprice', CAST(n AS BIGINT), CAST(nu4 AS BIGINT), TRUE FROM s
+      UNION ALL
+      SELECT 'o_orderdate', CAST(n AS BIGINT), CAST(nu5 AS BIGINT), TRUE FROM s
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(nu6 AS BIGINT), TRUE FROM s
+    """,
     "attribution_last_touch": """
       WITH p AS (SELECT event_id AS purchase_id, user_id, ts
                  FROM events WHERE event_type = 'purchase'),
@@ -4643,6 +4850,51 @@ ORACLES: dict[str, str] = {
              ANY_VALUE(dev.med) AS median_value,
              ANY_VALUE(mad.mad) AS mad,
              CAST(SUM(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad ON dev.event_type = mad.event_type
+      GROUP BY 1
+    """,
+    "robust_zscore_approx": """
+      WITH ev AS (SELECT event_type, value
+                  FROM events WHERE value IS NOT NULL),
+      h1 AS (
+        SELECT event_type, CAST(floor(value) AS BIGINT) AS b, COUNT(*) AS bw
+        FROM ev GROUP BY 1, 2
+      ),
+      c1 AS (
+        SELECT event_type, b,
+               SUM(bw) OVER (PARTITION BY event_type ORDER BY b) AS cumn,
+               SUM(bw) OVER (PARTITION BY event_type) AS n
+        FROM h1
+      ),
+      med AS (
+        SELECT event_type, CAST(MIN(b) AS DOUBLE) + 0.5 AS approx_median
+        FROM c1 WHERE 2 * cumn >= n GROUP BY 1
+      ),
+      dev AS (
+        SELECT ev.event_type, med.approx_median,
+               abs(ev.value - med.approx_median) AS adev
+        FROM ev JOIN med ON ev.event_type = med.event_type
+      ),
+      h2 AS (
+        SELECT event_type, CAST(floor(adev) AS BIGINT) AS b, COUNT(*) AS bw
+        FROM dev GROUP BY 1, 2
+      ),
+      c2 AS (
+        SELECT event_type, b,
+               SUM(bw) OVER (PARTITION BY event_type ORDER BY b) AS cumn,
+               SUM(bw) OVER (PARTITION BY event_type) AS n
+        FROM h2
+      ),
+      mad AS (
+        SELECT event_type, CAST(MIN(b) AS DOUBLE) + 0.5 AS approx_mad
+        FROM c2 WHERE 2 * cumn >= n GROUP BY 1
+      )
+      SELECT dev.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             ANY_VALUE(dev.approx_median) AS approx_median,
+             ANY_VALUE(mad.approx_mad) AS approx_mad,
+             CAST(SUM(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.approx_mad
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM dev JOIN mad ON dev.event_type = mad.event_type
       GROUP BY 1
@@ -4771,6 +5023,51 @@ ORACLES: dict[str, str] = {
       SELECT o_orderpriority, MIN(price) AS weighted_median_price,
              CAST(ANY_VALUE(totw) AS BIGINT) AS total_weight
       FROM c WHERE 2 * cumw >= totw GROUP BY 1
+    """,
+    "weighted_median_approx": """
+      WITH j AS (
+        SELECT o_orderpriority,
+               CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS b,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_extendedprice AS price, l_orderkey, l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ),
+      hist AS (
+        SELECT o_orderpriority, b, SUM(w) AS bw FROM j GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT o_orderpriority, b,
+               SUM(bw) OVER (PARTITION BY o_orderpriority ORDER BY b) AS cumw,
+               SUM(bw) OVER (PARTITION BY o_orderpriority) AS totw
+        FROM hist
+      ),
+      sel AS (
+        SELECT o_orderpriority, MIN(b) AS bucket,
+               CAST(ANY_VALUE(totw) AS BIGINT) AS total_weight
+        FROM c WHERE 2 * cumw >= totw GROUP BY 1
+      ),
+      -- empirical containment check of the Spark side's by-construction
+      -- claim: the exact weighted median must land in the chosen bucket
+      rc AS (
+        SELECT o_orderpriority, price,
+               SUM(w) OVER (PARTITION BY o_orderpriority
+                            ORDER BY price, l_orderkey, l_linenumber) AS cumw,
+               SUM(w) OVER (PARTITION BY o_orderpriority) AS totw
+        FROM j
+      ),
+      exact AS (
+        SELECT o_orderpriority, MIN(price) AS exact_wm
+        FROM rc WHERE 2 * cumw >= totw GROUP BY 1
+      )
+      SELECT sel.o_orderpriority, sel.bucket,
+             CAST(sel.bucket AS DOUBLE) * 100.0 AS bucket_lo,
+             (CAST(sel.bucket AS DOUBLE) + 1.0) * 100.0 AS bucket_hi,
+             (CAST(sel.bucket AS DOUBLE) + 0.5) * 100.0
+               AS approx_weighted_median_price,
+             sel.total_weight,
+             CAST(floor(exact.exact_wm / 100.0) AS BIGINT) = sel.bucket
+               AS exact_in_bucket
+      FROM sel JOIN exact ON sel.o_orderpriority = exact.o_orderpriority
     """,
     "gini_concentration": """
       WITH ps AS (

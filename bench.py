@@ -104,15 +104,18 @@ HEADLINE = [
     "bfs_reach",
     "ols_trend",
     "profile_table",
+    "profile_table_approx",
     "attribution_last_touch",
     "skew_profile",
     "robust_zscore",
+    "robust_zscore_approx",
     "event_transitions",
     "oov_rate",
     "source_overlap",
     "pagerank_weighted",
     "global_median_select",
     "weighted_median",
+    "weighted_median_approx",
     "gini_concentration",
     "mode_per_group",
     "ratio_to_report",
@@ -221,6 +224,28 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    # The full per-query dict above can exceed a log tail window (round 3
+    # lost `total_runtime` to truncation), so ALSO emit a compact one-line
+    # summary as the LAST line of stdout and persist it to
+    # bench_summary.json next to this script — both machine-readable even
+    # when only the tail survives.
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf_num,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"),
+            "w",
+        ) as fh:
+            json.dump({**summary, "queries": timings, **({"errors": errors} if errors else {})}, fh)
+    except OSError as exc:  # a read-only checkout must not void the bench
+        print(f"bench: could not write bench_summary.json: {exc}", file=sys.stderr)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

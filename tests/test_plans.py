@@ -325,3 +325,37 @@ def test_graph_queries_never_nested_loop(spark):
         # BroadcastNestedLoopJoin (joining two single-row aggregates)
         if name != "triangle_count":
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def _sort_input_cols(plan):
+    """Column-name sets of every Sort operator's Input line in a formatted plan."""
+    out = []
+    for m in re.finditer(r"\(\d+\) Sort(?: \[codegen[^\]]*\])?\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        out.append({c.strip().split("#")[0] for c in m.group(1).split(",")})
+    return out
+
+def test_histogram_sketch_twins_sort_only_buckets(spark):
+    """The approx twins of weighted_median / robust_zscore exist to remove
+    the per-group full-row window sort (the 3.1×/3.2× 10×-rows ratios of
+    the exact twins). Guard: every Sort in their plans consumes bucket-
+    histogram rows (group key + bucket id + bucket weight) — never raw
+    fact rows (price/value/tie-break columns)."""
+    allowed = {
+        "weighted_median_approx": {"o_orderpriority", "b", "bw"},
+        "robust_zscore_approx": {"event_type", "b", "bw"},
+    }
+    for name, cols in allowed.items():
+        plan = _formatted_plan(SPARK_QUERIES[name](spark, SF_SMALL))
+        sorts = _sort_input_cols(plan)
+        assert sorts, f"{name}: expected bucket-cum window sorts in plan"
+        for s in sorts:
+            assert s <= cols, f"{name}: Sort over non-bucket columns {s - cols}"
+
+
+def test_profile_table_approx_hll_aggs_present(spark):
+    """The approx profiler's production path is HLL sketches (associative,
+    map-side partial merge). The exact count_distinct columns are proof-
+    only; both must coexist in this plan, and nothing may fall to Python."""
+    plan = _formatted_plan(SPARK_QUERIES["profile_table_approx"](spark, SF_SMALL))
+    assert "approx_count_distinct" in plan, plan[:500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

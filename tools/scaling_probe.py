@@ -90,15 +90,18 @@ PROBE = [
     "bfs_reach",
     "ols_trend",
     "profile_table",
+    "profile_table_approx",
     "attribution_last_touch",
     "skew_profile",
     "robust_zscore",
+    "robust_zscore_approx",
     "event_transitions",
     "oov_rate",
     "source_overlap",
     "pagerank_weighted",
     "global_median_select",
     "weighted_median",
+    "weighted_median_approx",
     "gini_concentration",
     "mode_per_group",
     "ratio_to_report",
