@@ -113,6 +113,24 @@ def _driver_union_find(cur: DataFrame) -> DataFrame:
 # job, but over partitions the eager checkpoint already materialized.
 SMALL_GRAPH_EDGE_LIMIT = 200_000
 
+# Iterative-graph broadcast gates (round-4 perf work). The per-round tables
+# of the iterative family (rank vector, BFS frontier, list-rank jump table,
+# triangle closing-edge set) come out of localCheckpoint, whose RDD scan
+# carries NO size statistics — AQE therefore never converts the per-round
+# joins to broadcast and every round pays an exchange + sort of the LARGE
+# operand (measured: the 1.17M-edge trade graph re-sorted 5× per PageRank).
+# Since the driver already knows the relevant count (node count / edge
+# count), gate an explicit broadcast hint on it: under the limit the round
+# becomes a map-only broadcast join against the big table's materialized
+# partitions; over it the SMJ path stands (a 100 TB rank vector or edge
+# set must never be broadcast). Limits sized for executor memory: a rank
+# row is two longs (~16 B payload, ~48 B in a broadcast HashedRelation) →
+# 2M rows ≈ 100 MB, and at most ~3-4 such broadcasts are live inside any
+# one round's job (rank vector, message vector, degree table / wedge
+# probe) → ≤400 MB executor overhead, safe for a 4 GB executor.
+BROADCAST_NODE_LIMIT = 2_000_000
+BROADCAST_EDGE_LIMIT = 2_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -214,17 +232,34 @@ def count_triangles(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
 
     Returns a 1-row DataFrame (n_edges, n_triangles).
     """
-    und = edges.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
-    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    und = edges.select(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).localCheckpoint()
+    # driver-known edge count gates the broadcast hints below (the same
+    # no-stats-after-checkpoint problem the PageRank loop has); it also
+    # feeds the n_edges output for free
+    m = und.count()
+    small = m <= BROADCAST_EDGE_LIMIT
     deg = (
         und.select(F.col("__a").alias("v"))
         .union(und.select("__b"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # the degree table is O(V) ≤ O(m) rows — under the gate, annotate both
+    # endpoints with map-only broadcast joins instead of two SMJ exchanges
+    def _maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     e = (
-        und.join(deg.select(F.col("v").alias("__a"), F.col("d").alias("da")), "__a")
-        .join(deg.select(F.col("v").alias("__b"), F.col("d").alias("db")), "__b")
+        und.join(
+            _maybe_bcast(deg.select(F.col("v").alias("__a"), F.col("d").alias("da"))),
+            "__a",
+        )
+        .join(
+            _maybe_bcast(deg.select(F.col("v").alias("__b"), F.col("d").alias("db"))),
+            "__b",
+        )
         .select(
             F.when(
                 (F.col("da") < F.col("db"))
@@ -239,12 +274,24 @@ def count_triangles(edges: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
     w1 = e.select(F.col("src").alias("v"), F.col("dst").alias("x"))
     w2 = e.select(F.col("src").alias("v"), F.col("dst").alias("y"))
-    wedges = w1.join(w2, "v").where(F.col("x") < F.col("y"))
+    # the wedge self-join's build side is the m oriented edges (not the
+    # wedge output) — under the gate, broadcasting it makes wedge
+    # GENERATION map-only too: without the hint the stats-less checkpoint
+    # scans force an SMJ with two m-row exchanges + sorts
+    wedges = w1.join(_maybe_bcast(w2), "v").where(F.col("x") < F.col("y"))
     closing = e.select(
         F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
     )
-    tri = wedges.join(closing, ["x", "y"])
-    return n_edges.join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    # the wedge set is the LARGE side (Σ outdeg² — up to m^1.5 rows under
+    # degree orientation); under the gate, probing it against a broadcast
+    # of the m closing edges keeps the wedges un-exchanged and un-sorted,
+    # which is the dominant cost of the SMJ formulation
+    tri = wedges.join(_maybe_bcast(closing), ["x", "y"])
+    # m is driver-known (it gated the broadcasts), so n_edges is a literal —
+    # no 1-row count-join appendage
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).select(
+        F.lit(m).cast("bigint").alias("n_edges"), "n_triangles"
+    )
 
 
 def pagerank_integer(
@@ -255,6 +302,8 @@ def pagerank_integer(
     scale: int = 10**12,
     damping_pct: int = 85,
     weight_col: str | None = None,
+    materialized: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in INTEGER micro-unit arithmetic.
 
@@ -278,14 +327,24 @@ def pagerank_integer(
     redistributing it — the simplest standard variant; both engines apply
     the identical rule so the oracle stays exact.
 
-    Scale: the edge list with attached out-degree is the reused loop
-    operand — hash-partitioned on ``src`` once, localCheckpoint-ed so each
-    iteration reads a materialized table instead of an exponentially
-    deeper lineage. Each iteration is one equi-join (ranks × edges on src,
-    partitioning reused) plus one hash aggregate on dst with map-side
-    partial sums — the Pregel message-combine pattern; no driver-side
-    state beyond the iteration counter, no collect. O(E) per iteration,
-    ``iterations`` rounds.
+    Scale: the raw edge list is localCheckpoint-ed once (the upstream
+    edge build runs exactly once; every later step reads materialized
+    blocks). The degree-annotated loop operand then has two shapes, gated
+    on the driver-known node count: under ``BROADCAST_NODE_LIMIT`` the
+    O(V) degree table is broadcast-joined onto the raw edges lazily — no
+    second m-row materialization, no m-row shuffle anywhere, each round is
+    map-only up to the small dst aggregate, with the rank vector also
+    broadcast into its join (checkpoint scans carry no stats, so AQE alone
+    would sort-merge the full edge list EVERY round); over the limit, one
+    partition-window shuffle on ``src`` materializes the annotated edges
+    and the rounds run shuffled joins against it (a 100 TB message vector
+    must never be broadcast). Each iteration is one LEFT equi-join (edges
+    × previous round's message vector on src — the rank is re-derived
+    from the message by expression, so the rank vector itself never
+    materializes mid-loop) plus one hash aggregate on dst with map-side
+    partial sums — the Pregel message-combine pattern. No driver-side
+    state beyond the iteration counter and node count, no collect. O(E)
+    per iteration, ``iterations`` rounds.
 
     Returns (node, rank) with ``rank`` in integer micro-units of
     ``1/scale``; sum over all nodes ≤ scale (leakage from dangling nodes).
@@ -296,54 +355,117 @@ def pagerank_integer(
     fixpoint stays bitwise. The unweighted path IS the w=1 special case
     (rank·1 div count ≡ rank div deg), so one code path serves both.
     """
+    from pyspark.sql import Window
+
     e = edges.select(
         F.col(src_col).alias("__src"),
         F.col(dst_col).alias("__dst"),
         (F.col(weight_col).cast("long") if weight_col else F.lit(1)).alias("__w"),
     )
-    nodes = (
-        e.select(F.col("__src").alias("__node"))
-        .union(e.select("__dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
-    outdeg = e.groupBy("__src").agg(F.sum("__w").alias("__deg"))
-    e_deg = e.join(outdeg, "__src").localCheckpoint()
-    base = F.lit((100 - damping_pct) * (scale // n) // 100)
-    ranks = nodes.select("__node", F.lit(scale // n).alias("__rank"))
+    # the (possibly expensive) upstream edge build runs exactly once into
+    # this checkpoint; nodes, the degree table, and every loop round read
+    # its materialized blocks instead of re-running the build (the old
+    # groupBy-era shape re-derived it 3×: nodes / outdeg / join probe).
+    # ``materialized=True`` means the caller already checkpointed the edge
+    # list (or a compact generator over one, e.g. a lazy symmetric swap of
+    # checkpointed directed pairs) — re-materializing would double the
+    # stored bytes for nothing.
+    e_ck = e if materialized else e.localCheckpoint()
+    # ``symmetric=True``: the caller asserts every node appears as a source
+    # (e.g. a bidirectional edge list) — the node set is then exactly the
+    # degree table's key set, so the O(V) deg checkpoint doubles as the
+    # node table and the 2·m-row union-distinct (+ its checkpoint + count
+    # job) disappears entirely.
+    def _deg_ck() -> DataFrame:
+        return (
+            e_ck.groupBy("__src").agg(F.sum("__w").alias("__deg")).localCheckpoint()
+        )
+
+    deg = _deg_ck() if symmetric else None
+    if symmetric:
+        nodes = deg.select(F.col("__src").alias("__node"))
+        n = deg.count()
+    else:
+        nodes = (
+            e_ck.select(F.col("__src").alias("__node"))
+            .union(e_ck.select("__dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n = nodes.count()
+    # rank/inc vectors are O(V) rows out of localCheckpoint (no stats → AQE
+    # can't pick broadcast); hint it ourselves while V fits executor memory
+    small = n <= BROADCAST_NODE_LIMIT
+    if small:
+        # lazy degree decoration: the O(V) degree table (checkpointed — one
+        # tiny eager job, so each round's broadcast build reads V rows, not
+        # an m-row re-aggregation) is broadcast-joined onto the raw-edge
+        # blocks. No second m-row materialization and no m-row shuffle at
+        # all on this path — each round re-scans e_ck and hash-probes deg.
+        e_deg = e_ck.join(F.broadcast(deg if deg is not None else _deg_ck()), "__src")
+    else:
+        # scale path: ONE partition-window shuffle annotates the degree and
+        # materializes the loop operand once — per-round cost is then a
+        # pure scan (a lazy non-broadcast degree join would pay the m-row
+        # shuffle again every round)
+        e_deg = e_ck.withColumn(
+            "__deg", F.sum("__w").over(Window.partitionBy("__src"))
+        ).localCheckpoint()
+    base_val = (100 - damping_pct) * (scale // n) // 100  # driver-side int
+
+    # The loop variable is the MESSAGE vector (summed in-contributions per
+    # dst), not the rank vector: rank(v) is everywhere derivable as
+    # base + d%·coalesce(inc(v), 0) div 100, so folding that expression
+    # into the next round's contribution makes each round ONE join (edges ×
+    # previous messages, LEFT so sources with no in-edges contribute at
+    # base rank) + ONE map-side-combined aggregate — half the serialized
+    # broadcast-build/job chain of the rank-vector formulation, and the
+    # O(V) node table is joined exactly once, at the end. Round 1's rank is
+    # the constant scale div n and needs no join at all.
+    #
+    # The contribution expression is written as
+    #   (rank div deg)*w + ((rank % deg)*w) div deg
+    # — identical to (rank*w) div deg for non-negative ints (rank = q·deg+r
+    # ⇒ rank·w div deg = q·w + r·w div deg) but without the rank·w product,
+    # which exceeds int64 once w > ~9.2e6: Spark would wrap silently (ANSI
+    # off) while the oracle's int128 arithmetic stays exact. The residual
+    # r·w term keeps the result exact while w·Σw per source is below 2^63
+    # (w ≤ Σw, far past any realistic weight mass); the oracle needs no
+    # change because the decomposition is value-identical.
+    rank_sql = f"{scale // n}L"
+    inc = None
     for _ in range(iterations):
+        if inc is None:
+            joined = e_deg
+        else:
+            msg = F.broadcast(inc) if small else inc
+            joined = e_deg.join(msg, e_deg["__src"] == msg["__dst_k"], "left")
         inc = (
-            e_deg.join(ranks, e_deg["__src"] == ranks["__node"])
-            .select(
-                "__dst",
-                # identical to (__rank * __w) div __deg for non-negative
-                # ints (rank = q·deg + r ⇒ rank·w div deg = q·w + r·w div
-                # deg) but without the rank·w product, which exceeds int64
-                # once w > ~9.2e6 — Spark would wrap silently (ANSI off)
-                # while the oracle's int128 arithmetic stays exact. The
-                # residual r·w term keeps the result exact while w·Σw per
-                # source is below 2^63 (w ≤ Σw, so far past any realistic
-                # weight mass); the oracle needs no change because the
-                # decomposition is value-identical.
+            joined.select(
+                F.col("__dst"),
                 F.expr(
-                    "(__rank div __deg) * __w + ((__rank % __deg) * __w) div __deg"
+                    f"(({rank_sql}) div __deg) * __w"
+                    f" + ((({rank_sql}) % __deg) * __w) div __deg"
                 ).alias("__contrib"),
             )
             .groupBy("__dst")
             .agg(F.sum("__contrib").alias("__inc"))
+            .select(F.col("__dst").alias("__dst_k"), "__inc")
         )
-        ranks = (
-            nodes.join(inc, nodes["__node"] == inc["__dst"], "left")
-            .select(
-                "__node",
-                (
-                    base
-                    + F.expr(
-                        f"({damping_pct} * coalesce(__inc, 0L)) div 100"
-                    )
-                ).alias("__rank"),
-            )
-            .localCheckpoint()
-        )
+        if not small:
+            # big-graph path: truncate lineage so a task failure late in
+            # the fixpoint recomputes one round, not the whole chain (the
+            # Pregel periodic-checkpoint discipline). The small path skips
+            # this — each round references the previous exactly once, so
+            # the whole loop is ONE linear query with no per-round job
+            # barrier.
+            inc = inc.localCheckpoint()
+        rank_sql = f"({base_val}L + ({damping_pct} * coalesce(__inc, 0L)) div 100)"
+    msg = F.broadcast(inc) if small else inc
+    ranks = nodes.join(msg, nodes["__node"] == msg["__dst_k"], "left").select(
+        "__node",
+        F.expr(
+            f"{base_val}L + ({damping_pct} * coalesce(__inc, 0L)) div 100"
+        ).alias("__rank"),
+    )
     return ranks.select(F.col("__node").alias("node"), F.col("__rank").alias("rank"))

@@ -44,15 +44,19 @@ def list_rank(
     O(n log d) for n nodes and maximum list depth d.
 
     ``max_depth`` bounds the rounds (ceil(log2(max_depth))); when omitted
-    it is measured with one aggregate over list sizes — callers that know
-    their depth (e.g. bounded orders-per-customer) can skip that pass by
-    passing it in. Depth here means list LENGTH (number of nodes).
+    the global node count stands in (n nodes are at most n deep) — callers
+    that know their depth (e.g. bounded orders-per-customer) pass it in to
+    run fewer rounds. Depth here means list LENGTH (number of nodes). The
+    node count itself is always taken — one cheap job over the checkpointed
+    table — because it gates the per-round broadcast hint below.
     """
     cur = nodes.select(
         F.col(id_col).alias("__id"),
         F.col(pred_col).alias("__ptr"),
         F.when(F.col(pred_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("__rank"),
     )
+    cur = cur.localCheckpoint()
+    n = cur.count()
     if max_depth is None:
         # list length = nodes per head; heads are nodes with NULL pred, so
         # count list membership by... lists are only linked, not labeled —
@@ -60,15 +64,24 @@ def list_rank(
         # chain at most n deep, but one extra jump per round is harmless,
         # so measure the longest chain cheaply via the pointer structure:
         # rounds only need log2(n) in the worst case.
-        max_depth = cur.count()
+        max_depth = n
     rounds = max(1, int(max_depth - 1).bit_length())  # ceil(log2(max_depth))
-    cur = cur.localCheckpoint()
+    # the jump table is the node table itself, re-emitted from
+    # localCheckpoint each round with no size stats — AQE can't see it is
+    # broadcastable, so without the hint every round exchanges + sorts BOTH
+    # sides of the self-join. Under the gate the probe side stays in place
+    # (map-only) each round; over it the SMJ path stands.
+    from .graph import BROADCAST_NODE_LIMIT
+
+    small = n <= BROADCAST_NODE_LIMIT
     for _ in range(rounds):
         jump = cur.select(
             F.col("__id").alias("__jid"),
             F.col("__ptr").alias("__jptr"),
             F.col("__rank").alias("__jrank"),
         )
+        if small:
+            jump = F.broadcast(jump)
         cur = (
             cur.join(jump, cur["__ptr"] == jump["__jid"], "left")
             .select(

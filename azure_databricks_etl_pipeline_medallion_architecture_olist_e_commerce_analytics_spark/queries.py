@@ -2739,7 +2739,13 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bidirectional supplier↔customer trade graph shared by the graph
     family (pagerank_trade, bfs_reach): distinct lineitem⋈orders pairs,
     node id = key*2 for suppliers / key*2+1 for customers (disjoint
-    integer namespaces, 64-bit safe via the explicit long cast)."""
+    integer namespaces, 64-bit safe via the explicit long cast).
+
+    Only the DIRECTED half is materialized (localCheckpoint): the
+    symmetric union is a lazy map-only swap over those blocks, so every
+    consumer re-scan reads half the bytes a materialized bidirectional
+    list would — callers must NOT re-checkpoint the result (and pagerank
+    takes it with ``materialized=True``)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     pairs = (
@@ -2749,6 +2755,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
+        .localCheckpoint()
     )
     return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -2778,8 +2785,8 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank_integer
 
     tune_session(spark)
-    edges = _trade_edges(spark, sf_dir)
-    ranks = pagerank_integer(edges, iterations=5)
+    edges = _trade_edges(spark, sf_dir)  # directed half checkpointed inside
+    ranks = pagerank_integer(edges, iterations=5, materialized=True, symmetric=True)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
         .otherwise(F.lit("customer"))
@@ -2865,21 +2872,31 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # each order has exactly ONE customer, so "distinct orders linking the
+    # pair" ≡ distinct (supplier, orderkey) — dedup BEFORE the join, on the
+    # narrow 2-column projection (map-side partial dedup shrinks the
+    # shuffle), then the join output is already order-unique per supplier
+    # and the weight is a plain COUNT: one agg exchange on (src, dst)
+    # instead of countDistinct's two-phase (src, dst, orderkey) rewrite
+    # over the full joined width
+    so = li.select("l_suppkey", "l_orderkey").distinct()
     wpairs = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
+        so.join(orders, so["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
             (F.col("l_suppkey").cast("long") * 2).alias("src"),
             (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
-            "l_orderkey",
         )
-        .distinct()
-        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
+        # directed half materialized once; the symmetric union below is a
+        # lazy map-only swap over these blocks (same shape as _trade_edges)
+        .localCheckpoint()
     )
     edges = wpairs.union(
         wpairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
-    ranks = pagerank_integer(edges, iterations=5, weight_col="w")
+    ranks = pagerank_integer(
+        edges, iterations=5, weight_col="w", materialized=True, symmetric=True
+    )
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("supplier"))
         .otherwise(F.lit("customer"))
@@ -2903,20 +2920,36 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a fixpoint probe (the connected-components loop shape); bounded
     unrolls keep the oracle expressible as plain chained SQL.
     """
+    from .operators.graph import BROADCAST_NODE_LIMIT
+
     tune_session(spark)
-    edges = _trade_edges(spark, sf_dir).localCheckpoint()
+    edges = _trade_edges(spark, sf_dir)  # directed half checkpointed inside
     supplier = load_table(spark, sf_dir, "supplier")
     l0 = (
         supplier.where(F.col("s_nationkey") == 1)
         .select((F.col("s_suppkey").cast("long") * 2).alias("node"))
         .distinct()
     )
-    levels = [l0]
+    # Each frontier is checkpointed and counted, and the count gates a
+    # per-level broadcast: a frontier under the node limit probes the edge
+    # list in place (map-only join — without the hint AQE sees a stats-less
+    # checkpoint scan and re-exchanges + sorts the edge list EVERY level),
+    # while an explosive frontier at scale falls back to the SMJ path on
+    # its own level only. The checkpoint also keeps each level's join
+    # reading the previous level's materialized rows instead of re-deriving
+    # the whole unrolled lineage.
+    levels = [l0.localCheckpoint()]
     for _ in range(3):
+        frontier = (
+            F.broadcast(levels[-1])
+            if levels[-1].count() <= BROADCAST_NODE_LIMIT
+            else levels[-1]
+        )
         levels.append(
-            edges.join(levels[-1], edges["src"] == levels[-1]["node"])
+            edges.join(frontier, edges["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
+            .localCheckpoint()
         )
     leveled = None
     for hops, lv in enumerate(levels):

@@ -526,3 +526,111 @@ def test_incremental_mv_reset_after_single_batch_raises(spark, tmp_path):
     _drop(spark, [(3, 4.0, t0)], src)
     with pytest.raises(RuntimeError, match="reset"):
         maintain_aggregate_mv(stream_source(spark, src), mv, ckpt, ["id"], "v")
+
+
+def test_cdc_concurrent_writers_neither_batch_lost(spark, tmp_path):
+    """Two writers racing the same head: the v=N+1 slot claim (atomic
+    directory rename) admits exactly one; the loser recomputes its merge
+    on the winner's snapshot and lands at v=N+2. BOTH batches survive —
+    strictly stronger than last-writer-wins, whose failure mode here would
+    be a silently lost batch."""
+    import threading
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.cdc import (
+        apply_changes_batch,
+        current_version,
+        read_current,
+    )
+
+    tbl = str(tmp_path / "table")
+    os.makedirs(tbl)
+    t = dt.datetime(2024, 1, 1)
+    sch = "id int, v double, ts timestamp"
+    b1 = spark.createDataFrame([(1, 10.0, t), (2, 20.0, t)], sch)
+    b2 = spark.createDataFrame(
+        [(2, 21.0, t + dt.timedelta(seconds=1)), (3, 30.0, t)], sch
+    )
+
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def run(b):
+        try:
+            barrier.wait()
+            apply_changes_batch(spark, b, tbl, ["id"], "ts")
+        except Exception as exc:  # pragma: no cover - surfaced via assert
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run, args=(b,)) for b in (b1, b2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    # two commits landed (v=1 then v=2), whichever order the race resolved
+    assert current_version(tbl) == 2
+    cur = {r.id: r.v for r in read_current(spark, tbl).collect()}
+    # key 2 overlaps: sequence_by (not commit order) decides — 21.0 is newer
+    assert cur == {1: 10.0, 2: 21.0, 3: 30.0}
+    # the loser's failed claim cleaned its staging directory
+    assert [d for d in os.listdir(tbl) if d.startswith(".staging-")] == []
+
+
+def test_cdc_crash_between_claim_and_flip_is_repaired(spark, tmp_path):
+    """A writer that dies after claiming v=1 but before the pointer flip
+    leaves a complete _SUCCESS-marked snapshot the pointer doesn't name.
+    The next writer loses its own v=1 claim, repairs the pointer forward,
+    and merges ON TOP of the orphan's rows — nothing is lost or stuck."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.cdc import (
+        apply_changes_batch,
+        current_version,
+        read_current,
+    )
+
+    tbl = str(tmp_path / "table")
+    os.makedirs(tbl)
+    t = dt.datetime(2024, 1, 1)
+    sch = "id int, v double, ts timestamp"
+
+    # build the orphan exactly as a crashed writer would: full staging
+    # write, slot claimed by rename, NO pointer flip
+    staging = os.path.join(tbl, ".staging-crashed")
+    spark.createDataFrame([(1, 10.0, t)], sch).write.parquet(staging)
+    os.rename(staging, os.path.join(tbl, "v=1"))
+    assert current_version(tbl) == 0  # pointer never advanced
+
+    apply_changes_batch(
+        spark, spark.createDataFrame([(2, 20.0, t)], sch), tbl, ["id"], "ts"
+    )
+    assert current_version(tbl) == 2
+    cur = {r.id: r.v for r in read_current(spark, tbl).collect()}
+    assert cur == {1: 10.0, 2: 20.0}
+
+
+def test_cdc_pointer_is_monotonic_and_vacuum_sweeps_staging(spark, tmp_path):
+    """The flocked pointer flip refuses to move backwards (a slow v=1
+    winner racing an already-landed v=2 cannot regress the head), and
+    vacuum_versions sweeps crashed writers' .staging-* leftovers."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.streaming.cdc import (
+        _advance_pointer,
+        apply_changes_batch,
+        current_version,
+        vacuum_versions,
+    )
+
+    tbl = str(tmp_path / "table")
+    os.makedirs(tbl)
+    t = dt.datetime(2024, 1, 1)
+    sch = "id int, v double, ts timestamp"
+    apply_changes_batch(spark, spark.createDataFrame([(1, 1.0, t)], sch), tbl, ["id"], "ts")
+    apply_changes_batch(spark, spark.createDataFrame([(2, 2.0, t)], sch), tbl, ["id"], "ts")
+    assert current_version(tbl) == 2
+    _advance_pointer(tbl, 1)  # late/duplicate flip from the v=1 writer
+    assert current_version(tbl) == 2
+
+    # a crashed pre-claim writer leaves staging; vacuum sweeps it
+    os.makedirs(os.path.join(tbl, ".staging-dead-writer"))
+    vacuum_versions(tbl, keep=2)
+    assert not os.path.exists(os.path.join(tbl, ".staging-dead-writer"))
+    assert os.path.exists(os.path.join(tbl, "v=2"))

@@ -7,6 +7,17 @@ Usage:
     python tools/driver_sim.py                 # full catalog
     python tools/driver_sim.py name1 name2 ... # subset
     SPARK_GRAFT_SIM_SF=/root/testdata/sf0.01 python tools/driver_sim.py
+
+High-SF shuffle-stress sweep (verdict r3 item 5): point at the sf1
+replica and deliberately mis-align shuffle partitions with the core
+count (a prime) so every exchange produces a different partition layout
+and row arrival order than the sf0.01 runs — any hidden dependence on
+shuffle order (double summation order, first()-without-sort, GK sketch
+insertion order) breaks the value hash:
+
+    SPARK_GRAFT_SIM_SF=/tmp/spark_graft_scale/sf1 \
+    SPARK_GRAFT_SIM_CPUS=32 SPARK_GRAFT_SIM_SHUFFLE=37 \
+    python tools/driver_sim.py
 """
 
 from __future__ import annotations
@@ -30,9 +41,11 @@ def main() -> int:
     sf = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
 
+    cpus = os.environ.get("SPARK_GRAFT_SIM_CPUS", "8")
+    shuffle = os.environ.get("SPARK_GRAFT_SIM_SHUFFLE", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "12g")
         .appName("driver-sim")

@@ -113,10 +113,11 @@ from bench import time_noop  # noqa: E402
 
 
 if __name__ == "__main__":
+    only = set(sys.argv[1:])  # optional subset: python tools/scaling_probe.py q1 q2
     spark = get_spark("scaling-probe")
     print("| query | sf0.1 (s) | sf1 = 10x (s) | ratio |")
     print("|---|---|---|---|")
-    for name in PROBE:
+    for name in PROBE if not only else [q for q in PROBE if q in only]:
         fn = SPARK_QUERIES[name]
         try:
             t_small = time_noop(spark, fn, SMALL)
