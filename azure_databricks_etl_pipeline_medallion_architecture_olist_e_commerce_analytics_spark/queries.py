@@ -2980,6 +2980,13 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression written identically on both sides, so the IEEE operation
     sequence — and therefore every bit of the result — matches. One
     map-side-combined hash aggregate; no second pass, no window.
+
+    The decimal→double hop routes through exact int64 units (×100 for the
+    2-dp sums; the qty sums are integral) because a direct
+    CAST(decimal AS DOUBLE) diverges across engines past ~15 significant
+    digits (Spark rounds the full decimal, DuckDB divides the scaled
+    integer) — the sf1 shuffle-stress sweep caught Σxy crossing 2^53
+    scaled units. int64→double is round-to-nearest-even in both engines.
     """
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
@@ -2987,16 +2994,33 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
     sums = j.groupBy("p_brand").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double").alias("sx"),
-        F.sum(F.col("l_extendedprice").cast("decimal(20,6)"))
+        # qty is integer-valued: the decimal sum casts to bigint exactly
+        F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+        .cast("bigint")
         .cast("double")
-        .alias("sy"),
-        F.sum(
-            (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,6)")
-        )
-        .cast("double")
-        .alias("sxy"),
+        .alias("sx"),
+        # price is 2-dp: ×100 is the exact integer form
+        (
+            (F.sum(F.col("l_extendedprice").cast("decimal(20,6)")) * F.lit(100))
+            .cast("bigint")
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("sy"),
+        (
+            (
+                F.sum(
+                    (F.col("l_quantity") * F.col("l_extendedprice")).cast(
+                        "decimal(30,6)"
+                    )
+                )
+                * F.lit(100)
+            )
+            .cast("bigint")
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("sxy"),
         F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,6)"))
+        .cast("bigint")
         .cast("double")
         .alias("sxx"),
     )
@@ -4175,6 +4199,346 @@ def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency/frequency/monetary quintile
+    scores (the classic CRM grid: r=5 bought most recently, f=5 orders
+    most often, m=5 spends the most), output as segment cells with
+    customer counts. The canonical marketing-analytics shape the catalog's
+    cohort/funnel/attribution family doesn't cover.
+
+    Scale + exactness: NO global NTILE window over customers (that is a
+    single-task funnel at 100 TB). Instead each metric's quintile cut is
+    computed on its BOUNDED value-distribution table — recency is integer
+    days (~date range), frequency is small integers, monetary is floored
+    to $100 buckets — with one cumulative window over those few thousand
+    rows; the score is the division-free integer rank test
+    ``(5 * customers_strictly_below) div n`` and joins back by broadcast.
+    Monetary accumulates ``floor(price*100)`` cents (one IEEE multiply +
+    floor per row, bigint sum) — never a double sum, so shuffle order
+    cannot move a cent.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("mon_cents"),
+    )
+    gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    cust = cust.crossJoin(F.broadcast(gmax)).select(
+        "o_custkey",
+        F.datediff(F.col("gmax"), F.col("last_d")).cast("long").alias("recency"),
+        "freq",
+        "mon_cents",
+        F.expr("mon_cents div 10000").alias("m_bucket"),
+    )
+
+    def _quintile(col: str) -> DataFrame:
+        # bounded distribution table: one row per distinct metric value;
+        # the cumulative window runs over those rows only (the histogram-
+        # twin discipline), never over the customer table
+        dist = cust.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w_lt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        w_all = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return (
+            dist.select(
+                "v",
+                (F.coalesce(F.sum("c").over(w_lt), F.lit(0)) * 5).alias("__lt5"),
+                F.sum("c").over(w_all).alias("__n"),
+            ).select("v", F.expr("__lt5 div __n").alias("raw"))
+        )
+
+    r_d = _quintile("recency").select(
+        F.col("v").alias("recency"), (5 - F.col("raw")).cast("int").alias("r_score")
+    )
+    f_d = _quintile("freq").select(
+        F.col("v").alias("freq"), (1 + F.col("raw")).cast("int").alias("f_score")
+    )
+    m_d = _quintile("m_bucket").select(
+        F.col("v").alias("m_bucket"), (1 + F.col("raw")).cast("int").alias("m_score")
+    )
+    scored = (
+        cust.join(F.broadcast(r_d), "recency")
+        .join(F.broadcast(f_d), "freq")
+        .join(F.broadcast(m_d), "m_bucket")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("mon_cents").cast("bigint").alias("segment_cents"),
+    )
+
+
+def q_zipf_head_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head coverage per corpus source: the share of all token
+    occurrences captured by the source's top-100 tokens (integer ppm) —
+    the corpus-diagnostics complement of ``oov_rate`` (which probes a
+    corpus-GLOBAL vocabulary; this measures each source's own head
+    concentration, the empirical Zipf mass a stopword list would strip).
+
+    Shape: tokens count map-side into (source, token) cells; the top-100
+    pick is a rank-filtered window over per-source cells
+    (WindowGroupLimit pushes the limit into the sort), and the totals
+    come from the same cell relation — one explode pass, everything
+    after it aggregates cells, all integer arithmetic.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+    head = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 100)
+        .groupBy("source")
+        .agg(F.sum("c").alias("head_mass"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+    )
+    return totals.join(head, "source").select(
+        "source",
+        F.col("n_tokens").cast("bigint"),
+        F.col("distinct_tokens").cast("bigint"),
+        F.col("head_mass").cast("bigint"),
+        F.expr("(head_mass * 1000000) div n_tokens").alias("head_share_ppm"),
+    )
+
+
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per corpus source via the Simpson family:
+    Gini-Simpson diversity (1 − Σp², the probability two random token
+    draws differ) in integer ppm, and the participation ratio N²/Σc²
+    (\"effective vocabulary size\" — how many tokens the source behaves
+    as if it had, were they uniform). The log-free diversity pair: both
+    are RATIONAL in the token counts, so they verify bitwise across
+    engines — Shannon entropy's per-token log2 sits on cross-libm ulp
+    boundaries and is deliberately not summed here.
+
+    Exactness: Σc² accumulates exact bigints; the ppm is the two-step
+    integer division ``((Σc²·1000) div N · 1000) div N`` (identical
+    truncation on both engines, stays in int64 where a single-step
+    ``·10⁶`` could not); the participation ratio is ONE identically
+    written IEEE double expression on the final per-source row.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_src = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    return per_src.select(
+        "source",
+        F.col("n_tokens").cast("bigint"),
+        F.col("distinct_tokens").cast("bigint"),
+        F.expr(
+            "1000000 - ((sum_c2 * 1000) div n_tokens * 1000) div n_tokens"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "(cast(n_tokens as double) * cast(n_tokens as double))"
+            " / cast(sum_c2 as double)"
+        ).alias("effective_vocab"),
+    )
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text features (Weinberger et al. 2009): each token
+    hashes to one of 64 buckets with a ±1 sign from an independent hash
+    bit, and a document's feature vector is the signed count per bucket —
+    the fixed-width, vocabulary-free featurization used when a learner
+    needs stable dimensionality over an unbounded token stream. Output is
+    the sparse (doc, bucket, value) triple form for a deterministic
+    1-in-20 document slice (bounded value-level oracle).
+
+    Scale: everything before the final hash aggregate is map-side — the
+    slice filter pushes to the scan, tokens explode and hash per row
+    (md5 here for cross-engine verifiability; production swaps xxhash64,
+    same plan), and the (doc, bucket) aggregate is the only shuffle.
+    The 64-bucket width is a parameter, not a plan property.
+    """
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(tok), 1, 4), 16, 10) as bigint) % 64").alias(
+            "bucket"
+        ),
+        F.expr(
+            "1 - 2 * (cast(conv(substr(md5(tok), 5, 1), 16, 10) as bigint) % 2)"
+        ).alias("sign"),
+    )
+    return hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("sign").cast("bigint").alias("feature_value"),
+    )
+
+
+def q_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set class balancing: every embedding label class is
+    downsampled to the MINORITY class's size, deterministically (rank by
+    md5 of the row id within each class — the same rows survive on every
+    engine and run, unlike rand()-based undersampling). The standard
+    label-skew correction before training a classifier; output is the
+    per-class audit (original size, kept size, kept-row checksum).
+
+    Scale: one aggregate finds class sizes, the min broadcasts as a
+    1-row literal; the keep decision is a per-class rank window — the
+    honest per-class sort; for classes too large to window-sort,
+    ``operators/selection.py``'s distributed k-th selection on the hash
+    would find the rank-m threshold without a global sort (same contract
+    as the exact-median path).
+    """
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+    m = sizes.agg(F.min("n_total").alias("m"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    kept = (
+        emb.select("label", "vec_id", F.row_number().over(w).alias("__rn"))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("__rn") <= F.col("m"))
+    )
+    audit = kept.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("vec_id").cast("bigint").alias("kept_id_sum"),
+    )
+    return sizes.join(audit, "label").select(
+        "label",
+        F.col("n_total").cast("bigint"),
+        "n_kept",
+        "kept_id_sum",
+    )
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and daypart
+    (hour div 6): the categorical-association statistic behind every
+    \"is this feature correlated with that label\" screen. Output is one
+    row: dimensions, degrees of freedom, N, and the chi-square statistic
+    in integer micro-units.
+
+    Exactness: the contingency table is exact integer counts; marginals
+    come from windows over the BOUNDED cell table (|types|·4 rows); each
+    cell's term (o·N − rt·ct)² / (N·rt·ct) is one identically written
+    IEEE expression — pure +−*/ on integer-valued doubles, NO
+    transcendental functions, so it is bit-deterministic across engines —
+    floored to micro-units so the final sum is an order-independent
+    bigint sum, never a float accumulation.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"),
+        F.expr("hour(ts) div 6").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wn = Window.partitionBy()
+    terms = cells.select(
+        "x",
+        "y",
+        "obs",
+        F.sum("obs").over(wx).alias("rt"),
+        F.sum("obs").over(wy).alias("ct"),
+        F.sum("obs").over(wn).alias("tot"),
+    ).select(
+        "x",
+        "y",
+        F.expr(
+            "cast(floor((1000000.0 * ((cast(obs as double) * cast(tot as double)"
+            " - cast(rt as double) * cast(ct as double)) * (cast(obs as double)"
+            " * cast(tot as double) - cast(rt as double) * cast(ct as double))))"
+            " / (cast(tot as double) * cast(rt as double) * cast(ct as double)))"
+            " as bigint)"
+        ).alias("term_micro"),
+        "tot",
+    )
+    return terms.agg(
+        F.countDistinct("x").cast("int").alias("n_types"),
+        F.countDistinct("y").cast("int").alias("n_dayparts"),
+        (
+            (F.countDistinct("x") - 1) * (F.countDistinct("y") - 1)
+        ).cast("int").alias("dof"),
+        F.any_value("tot").cast("bigint").alias("n_events"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+    )
+
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU engagement stickiness per ISO week — the product-analytics
+    headline ratio (what fraction of a week's active users show up on an
+    average day). Integer ppm: Σ(daily actives) · 10⁶ div
+    (days observed · weekly actives). Week granularity because the events
+    table spans ~a month; the month/MAU variant is the same plan with a
+    coarser truncation.
+
+    Shape: one distinct on (week, day, user) feeds the daily counts
+    (map-side partial dedup), one distinct on (week, user) feeds WAU —
+    two hash aggregates joined on the tiny week key; no windows, no
+    per-user state.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.trunc(F.to_date("ts"), "week").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = (
+        ev.select("week", "day", "user_id")
+        .distinct()
+        .groupBy("week", "day")
+        .agg(F.count(F.lit(1)).alias("d_users"))
+    )
+    per_week = daily.groupBy("week").agg(
+        F.count(F.lit(1)).cast("int").alias("days_observed"),
+        F.sum("d_users").cast("bigint").alias("sum_dau"),
+    )
+    wau = (
+        ev.select("week", "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    return per_week.join(wau, "week").select(
+        "week",
+        "days_observed",
+        "wau",
+        "sum_dau",
+        F.expr("(sum_dau * 1000000) div (days_observed * wau)").alias(
+            "stickiness_ppm"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -4251,6 +4615,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_prune": q_semantic_prune,
     "mix_temperature": q_mix_temperature,
     "grouped_median": q_grouped_median,
+    # round-4 additions: CRM/product-analytics + ML-prep shapes
+    "rfm_segments": q_rfm_segments,
+    "zipf_head_share": q_zipf_head_share,
+    "token_diversity": q_token_diversity,
+    "feature_hashing": q_feature_hashing,
+    "class_rebalance": q_class_rebalance,
+    "chi_square": q_chi_square,
+    "dau_wau": q_dau_wau,
     # TPC-H-analog analytic pack (see tpch.py module docstring)
     **_TPCH_QUERIES,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
@@ -4381,12 +4753,13 @@ _DRIVER_PRIORITY = [
     "longest_streak",
     # new in round 4 (sketch twins with in-query error-bound proofs)
     "weighted_median_approx", "robust_zscore_approx", "profile_table_approx",
+    # new in round 4: CRM/product-analytics + ML-prep shapes
+    "rfm_segments", "zipf_head_share", "token_diversity",
+    "feature_hashing", "class_rebalance", "chi_square", "dau_wau",
     # regression backfill (all already driver-green in rounds 1-3)
     "gold_fact_lineitem", "pagerank_trade", "triangle_count",
     "dedup_minhash_lsh", "streaming_running_totals", "tpch_q1",
     "window_dedup", "order_totals", "gold_dim_customers",
-    "dedup_components", "ann_topk", "asof_join", "sessionize_batch",
-    "profile_table", "list_ranking", "bfs_reach",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -4739,12 +5112,15 @@ ORACLES: dict[str, str] = {
       WITH s AS (
         SELECT p_brand,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6)))
-                    AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6)))
-                    AS DOUBLE) AS sxx
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS BIGINT)
+                    AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) * 100
+                         AS BIGINT) AS DOUBLE) / 100.0 AS sy,
+               CAST(CAST(SUM(CAST(l_quantity * l_extendedprice
+                                  AS DECIMAL(30,6))) * 100 AS BIGINT)
+                    AS DOUBLE) / 100.0 AS sxy,
+               CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6)))
+                         AS BIGINT) AS DOUBLE) AS sxx
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
       )
@@ -5039,6 +5415,189 @@ ORACLES: dict[str, str] = {
       SELECT user_id, CAST(MAX(len) AS INT) AS longest_streak_days,
              CAST(SUM(len) AS BIGINT) AS n_active_days
       FROM streaks GROUP BY 1
+    """,
+    "rfm_segments": """
+      WITH cust AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               COUNT(*) AS freq,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS mon_cents
+        FROM orders GROUP BY 1
+      ),
+      g AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+      c2 AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', last_d, gmax) AS BIGINT) AS recency,
+               freq, mon_cents, mon_cents // 10000 AS m_bucket
+        FROM cust, g
+      ),
+      rd AS (SELECT recency AS v, COUNT(*) AS c FROM c2 GROUP BY 1),
+      rq AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+                       // SUM(c) OVER () AS raw FROM rd),
+      fd AS (SELECT freq AS v, COUNT(*) AS c FROM c2 GROUP BY 1),
+      fq AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+                       // SUM(c) OVER () AS raw FROM fd),
+      md AS (SELECT m_bucket AS v, COUNT(*) AS c FROM c2 GROUP BY 1),
+      mq AS (SELECT v, (COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5)
+                       // SUM(c) OVER () AS raw FROM md)
+      SELECT CAST(5 - rq.raw AS INT) AS r_score,
+             CAST(1 + fq.raw AS INT) AS f_score,
+             CAST(1 + mq.raw AS INT) AS m_score,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(c2.mon_cents) AS BIGINT) AS segment_cents
+      FROM c2 JOIN rq ON c2.recency = rq.v
+              JOIN fq ON c2.freq = fq.v
+              JOIN mq ON c2.m_bucket = mq.v
+      GROUP BY 1, 2, 3
+    """,
+    "zipf_head_share": r"""
+      WITH counts AS (
+        SELECT source, u.tok, COUNT(*) AS c
+        FROM (SELECT source,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+              FROM documents) d, unnest(arr) AS u(tok)
+        WHERE u.tok <> ''
+        GROUP BY 1, 2
+      ),
+      ranked AS (
+        SELECT source, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, tok) AS rn
+        FROM counts
+      ),
+      head AS (
+        SELECT source, SUM(c) AS head_mass FROM ranked
+        WHERE rn <= 100 GROUP BY 1
+      ),
+      totals AS (
+        SELECT source, SUM(c) AS n_tokens, COUNT(*) AS distinct_tokens
+        FROM counts GROUP BY 1
+      )
+      SELECT t.source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+             CAST(head_mass AS BIGINT) AS head_mass,
+             CAST((head_mass * 1000000) // n_tokens AS BIGINT)
+               AS head_share_ppm
+      FROM totals t JOIN head h ON t.source = h.source
+    """,
+    "token_diversity": r"""
+      WITH counts AS (
+        SELECT source, u.tok, COUNT(*) AS c
+        FROM (SELECT source,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+              FROM documents) d, unnest(arr) AS u(tok)
+        WHERE u.tok <> ''
+        GROUP BY 1, 2
+      ),
+      s AS (
+        SELECT source, SUM(c) AS n_tokens, COUNT(*) AS distinct_tokens,
+               SUM(c * c) AS sum_c2
+        FROM counts GROUP BY 1
+      )
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+             CAST(1000000 - ((sum_c2 * 1000) // n_tokens * 1000) // n_tokens
+                  AS BIGINT) AS simpson_ppm,
+             (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+               / CAST(sum_c2 AS DOUBLE) AS effective_vocab
+      FROM s
+    """,
+    "feature_hashing": r"""
+      WITH toks AS (
+        SELECT doc_id, u.tok
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+              FROM documents WHERE doc_id % 20 = 0) d, unnest(arr) AS u(tok)
+        WHERE u.tok <> ''
+      ),
+      h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS bucket,
+               1 - 2 * (('0x' || substr(md5(tok), 5, 1))::BIGINT % 2) AS sign
+        FROM toks
+      )
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(sign) AS BIGINT) AS feature_value
+      FROM h GROUP BY 1, 2
+    """,
+    "class_rebalance": """
+      WITH sizes AS (SELECT label, COUNT(*) AS n_total
+                     FROM embeddings GROUP BY 1),
+      m AS (SELECT MIN(n_total) AS m FROM sizes),
+      r AS (
+        SELECT label, vec_id,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS rn
+        FROM embeddings
+      ),
+      kept AS (
+        SELECT label, COUNT(*) AS n_kept, SUM(vec_id) AS kept_id_sum
+        FROM r, m WHERE rn <= m.m GROUP BY 1
+      )
+      SELECT s.label, CAST(n_total AS BIGINT) AS n_total,
+             CAST(n_kept AS BIGINT) AS n_kept,
+             CAST(kept_id_sum AS BIGINT) AS kept_id_sum
+      FROM sizes s JOIN kept k ON s.label = k.label
+    """,
+    "chi_square": """
+      WITH cells AS (
+        SELECT event_type AS x, CAST(hour(ts) AS BIGINT) // 6 AS y,
+               COUNT(*) AS obs
+        FROM events GROUP BY 1, 2
+      ),
+      marg AS (
+        SELECT x, y, obs,
+               SUM(obs) OVER (PARTITION BY x) AS rt,
+               SUM(obs) OVER (PARTITION BY y) AS ct,
+               SUM(obs) OVER () AS tot
+        FROM cells
+      ),
+      terms AS (
+        SELECT x, y, tot,
+               CAST(FLOOR((1000000.0 * ((CAST(obs AS DOUBLE)
+                   * CAST(tot AS DOUBLE) - CAST(rt AS DOUBLE)
+                   * CAST(ct AS DOUBLE)) * (CAST(obs AS DOUBLE)
+                   * CAST(tot AS DOUBLE) - CAST(rt AS DOUBLE)
+                   * CAST(ct AS DOUBLE))))
+                 / (CAST(tot AS DOUBLE) * CAST(rt AS DOUBLE)
+                   * CAST(ct AS DOUBLE))) AS BIGINT) AS term_micro
+        FROM marg
+      )
+      SELECT CAST(COUNT(DISTINCT x) AS INT) AS n_types,
+             CAST(COUNT(DISTINCT y) AS INT) AS n_dayparts,
+             CAST((COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS INT)
+               AS dof,
+             CAST(ANY_VALUE(tot) AS BIGINT) AS n_events,
+             CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+      FROM terms
+    """,
+    "dau_wau": """
+      WITH ev AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events
+      ),
+      daily AS (
+        SELECT week, day, COUNT(*) AS d_users
+        FROM (SELECT DISTINCT week, day, user_id FROM ev) GROUP BY 1, 2
+      ),
+      pw AS (
+        SELECT week, CAST(COUNT(*) AS INT) AS days_observed,
+               CAST(SUM(d_users) AS BIGINT) AS sum_dau
+        FROM daily GROUP BY 1
+      ),
+      wau AS (
+        SELECT week, CAST(COUNT(*) AS BIGINT) AS wau
+        FROM (SELECT DISTINCT week, user_id FROM ev) GROUP BY 1
+      )
+      SELECT pw.week, days_observed, wau.wau, sum_dau,
+             CAST((sum_dau * 1000000) // (days_observed * wau.wau) AS BIGINT)
+               AS stickiness_ppm
+      FROM pw JOIN wau ON pw.week = wau.week
     """,
     "weighted_median": """
       WITH j AS (

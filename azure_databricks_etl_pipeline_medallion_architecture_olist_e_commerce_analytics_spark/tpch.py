@@ -47,6 +47,23 @@ def _charge():
     return (_disc_price() * (F.lit(1) + _dec("l_tax", 4, 2))).cast("decimal(18,6)")
 
 
+def _dbl(c, scale: int):
+    """Exact DECIMAL→DOUBLE via int64 micro-units. A direct
+    CAST(decimal AS DOUBLE) diverges across engines once the value needs
+    more than ~15 significant digits (Spark rounds the full decimal
+    correctly; DuckDB divides the scaled integer — caught by the sf1
+    shuffle-stress sweep: tpch_q1's sum_charge differed in the last ulp at
+    5.1e10 with 6 decimals). int64→double is IEEE round-to-nearest-even in
+    BOTH engines, so routing through the exact scaled integer
+    (sum·10^s is integral by construction for a sum of scale-s decimals)
+    and one double division yields bit-identical doubles while the scaled
+    sum fits int64 (~9.2e12 even at scale 6 — far past the test SFs; the
+    mirrored SQL form is `CAST(CAST(x * 10^s AS BIGINT) AS DOUBLE) / 10^s.0`).
+    """
+    f = 10 ** scale
+    return (c * F.lit(f)).cast("bigint").cast("double") / F.lit(float(f))
+
+
 # SQL fragments mirroring the helpers above, byte-exact in DuckDB.
 _SQL_DISC_PRICE = (
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -82,12 +99,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         "sum_qty",
-        F.col("_sum_base").cast("double").alias("sum_base_price"),
-        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
-        F.col("_sum_charge").cast("double").alias("sum_charge"),
+        _dbl(F.col("_sum_base"), 2).alias("sum_base_price"),
+        _dbl(F.col("_sum_disc"), 4).alias("sum_disc_price"),
+        _dbl(F.col("_sum_charge"), 6).alias("sum_charge"),
         (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
-        (F.col("_sum_base").cast("double") / F.col("count_order")).alias("avg_price"),
-        (F.col("_sum_disc_only").cast("double") / F.col("count_order")).alias("avg_disc"),
+        (_dbl(F.col("_sum_base"), 2) / F.col("count_order")).alias("avg_price"),
+        (_dbl(F.col("_sum_disc_only"), 2) / F.col("count_order")).alias("avg_disc"),
         "count_order",
     )
 
@@ -95,12 +112,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TPCH_Q1_SQL = f"""
   SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-         CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+         CAST(CAST(SUM({_SQL_DISC_PRICE}) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_disc_price,
+         CAST(CAST(SUM({_SQL_CHARGE}) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_charge,
          SUM(l_quantity) / COUNT(*) AS avg_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-         CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
          COUNT(*) AS count_order
   FROM lineitem
   WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -130,7 +147,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(_dbl(F.sum(_disc_price()), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -138,7 +155,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q3_SQL = f"""
   SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-         CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+         CAST(CAST(SUM({_SQL_DISC_PRICE}) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -183,12 +200,12 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(_dbl(F.sum(_disc_price()), 4).alias("revenue"))
     )
 
 
 _TPCH_Q5_SQL = f"""
-  SELECT n_name, CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+  SELECT n_name, CAST(CAST(SUM({_SQL_DISC_PRICE}) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -216,16 +233,21 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum((_dec("l_extendedprice") * _dec("l_discount", 4, 2)).cast("decimal(18,4)"))
-        .cast("double")
-        .alias("revenue")
+        _dbl(
+            F.sum(
+                (_dec("l_extendedprice") * _dec("l_discount", 4, 2)).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            4,
+        ).alias("revenue")
     )
 
 
 _TPCH_Q6_SQL = """
-  SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+  SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                        * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4)))
-              AS DOUBLE) AS revenue
+              * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -269,13 +291,13 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, cust.c_nationkey == n2.c_nkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(_dbl(F.sum(_disc_price()), 4).alias("revenue"))
     )
 
 
 _TPCH_Q7_SQL = f"""
   SELECT supp_nation, cust_nation, l_year,
-         CAST(SUM(volume) AS DOUBLE) AS revenue
+         CAST(CAST(SUM(volume) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
   FROM (
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(year FROM l_shipdate) AS l_year,
@@ -342,15 +364,17 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return g.select(
         "o_year",
-        (F.col("_nat").cast("double") / F.col("_tot").cast("double")).alias("mkt_share"),
+        (_dbl(F.col("_nat"), 4) / _dbl(F.col("_tot"), 4)).alias("mkt_share"),
     )
 
 
 _TPCH_Q8_SQL = f"""
   SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-         CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_DISC_PRICE}
-                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-           / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS mkt_share
+         (CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_DISC_PRICE}
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT)
+            AS DOUBLE) / 10000.0)
+           / (CAST(CAST(SUM({_SQL_DISC_PRICE}) * 10000 AS BIGINT) AS DOUBLE)
+              / 10000.0) AS mkt_share
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN orders ON l_orderkey = o_orderkey
@@ -384,7 +408,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(_dbl(F.sum(_disc_price()), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -392,7 +416,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q10_SQL = f"""
   SELECT c_custkey, c_name, c_acctbal, n_name,
-         CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+         CAST(CAST(SUM({_SQL_DISC_PRICE}) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -426,16 +450,18 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         (
             F.lit(100.0)
-            * F.col("_promo").cast("double")
-            / F.col("_tot").cast("double")
+            * _dbl(F.col("_promo"), 4)
+            / _dbl(F.col("_tot"), 4)
         ).alias("promo_revenue_pct")
     )
 
 
 _TPCH_Q14_SQL = f"""
-  SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_DISC_PRICE}
-                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct
+  SELECT 100.0 * (CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_DISC_PRICE}
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT)
+                     AS DOUBLE) / 10000.0)
+             / (CAST(CAST(SUM({_SQL_DISC_PRICE}) * 10000 AS BIGINT) AS DOUBLE)
+                / 10000.0) AS promo_revenue_pct
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -453,7 +479,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_disc_price()).cast("double").alias("total_revenue")
+        _dbl(F.sum(_disc_price()), 4).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("_mx"))
     supp = load_table(spark, sf_dir, "supplier")
@@ -467,7 +493,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TPCH_Q15_SQL = f"""
   WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+           CAST(CAST(SUM({_SQL_DISC_PRICE}) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -498,7 +524,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
         .agg(
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            (_dbl(F.sum(_dec("l_extendedprice")), 2) / F.lit(7.0)).alias(
                 "avg_yearly"
             )
         )
@@ -506,7 +532,8 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TPCH_Q17_SQL = """
-  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+  SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+              AS DOUBLE) / 100.0 / 7.0
            AS avg_yearly
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
@@ -586,12 +613,12 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(_dbl(F.sum(_disc_price()), 4).alias("revenue"))
     )
 
 
 _TPCH_Q19_SQL = f"""
-  SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+  SELECT CAST(CAST(SUM({_SQL_DISC_PRICE}) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
          AND l_quantity BETWEEN 1 AND 11)
@@ -616,7 +643,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(
             (
-                F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+                _dbl(F.sum(_dec("c_acctbal")), 2) / F.count(F.lit(1))
             ).alias("_avg_bal")
         )
     )
@@ -628,17 +655,17 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+            _dbl(F.sum(_dec("c_acctbal")), 2).alias("totacctbal"),
         )
     )
 
 
 _TPCH_Q22_SQL = """
   SELECT c_mktsegment, COUNT(*) AS numcust,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
   FROM customer
   WHERE c_acctbal > (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*)
       FROM customer WHERE c_acctbal > 0.0
     )
     AND NOT EXISTS (SELECT 1 FROM orders
@@ -708,13 +735,13 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(_disc_price()).cast("double").alias("sum_profit"))
+        .agg(_dbl(F.sum(_disc_price()), 4).alias("sum_profit"))
     )
 
 
 _TPCH_Q9_SQL = f"""
   SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-         CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_profit
+         CAST(CAST(SUM({_SQL_DISC_PRICE}) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sum_profit
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey

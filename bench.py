@@ -121,6 +121,14 @@ HEADLINE = [
     "ratio_to_report",
     "longest_streak",
     "running_totals_window",
+    # round-4 CRM/product-analytics + ML-prep shapes
+    "rfm_segments",
+    "zipf_head_share",
+    "token_diversity",
+    "feature_hashing",
+    "class_rebalance",
+    "chi_square",
+    "dau_wau",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",
     "tpch_q3",

@@ -359,3 +359,44 @@ def test_profile_table_approx_hll_aggs_present(spark):
     plan = _formatted_plan(SPARK_QUERIES["profile_table_approx"](spark, SF_SMALL))
     assert "approx_count_distinct" in plan, plan[:500]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_head_uses_window_group_limit(spark):
+    """The per-source top-100 pick must compile to WindowGroupLimit so each
+    shuffle partition keeps at most 100 cells per source before the window
+    sort — without it, a source's full vocabulary materializes per task."""
+    plan = _formatted_plan(SPARK_QUERIES["zipf_head_share"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan[:500]
+
+
+def test_rfm_scores_join_back_by_broadcast(spark):
+    """RFM's three quintile score tables are bounded distribution tables
+    and must broadcast into the customer-side joins (a shuffled join would
+    re-shuffle the whole customer relation three times at 100 TB); no
+    nested-loop anywhere despite the scalar max-date crossJoin."""
+    plan = _formatted_plan(SPARK_QUERIES["rfm_segments"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:500]
+
+
+def test_feature_hashing_single_exchange(spark):
+    """Hashing-trick featurization is map-side until the one (doc, bucket)
+    hash aggregate: exactly one Exchange in the plan — tokenize, hash, and
+    sign all run inside the scan stage, and nothing falls to Python."""
+    plan = _formatted_plan(SPARK_QUERIES["feature_hashing"](spark, SF_SMALL))
+    # count numbered plan NODES (the formatted dump names each node twice:
+    # once in the tree, once in the detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chi_square_windows_over_bounded_cells_only(spark):
+    """The chi-square marginals are windows over the contingency CELL table
+    (|types|·|dayparts| rows), never over raw events: every Sort input must
+    be cell-shaped (x/y/obs), and the raw-event side contributes exactly
+    one hash-aggregate exchange."""
+    plan = _formatted_plan(SPARK_QUERIES["chi_square"](spark, SF_SMALL))
+    sorts = _sort_input_cols(plan)
+    cell_cols = {"x", "y", "obs", "rt", "ct", "tot"}
+    for s in sorts:
+        assert s <= cell_cols, f"Sort over non-cell columns {s - cell_cols}"

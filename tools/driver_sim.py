@@ -43,11 +43,16 @@ def main() -> int:
 
     cpus = os.environ.get("SPARK_GRAFT_SIM_CPUS", "8")
     shuffle = os.environ.get("SPARK_GRAFT_SIM_SHUFFLE", "8")
+    mem = os.environ.get("SPARK_GRAFT_SIM_MEM", "12g")  # raise for sf1 sweeps
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.driver.memory", mem)
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_SIM_MAXRESULT", "2g"),
+        )
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "12g")
         .appName("driver-sim")
         .getOrCreate()
     )
@@ -62,9 +67,12 @@ def main() -> int:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+        p = f"{sf}/{t}.parquet"
+        # driver testdata is a single file per table; the sf1 scale replica
+        # is a Spark-written DIRECTORY of part files — glob for DuckDB
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     queries = e.queries()
     oracles = e.oracle_sql()
@@ -80,7 +88,31 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf).toPandas()
+            try:
+                sdf = fn(spark, sf).toPandas()
+            except Exception as big:
+                # high-SF sweeps: a full-width result (e.g. the 6M-row fact
+                # table at sf1) can exceed spark.driver.maxResultSize — the
+                # value-level compare for those ran at sf0.01; at this SF
+                # fall back to a row-count + oracle-count check rather than
+                # collecting gigabytes into pandas
+                if "maxResultSize" not in str(big) or name not in oracles:
+                    raise
+                n_s = fn(spark, sf).count()
+                n_d = con.execute(
+                    f"SELECT COUNT(*) FROM ({oracles[name]})"
+                ).fetchone()[0]
+                if n_s == n_d:
+                    print(
+                        f"ok   {name} (count-only at this SF: {n_s} rows, "
+                        f"{time.time()-t0:.1f}s)",
+                        flush=True,
+                    )
+                else:
+                    failures.append((name, [f"count {n_s} != oracle {n_d}"]))
+                    print(f"FAIL {name}: count {n_s} != {n_d}", flush=True)
+                release_cached_state(spark)
+                continue
             if name in oracles:
                 ddf = con.execute(oracles[name]).fetchdf()
                 probs = compare_frames(sdf, ddf, name)

@@ -181,12 +181,15 @@ ANNOTATIONS = {
         "one row per input partition before the exchange."
     ),
     "pagerank_trade": (
-        "Integer PageRank, 5 power iterations. The final plan reads the "
-        "last localCheckpoint — the per-iteration shape (one equi-join of "
-        "ranks against the degree-annotated checkpointed edge list + one "
-        "map-side-combined hash aggregate on dst, the Pregel "
-        "message-combine pattern) is measured in the hub probe: 100x hub "
-        "in-degree moves wall-time 6.9s -> 7.5s."
+        "Integer PageRank, 5 power iterations over the MESSAGE vector "
+        "(rank is re-derived by expression, so the rank vector never "
+        "materializes mid-loop). Checkpoint scans carry no stats, so the "
+        "per-round joins carry explicit broadcast hints gated on the "
+        "driver-known node count (under 2M nodes: map-only rounds, one "
+        "linear query, no per-round job barrier; over: SMJ + per-round "
+        "checkpoint — a 100 TB message vector must never broadcast). "
+        "Pregel message-combine shape; hub probe: 100x hub in-degree "
+        "moves wall-time 6.9s -> 7.5s."
     ),
     "triangle_count": (
         "Degree-oriented triangle counting: two hash joins (wedge build "
@@ -200,7 +203,9 @@ ANNOTATIONS = {
         "Wyllie pointer jumping: ceil(log2 depth) rounds, each ONE hash "
         "self-join on the node id over a localCheckpoint-ed frame — round "
         "count independent of chain shape, the degenerate-depth fallback "
-        "for the K-step recursive CTE."
+        "for the K-step recursive CTE. The jump table broadcasts under "
+        "the node-count gate (stats-less checkpoint scans would otherwise "
+        "SMJ both sides every round); over the gate the SMJ path stands."
     ),
     "copurchase_lift": (
         "A-priori 2-itemset pass: per-order pair expansion bounded by "

@@ -106,6 +106,14 @@ PROBE = [
     "mode_per_group",
     "ratio_to_report",
     "longest_streak",
+    # round-4 CRM/product-analytics + ML-prep shapes
+    "rfm_segments",
+    "zipf_head_share",
+    "token_diversity",
+    "feature_hashing",
+    "class_rebalance",
+    "chi_square",
+    "dau_wau",
 ]
 
 
