@@ -4538,6 +4538,507 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of customer nation by order value
+    (the category→number featurization used when a tree/linear model
+    can't take high-cardinality categoricals raw): enc = (Σ_target +
+    m·global_mean) / (n + m) with prior weight m=20, so rare nations
+    shrink toward the global mean instead of memorizing noise.
+
+    Cross-engine exactness: targets accumulate as exact integer cents
+    (decimal×100→bigint per row, bigint hash-agg sums — a double sum
+    never exists); the global aggregate re-aggregates the 25-row
+    per-nation table rather than rescanning orders; the final smoothed
+    mean runs in DOUBLE with every int64 cast explicit and the
+    expression written identically on both sides (int64→double is
+    round-to-nearest-even in both engines), output floored to exact
+    micro-dollar units.
+
+    Scale: one orders⋈customer hash join (fact-sized), one hash agg to
+    25 nation rows; the global totals are WINDOW sums over that bounded
+    25-row table (not a crossJoin to a re-aggregated copy, which would
+    recompute the fact subtree — a second full pass the plan guard
+    forbids); nation names broadcast-join.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_nationkey",
+            F.expr(
+                "cast(cast(o_totalprice as decimal(20,6)) * 100 as bigint)"
+            ).alias("cents"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    wall = Window.partitionBy()
+    with_glob = per_nation.select(
+        "c_nationkey",
+        "n_orders",
+        "sum_cents",
+        F.sum("n_orders").over(wall).cast("bigint").alias("g_n"),
+        F.sum("sum_cents").over(wall).cast("bigint").alias("g_sum"),
+    )
+    enc = F.expr(
+        "cast(floor((cast(sum_cents as double) * cast(g_n as double)"
+        " + 20.0 * cast(g_sum as double)) * 10000.0"
+        " / ((cast(n_orders as double) + 20.0) * cast(g_n as double)))"
+        " as bigint)"
+    )
+    return with_glob.join(
+        F.broadcast(nation),
+        with_glob["c_nationkey"] == nation["n_nationkey"],
+    ).select(
+        "n_name",
+        "n_orders",
+        "sum_cents",
+        enc.alias("enc_micro"),
+    )
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of lineitem's numeric columns
+    (quantity, price-hundreds, discount-pts, tax-pts) from one-pass
+    sufficient statistics — the feature-redundancy screen run before
+    model training, as a single aggregate instead of C(4,2) CORR calls
+    (Spark's corr() is also one pass per pair; this is one pass TOTAL).
+
+    Cross-engine exactness: every column is first mapped to a SMALL
+    exact integer unit (quantity is integral; price floors to hundreds
+    so its square-sum stays far inside 2^53 even at sf1000; discount/tax
+    decimal-scale to points) — correlation is invariant to linear
+    rescaling, so the ppm output is the true corr of the unit-mapped
+    ints. All 15 sufficient stats are exact int64 hash-agg sums; the
+    corr arithmetic runs in DOUBLE with identical expression text on
+    both sides, floored to ppm. Zero-variance pairs NULL explicitly
+    (Spark's non-ANSI x/0 yields NULL, DuckDB ±inf — divergent).
+
+    Scale: ONE map-side-combined aggregate to a single row (15 sums),
+    then a driver-free stack() to the 6 pair rows. No shuffle beyond
+    the one 1-row agg; adding columns adds sums, not passes.
+    """
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(l_quantity as bigint)").alias("q"),
+        F.expr("cast(floor(l_extendedprice / 100.0) as bigint)").alias("p"),
+        F.expr("cast(cast(l_discount as decimal(20,6)) * 100 as bigint)").alias(
+            "d"
+        ),
+        F.expr("cast(cast(l_tax as decimal(20,6)) * 100 as bigint)").alias("t"),
+    )
+    sums = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum("t").alias("st"),
+        F.sum(F.expr("q * q")).alias("sqq"),
+        F.sum(F.expr("p * p")).alias("spp"),
+        F.sum(F.expr("d * d")).alias("sdd"),
+        F.sum(F.expr("t * t")).alias("stt"),
+        F.sum(F.expr("q * p")).alias("sqp"),
+        F.sum(F.expr("q * d")).alias("sqd"),
+        F.sum(F.expr("q * t")).alias("sqt"),
+        F.sum(F.expr("p * d")).alias("spd"),
+        F.sum(F.expr("p * t")).alias("spt"),
+        F.sum(F.expr("d * t")).alias("sdt"),
+    )
+    pairs = sums.select(
+        "n",
+        F.expr(
+            "stack(6,"
+            " 'quantity|price_h', sq, sp, sqq, spp, sqp,"
+            " 'quantity|discount', sq, sd, sqq, sdd, sqd,"
+            " 'quantity|tax', sq, st, sqq, stt, sqt,"
+            " 'price_h|discount', sp, sd, spp, sdd, spd,"
+            " 'price_h|tax', sp, st, spp, stt, spt,"
+            " 'discount|tax', sd, st, sdd, stt, sdt"
+            ") as (pair, sx, sy, sxx, syy, sxy)"
+        ),
+    )
+    return pairs.select(
+        "pair",
+        F.col("n").alias("n_rows"),
+        F.col("sx").cast("bigint").alias("sx"),
+        F.col("sy").cast("bigint").alias("sy"),
+        F.col("sxy").cast("bigint").alias("sxy"),
+        F.expr(
+            "case when (cast(n as double) * cast(sxx as double)"
+            " - cast(sx as double) * cast(sx as double)) > 0"
+            " and (cast(n as double) * cast(syy as double)"
+            " - cast(sy as double) * cast(sy as double)) > 0"
+            " then cast(floor(1000000.0 * (cast(n as double) * cast(sxy as double)"
+            " - cast(sx as double) * cast(sy as double))"
+            " / (sqrt(cast(n as double) * cast(sxx as double)"
+            " - cast(sx as double) * cast(sx as double))"
+            " * sqrt(cast(n as double) * cast(syy as double)"
+            " - cast(sy as double) * cast(sy as double)))) as bigint)"
+            " end"
+        ).alias("corr_ppm"),
+    )
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per return
+    flag — the classic time-series smoother, made distributable by
+    truncating the tail: α=1/2 gives INTEGER weights 128,64,…,1 over the
+    8 most recent observed days, so the smoothed value is exact integer
+    arithmetic end-to-end (Σwᵢ·centsᵢ · 10⁴ div Σwᵢ, micro-dollars) —
+    no float accumulation, no recursive dependence.
+
+    The recursion y_t = αx_t + (1−α)y_{t−1} is inherently sequential;
+    the 8-tap truncation bounds the error by (1−α)⁸ < 0.4% of total
+    weight while turning it into a fixed window — the standard trick for
+    running EWMA in a shuffle-parallel engine. Warm-up rows renormalize
+    over the weights actually present instead of emitting biased nulls.
+
+    Scale: the fact table collapses via ONE map-side-combined hash agg
+    to (flag, day) rows — bounded by flags × calendar, independent of
+    row count — and the 8-lag window runs over that bounded table.
+    """
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.to_date("l_shipdate").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("cast(cast(l_extendedprice as decimal(20,6)) * 100 as bigint)")
+        )
+        .cast("bigint")
+        .alias("day_cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("day")
+    weights = [128, 64, 32, 16, 8, 4, 2, 1]
+    lagged = daily.select(
+        "l_returnflag",
+        "day",
+        "day_cents",
+        *[
+            F.lag("day_cents", k).over(w).alias(f"c{k}")
+            for k in range(1, 8)
+        ],
+    )
+    return lagged.select(
+        "l_returnflag",
+        "day",
+        "day_cents",
+        F.expr(
+            "( (128 * day_cents + "
+            + " + ".join(
+                f"{weights[k]} * coalesce(c{k}, 0)" for k in range(1, 8)
+            )
+            + ") * 10000 ) div (128 + "
+            + " + ".join(
+                f"case when c{k} is not null then {weights[k]} else 0 end"
+                for k in range(1, 8)
+            )
+            + ")"
+        )
+        .cast("bigint")
+        .alias("ewma_micro"),
+    )
+
+
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law, per order priority — the classic fraud/data-quality screen
+    (fabricated numbers flunk it). Output: one row per (priority, digit)
+    with observed count, observed ppm, expected Benford ppm, and the
+    absolute deviation.
+
+    Cross-engine exactness: the leading digit comes from the DECIMAL
+    cents' integer string (integer→string is exact; no float formatting,
+    no log10 — libm log10 at a power-of-ten boundary is exactly the
+    cross-libm risk the hardcoded expected table removes: the nine
+    constants are floor(log10(1+1/d)·10⁶) computed offline). All ratios
+    are integer div in ppm.
+
+    Scale: one map-side-combined hash agg to ≤ |priorities|·9 = 45
+    cells; the priority marginal is a window over that bounded cell
+    table; the expected table is a 9-arm CASE, not a join.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            "o_orderpriority",
+            F.expr(
+                "cast(substr(cast(cast(cast(o_totalprice as decimal(20,6))"
+                " * 100 as bigint) as string), 1, 1) as int)"
+            ).alias("digit"),
+        )
+        .groupBy("o_orderpriority", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    exp_case = (
+        "case digit when 1 then 301029 when 2 then 176091 when 3 then 124938"
+        " when 4 then 96910 when 5 then 79181 when 6 then 66946"
+        " when 7 then 57991 when 8 then 51152 when 9 then 45757 end"
+    )
+    return cells.select(
+        "o_orderpriority",
+        "digit",
+        "n_orders",
+        F.expr(
+            "cast((n_orders * 1000000) as bigint)"
+        ).alias("__num"),
+        F.sum("n_orders").over(wp).alias("__tot"),
+    ).select(
+        "o_orderpriority",
+        "digit",
+        "n_orders",
+        F.expr("__num div __tot").cast("bigint").alias("obs_ppm"),
+        F.expr(f"cast({exp_case} as bigint)").alias("exp_ppm"),
+        F.expr(
+            f"cast(abs(__num div __tot - ({exp_case})) as bigint)"
+        ).alias("dev_ppm"),
+    )
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split plus cumulative registered
+    users — the growth-accounting decomposition (every DAU is either
+    first-seen today or a comeback) that turns a raw DAU line into an
+    acquisition-vs-retention story.
+
+    Shape: first-seen day per user is ONE hash agg (min over the user
+    key — map-side combined); daily actives is one distinct-count agg;
+    both collapse to day-level rows bounded by the CALENDAR (grows with
+    time, not data volume), so the cumulative window runs over a bounded
+    table. new + returning = dau by construction; cum_users is the
+    running sum of first-seens — exact integers throughout.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    dau = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    wcum = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dau.join(new_users, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+        )
+        .select(
+            "day",
+            "dau",
+            "new_users",
+            (F.col("dau") - F.col("new_users")).cast("bigint").alias(
+                "returning_users"
+            ),
+            F.sum("new_users").over(wcum).cast("bigint").alias("cum_users"),
+        )
+    )
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity intervals (each event opens a
+    30-minute window; touching windows coalesce) — the interval-union
+    primitive behind session stitching, on-call coverage, and machine
+    uptime math. Output per sampled user: merged-interval count, total
+    covered seconds, longest merged interval.
+
+    The sweep is the gaps-and-islands max-end trick: an interval starts
+    a new island iff its start exceeds the running max of all previous
+    ends (window max over rows 1-preceding), and the island id is the
+    running sum of those starts — one window pass, no self-join (the
+    naive overlap self-join is quadratic per user).
+
+    Cross-engine exactness: epoch seconds via integer microsecond
+    division (Spark's timestamp→long floor == DuckDB's epoch_us//10⁶ —
+    NOT float EPOCH(), whose fractional rounding can cross a second
+    boundary); all durations are exact int64.
+
+    Scale: the window partitions per user (embarrassingly parallel);
+    the 1-in-5 user slice pushes to the scan and bounds the oracle.
+    """
+    tune_session(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("s"),
+            (F.col("ts").cast("long") + 1800).alias("e"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = marked.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "island"
+        ),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ivl_start"), F.max("e").alias("ivl_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.col("ivl_end") - F.col("ivl_start"))
+        .cast("bigint")
+        .alias("covered_seconds"),
+        F.max(F.col("ivl_end") - F.col("ivl_start"))
+        .cast("bigint")
+        .alias("max_interval_seconds"),
+    )
+
+
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test with deterministic user-level
+    randomization: users hash into arms by an md5 bit (the same user is
+    always in the same arm — the unit-of-randomization rule), the metric
+    is purchase share of events per arm, and the output is one row with
+    exact arm counts and the pooled z-statistic in micro-units.
+
+    Cross-engine exactness: arm assignment and all counts are exact
+    integers from one conditional aggregate; the z arithmetic
+    (p̂=(xa+xb)/(na+nb), z=(pa−pb)/√(p̂(1−p̂)(1/na+1/nb))) runs in DOUBLE
+    with identical expression text on both sides — int64→double casts
+    are exact below 2^53, and +−*/√ are all correctly rounded IEEE ops,
+    so the floored micro value matches bit-for-bit. Degenerate pools
+    (all or no successes) NULL explicitly.
+
+    Scale: arm is computed per row from the user id (no assignment
+    join), so the whole test is ONE map-side-combined aggregate to a
+    single row — the cheapest possible plan shape.
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "cast(conv(substr(md5(cast(user_id as string)), 1, 1), 16, 10)"
+            " as bigint) % 2"
+        ).alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    agg = ev.agg(
+        F.sum(F.expr("case when arm = 0 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.expr("case when arm = 0 then is_purchase else 0 end"))
+        .cast("bigint")
+        .alias("xa"),
+        F.sum(F.expr("case when arm = 1 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.expr("case when arm = 1 then is_purchase else 0 end"))
+        .cast("bigint")
+        .alias("xb"),
+    )
+    return agg.select(
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        F.expr("(xa * 1000000) div na").cast("bigint").alias("pa_ppm"),
+        F.expr("(xb * 1000000) div nb").cast("bigint").alias("pb_ppm"),
+        F.expr(
+            "case when xa + xb > 0 and xa + xb < na + nb then"
+            " cast(floor(1000000.0 *"
+            " (cast(xa as double) / cast(na as double)"
+            " - cast(xb as double) / cast(nb as double))"
+            " / sqrt((cast(xa + xb as double) / cast(na + nb as double))"
+            " * (1.0 - cast(xa + xb as double) / cast(na + nb as double))"
+            " * (1.0 / cast(na as double) + 1.0 / cast(nb as double))))"
+            " as bigint) end"
+        ).alias("z_micro"),
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier↔customer trade graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over the
+    directed edge list — positive means hubs link to hubs, negative
+    (typical for bipartite commerce graphs) means hubs serve the
+    periphery. The one-number structural summary a graph pipeline
+    computes BEFORE deciding whether degree-skew mitigations (hub
+    salting, degree orientation) are needed.
+
+    Cross-engine exactness: degrees and all six sufficient statistics
+    are exact int64 hash-agg sums over the symmetric edge list (each
+    undirected edge contributes both directions — the standard
+    undirected convention); the correlation arithmetic runs in DOUBLE
+    with identical expression text on both sides, floored to ppm;
+    zero-variance (regular) graphs NULL explicitly. int64 headroom:
+    Σdeg² per edge ≤ E·d_max² — fine through millions of edges with
+    10⁵-degree hubs; past that the same stats run in DECIMAL(38,0).
+
+    Scale: reuses `_trade_edges` (one fact join + distinct, directed
+    half checkpointed); degree is one hash agg; the two deg lookups are
+    equi-joins on the node key (broadcast when the node table is small,
+    shuffle-hash at scale — AQE's call); final stats are one
+    map-side-combined agg to a single row. No windows, no iteration.
+    """
+    tune_session(spark)
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    ds = deg.select(F.col("src").alias("node"), F.col("deg").alias("dj"))
+    dd = deg.select(F.col("src").alias("node"), F.col("deg").alias("dk"))
+    # shuffle-hash: the deg side builds a hash table per partition — no
+    # sort of the E-sized edge list (SMJ would sort both sides twice)
+    j = (
+        edges.join(ds.hint("shuffle_hash"), edges["src"] == ds["node"])
+        .drop("node")
+        .join(dd.hint("shuffle_hash"), edges["dst"] == dd["node"])
+        .select("dj", "dk")
+    )
+    stats = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dj").cast("bigint").alias("sj"),
+        F.sum("dk").cast("bigint").alias("sk"),
+        F.sum(F.expr("dj * dk")).cast("bigint").alias("sjk"),
+        F.sum(F.expr("dj * dj")).cast("bigint").alias("sjj"),
+        F.sum(F.expr("dk * dk")).cast("bigint").alias("skk"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return stats.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("m").alias("n_directed_edges"),
+        "n_nodes",
+        F.expr(
+            "case when (cast(m as double) * cast(sjj as double)"
+            " - cast(sj as double) * cast(sj as double)) > 0"
+            " and (cast(m as double) * cast(skk as double)"
+            " - cast(sk as double) * cast(sk as double)) > 0"
+            " then cast(floor(1000000.0 * (cast(m as double) * cast(sjk as double)"
+            " - cast(sj as double) * cast(sk as double))"
+            " / (sqrt(cast(m as double) * cast(sjj as double)"
+            " - cast(sj as double) * cast(sj as double))"
+            " * sqrt(cast(m as double) * cast(skk as double)"
+            " - cast(sk as double) * cast(sk as double)))) as bigint)"
+            " end"
+        ).alias("assortativity_ppm"),
+    )
+
 
 # --------------------------------------------------------------------------
 # Catalog
@@ -4623,6 +5124,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "class_rebalance": q_class_rebalance,
     "chi_square": q_chi_square,
     "dau_wau": q_dau_wau,
+    "target_encoding": q_target_encoding,
+    "correlation_matrix": q_correlation_matrix,
+    "ewma_smooth": q_ewma_smooth,
+    "benford_deviation": q_benford_deviation,
+    "new_vs_returning": q_new_vs_returning,
+    "interval_merge": q_interval_merge,
+    "ab_test_zscore": q_ab_test_zscore,
+    "degree_assortativity": q_degree_assortativity,
     # TPC-H-analog analytic pack (see tpch.py module docstring)
     **_TPCH_QUERIES,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
@@ -4756,6 +5265,9 @@ _DRIVER_PRIORITY = [
     # new in round 4: CRM/product-analytics + ML-prep shapes
     "rfm_segments", "zipf_head_share", "token_diversity",
     "feature_hashing", "class_rebalance", "chi_square", "dau_wau",
+    "target_encoding", "correlation_matrix", "ewma_smooth",
+    "benford_deviation", "new_vs_returning", "interval_merge",
+    "ab_test_zscore", "degree_assortativity",
     # regression backfill (all already driver-green in rounds 1-3)
     "gold_fact_lineitem", "pagerank_trade", "triangle_count",
     "dedup_minhash_lsh", "streaming_running_totals", "tpch_q1",
@@ -5598,6 +6110,267 @@ ORACLES: dict[str, str] = {
              CAST((sum_dau * 1000000) // (days_observed * wau.wau) AS BIGINT)
                AS stickiness_ppm
       FROM pw JOIN wau ON pw.week = wau.week
+    """,
+    "target_encoding": """
+      WITH per_nation AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                             AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+      ),
+      gtot AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS g_n,
+               CAST(SUM(sum_cents) AS BIGINT) AS g_sum
+        FROM per_nation
+      )
+      SELECT n_name, n_orders, sum_cents,
+             CAST(FLOOR((CAST(sum_cents AS DOUBLE) * CAST(g_n AS DOUBLE)
+                         + 20.0 * CAST(g_sum AS DOUBLE)) * 10000.0
+                        / ((CAST(n_orders AS DOUBLE) + 20.0)
+                           * CAST(g_n AS DOUBLE))) AS BIGINT) AS enc_micro
+      FROM per_nation
+      JOIN nation ON c_nationkey = n_nationkey
+      CROSS JOIN gtot
+    """,
+    "correlation_matrix": """
+      WITH u AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS p,
+               CAST(CAST(l_discount AS DECIMAL(20,6)) * 100 AS BIGINT) AS d,
+               CAST(CAST(l_tax AS DECIMAL(20,6)) * 100 AS BIGINT) AS t
+        FROM lineitem
+      ),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+               CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(t) AS BIGINT) AS st,
+               CAST(SUM(q*q) AS BIGINT) AS sqq, CAST(SUM(p*p) AS BIGINT) AS spp,
+               CAST(SUM(d*d) AS BIGINT) AS sdd, CAST(SUM(t*t) AS BIGINT) AS stt,
+               CAST(SUM(q*p) AS BIGINT) AS sqp, CAST(SUM(q*d) AS BIGINT) AS sqd,
+               CAST(SUM(q*t) AS BIGINT) AS sqt, CAST(SUM(p*d) AS BIGINT) AS spd,
+               CAST(SUM(p*t) AS BIGINT) AS spt, CAST(SUM(d*t) AS BIGINT) AS sdt
+        FROM u
+      ),
+      pairs AS (
+        SELECT n, 'quantity|price_h' AS pair, sq AS sx, sp AS sy,
+               sqq AS sxx, spp AS syy, sqp AS sxy FROM s
+        UNION ALL SELECT n, 'quantity|discount', sq, sd, sqq, sdd, sqd FROM s
+        UNION ALL SELECT n, 'quantity|tax', sq, st, sqq, stt, sqt FROM s
+        UNION ALL SELECT n, 'price_h|discount', sp, sd, spp, sdd, spd FROM s
+        UNION ALL SELECT n, 'price_h|tax', sp, st, spp, stt, spt FROM s
+        UNION ALL SELECT n, 'discount|tax', sd, st, sdd, stt, sdt FROM s
+      )
+      SELECT pair, n AS n_rows, sx, sy, sxy,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                  THEN CAST(FLOOR(1000000.0
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                       AS BIGINT)
+             END AS corr_ppm
+      FROM pairs
+    """,
+    "ewma_smooth": """
+      WITH daily AS (
+        SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 100
+                             AS BIGINT)) AS BIGINT) AS day_cents
+        FROM lineitem GROUP BY 1, 2
+      ),
+      lagged AS (
+        SELECT l_returnflag, day, day_cents,
+               lag(day_cents, 1) OVER w AS c1, lag(day_cents, 2) OVER w AS c2,
+               lag(day_cents, 3) OVER w AS c3, lag(day_cents, 4) OVER w AS c4,
+               lag(day_cents, 5) OVER w AS c5, lag(day_cents, 6) OVER w AS c6,
+               lag(day_cents, 7) OVER w AS c7
+        FROM daily
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY day)
+      )
+      SELECT l_returnflag, day, day_cents,
+             CAST(((128 * day_cents + 64 * COALESCE(c1, 0)
+                    + 32 * COALESCE(c2, 0) + 16 * COALESCE(c3, 0)
+                    + 8 * COALESCE(c4, 0) + 4 * COALESCE(c5, 0)
+                    + 2 * COALESCE(c6, 0) + 1 * COALESCE(c7, 0)) * 10000)
+                  // (128 + CASE WHEN c1 IS NOT NULL THEN 64 ELSE 0 END
+                      + CASE WHEN c2 IS NOT NULL THEN 32 ELSE 0 END
+                      + CASE WHEN c3 IS NOT NULL THEN 16 ELSE 0 END
+                      + CASE WHEN c4 IS NOT NULL THEN 8 ELSE 0 END
+                      + CASE WHEN c5 IS NOT NULL THEN 4 ELSE 0 END
+                      + CASE WHEN c6 IS NOT NULL THEN 2 ELSE 0 END
+                      + CASE WHEN c7 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ewma_micro
+      FROM lagged
+    """,
+    "benford_deviation": """
+      WITH cells AS (
+        SELECT o_orderpriority,
+               CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                                     AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                 AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+      ),
+      t AS (
+        SELECT o_orderpriority, digit, n_orders,
+               n_orders * 1000000 AS num,
+               SUM(n_orders) OVER (PARTITION BY o_orderpriority) AS tot,
+               CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+                          WHEN 3 THEN 124938 WHEN 4 THEN 96910
+                          WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                          WHEN 7 THEN 57991 WHEN 8 THEN 51152
+                          WHEN 9 THEN 45757 END AS e_ppm
+        FROM cells
+      )
+      SELECT o_orderpriority, digit, n_orders,
+             CAST(num // tot AS BIGINT) AS obs_ppm,
+             CAST(e_ppm AS BIGINT) AS exp_ppm,
+             CAST(abs(num // tot - e_ppm) AS BIGINT) AS dev_ppm
+      FROM t
+    """,
+    "new_vs_returning": """
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, user_id FROM events
+      ),
+      dau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ev GROUP BY 1
+      ),
+      fs AS (
+        SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1
+      ),
+      nu AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY 1
+      )
+      SELECT dau.day, dau.dau,
+             CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+             CAST(dau.dau - COALESCE(nu.new_users, 0) AS BIGINT)
+               AS returning_users,
+             CAST(SUM(COALESCE(nu.new_users, 0))
+                  OVER (ORDER BY dau.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_users
+      FROM dau LEFT JOIN nu ON dau.day = nu.day
+    """,
+    "interval_merge": """
+      WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000 AS s,
+               epoch_us(ts) // 1000000 + 1800 AS e
+        FROM events WHERE user_id % 5 = 0
+      ),
+      marked AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) IS NULL
+                      OR s > MAX(e) OVER (PARTITION BY user_id
+                                          ORDER BY s, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+      ),
+      islands AS (
+        SELECT user_id, s, e,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+        FROM marked
+      ),
+      merged AS (
+        SELECT user_id, island, MIN(s) AS ivl_start, MAX(e) AS ivl_end
+        FROM islands GROUP BY 1, 2
+      )
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(ivl_end - ivl_start) AS BIGINT) AS covered_seconds,
+             CAST(MAX(ivl_end - ivl_start) AS BIGINT) AS max_interval_seconds
+      FROM merged GROUP BY 1
+    """,
+    "ab_test_zscore": """
+      WITH ev AS (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 1))::BIGINT
+                 % 2 AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS is_purchase
+        FROM events
+      ),
+      agg AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN arm = 0 THEN is_purchase ELSE 0 END)
+                    AS BIGINT) AS xa,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN arm = 1 THEN is_purchase ELSE 0 END)
+                    AS BIGINT) AS xb
+        FROM ev
+      )
+      SELECT na, xa, nb, xb,
+             CAST((xa * 1000000) // na AS BIGINT) AS pa_ppm,
+             CAST((xb * 1000000) // nb AS BIGINT) AS pb_ppm,
+             CASE WHEN xa + xb > 0 AND xa + xb < na + nb THEN
+               CAST(FLOOR(1000000.0 *
+                 (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / SQRT((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (1.0 - CAST(xa + xb AS DOUBLE)
+                                 / CAST(na + nb AS DOUBLE))
+                        * (1.0 / CAST(na AS DOUBLE)
+                           + 1.0 / CAST(nb AS DOUBLE))))
+                 AS BIGINT)
+             END AS z_micro
+      FROM agg
+    """,
+    "degree_assortativity": """
+      WITH pairs AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS src,
+                        CAST(o_custkey AS BIGINT) * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ),
+      edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL SELECT dst AS src, src AS dst FROM pairs
+      ),
+      deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1
+      ),
+      j AS (
+        SELECT ds.deg AS dj, dd.deg AS dk
+        FROM edges e
+        JOIN deg ds ON e.src = ds.node
+        JOIN deg dd ON e.dst = dd.node
+      ),
+      s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(dj) AS BIGINT) AS sj, CAST(SUM(dk) AS BIGINT) AS sk,
+               CAST(SUM(dj*dk) AS BIGINT) AS sjk,
+               CAST(SUM(dj*dj) AS BIGINT) AS sjj,
+               CAST(SUM(dk*dk) AS BIGINT) AS skk
+        FROM j
+      ),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+      SELECT m AS n_directed_edges, n_nodes,
+             CASE WHEN (CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)) > 0
+                   AND (CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+                        - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) > 0
+                  THEN CAST(FLOOR(1000000.0
+                       * (CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                          - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+                       / (SQRT(CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                               - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                          * SQRT(CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+                                 - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))))
+                       AS BIGINT)
+             END AS assortativity_ppm
+      FROM s, nn
     """,
     "weighted_median": """
       WITH j AS (

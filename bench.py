@@ -129,6 +129,14 @@ HEADLINE = [
     "class_rebalance",
     "chi_square",
     "dau_wau",
+    "target_encoding",
+    "correlation_matrix",
+    "ewma_smooth",
+    "benford_deviation",
+    "new_vs_returning",
+    "interval_merge",
+    "ab_test_zscore",
+    "degree_assortativity",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",
     "tpch_q3",

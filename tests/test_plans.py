@@ -400,3 +400,64 @@ def test_chi_square_windows_over_bounded_cells_only(spark):
     cell_cols = {"x", "y", "obs", "rt", "ct", "tot"}
     for s in sorts:
         assert s <= cell_cols, f"Sort over non-cell columns {s - cell_cols}"
+
+
+def test_correlation_matrix_one_pass_one_exchange(spark):
+    """All 15 sufficient statistics come from ONE aggregate over ONE scan:
+    exactly one Exchange, one parquet scan, zero Sorts, nothing in Python —
+    the matrix costs a single table pass regardless of column count."""
+    plan = _formatted_plan(SPARK_QUERIES["correlation_matrix"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ab_test_single_aggregate_no_join(spark):
+    """Arm assignment is computed per row from the user id, so the whole
+    test is one map-side-combined aggregate: one Exchange, one scan, no
+    join operator of any kind."""
+    plan = _formatted_plan(SPARK_QUERIES["ab_test_zscore"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_target_encoding_single_fact_pass(spark):
+    """The global mean must come from window sums over the bounded
+    per-nation table, NOT a re-aggregation of the fact subtree: orders and
+    customer are each scanned exactly once (3 scans total incl. nation)."""
+    plan = _formatted_plan(SPARK_QUERIES["target_encoding"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3, plan[:800]
+    assert "BroadcastHashJoin" in plan  # nation dim broadcast
+
+
+def test_degree_assortativity_hash_joins_no_sort(spark):
+    """The deg lookups run as shuffle-hash joins: zero Sort operators (SMJ
+    would sort the E-sized edge list twice per join) and no cartesian; the
+    only nested-loop is the 1-row n_nodes crossJoin broadcast."""
+    plan = _formatted_plan(SPARK_QUERIES["degree_assortativity"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 0, plan[:800]
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_and_benford_windows_are_bounded(spark):
+    """The EWMA lag window and the Benford marginal window both run over
+    aggregated cell tables (calendar-days × flags; priorities × 9 digits),
+    never over raw fact rows: every Sort input is cell-shaped."""
+    plan = _formatted_plan(SPARK_QUERIES["ewma_smooth"](spark, SF_SMALL))
+    for s in _sort_input_cols(plan):
+        assert s <= {"l_returnflag", "day", "day_cents"}, s
+    plan = _formatted_plan(SPARK_QUERIES["benford_deviation"](spark, SF_SMALL))
+    for s in _sort_input_cols(plan):
+        assert s <= {"o_orderpriority", "digit", "n_orders", "__num", "__tot"}, s
+
+
+def test_interval_merge_no_self_join(spark):
+    """The interval union is the single-window sweep, not the quadratic
+    overlap self-join: no join operator at all, and the 1-in-5 slice's
+    modulo filter is applied before the window shuffle."""
+    plan = _formatted_plan(SPARK_QUERIES["interval_merge"](spark, SF_SMALL))
+    assert "Join" not in plan, plan[:800]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

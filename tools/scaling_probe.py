@@ -114,6 +114,14 @@ PROBE = [
     "class_rebalance",
     "chi_square",
     "dau_wau",
+    "target_encoding",
+    "correlation_matrix",
+    "ewma_smooth",
+    "benford_deviation",
+    "new_vs_returning",
+    "interval_merge",
+    "ab_test_zscore",
+    "degree_assortativity",
 ]
 
 
