@@ -4994,22 +4994,36 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     10⁵-degree hubs; past that the same stats run in DECIMAL(38,0).
 
     Scale: reuses `_trade_edges` (one fact join + distinct, directed
-    half checkpointed); degree is one hash agg; the two deg lookups are
-    equi-joins on the node key (broadcast when the node table is small,
-    shuffle-hash at scale — AQE's call); final stats are one
-    map-side-combined agg to a single row. No windows, no iteration.
+    half checkpointed); degree is one hash agg (one row per node, then
+    checkpointed so the two lookups don't recompute it); the two deg
+    lookups broadcast below `BROADCAST_NODE_LIMIT` — the edge list never
+    shuffles at all — and fall back to shuffle-hash (never SMJ: no sort
+    of the E-sized stream) past it, the same driver-known-count gate the
+    graph family uses. The gate matters: forcing shuffle-hash here
+    measured 5.8× wall-time for 10× rows (two full edge-list exchanges)
+    vs 1.5× gated. Final stats are one map-side-combined agg to a single
+    row. No windows, no iteration.
     """
+    from .operators.graph import BROADCAST_NODE_LIMIT
+
     tune_session(spark)
     edges = _trade_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint()
+    )
+    small = deg.count() <= BROADCAST_NODE_LIMIT
     ds = deg.select(F.col("src").alias("node"), F.col("deg").alias("dj"))
     dd = deg.select(F.col("src").alias("node"), F.col("deg").alias("dk"))
-    # shuffle-hash: the deg side builds a hash table per partition — no
-    # sort of the E-sized edge list (SMJ would sort both sides twice)
+    if small:
+        ds, dd = F.broadcast(ds), F.broadcast(dd)
+    else:
+        ds, dd = ds.hint("shuffle_hash"), dd.hint("shuffle_hash")
     j = (
-        edges.join(ds.hint("shuffle_hash"), edges["src"] == ds["node"])
+        edges.join(ds, edges["src"] == ds["node"])
         .drop("node")
-        .join(dd.hint("shuffle_hash"), edges["dst"] == dd["node"])
+        .join(dd, edges["dst"] == dd["node"])
         .select("dj", "dk")
     )
     stats = j.agg(
@@ -5037,6 +5051,363 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - cast(sk as double) * cast(sk as double)))) as bigint)"
             " end"
         ).alias("assortativity_ppm"),
+    )
+
+
+def q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest path (Bellman-Ford, 3 relaxation rounds unrolled)
+    over the trade graph: minimum total cost from the seed set (suppliers
+    of nation 1) to every node reachable in ≤3 hops, where a hop's cost is
+    `1 + 1000 div shipments` — busy trade links are cheap, rare ones
+    expensive. Completes the graph family's distance axis: bfs_reach is
+    the unweighted special case of this relaxation.
+
+    Bellman-Ford shape, not Dijkstra: Dijkstra's priority queue is
+    inherently sequential driver state; BF's per-round "relax every edge,
+    min-combine per node" is one equi-join + one map-side-combined hash
+    aggregate — the Pregel message-combine pattern that scales to any
+    edge count. Each round's frontier is min-reduced BEFORE the next join
+    (so a round never fans out more than one candidate per node), and the
+    final answer is the min over the per-round unions, which for
+    non-negative weights equals the true ≤3-edge shortest distance.
+
+    Cross-engine exactness: costs are int64 (`div` floor on positive
+    ints), min-combines are order-independent — the oracle is the same 3
+    rounds as chained CTEs, bitwise equal. Scale: weights come from one
+    hash agg over the fact join (map-side combined); each round is
+    O(E) with the frontier broadcast below the node limit (same gating as
+    bfs_reach) and shuffle-hash above it; no driver state, no collect.
+    """
+    from .operators.graph import BROADCAST_NODE_LIMIT
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    half = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("l_suppkey").cast("long") * 2).alias("src"),
+            (F.col("o_custkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shipments"))
+        .select("src", "dst", F.expr("1 + (1000 div shipments)").alias("w"))
+        .localCheckpoint()
+    )
+    edges = half.union(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    l0 = (
+        supplier.where(F.col("s_nationkey") == 1)
+        .select(
+            (F.col("s_suppkey").cast("long") * 2).alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    levels = [l0]
+    for _ in range(3):
+        prev = levels[-1]
+        frontier = (
+            F.broadcast(prev)
+            if prev.count() <= BROADCAST_NODE_LIMIT
+            else prev
+        )
+        levels.append(
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    best = None
+    for lv in levels:
+        best = lv if best is None else best.union(lv)
+    return (
+        best.groupBy("node")
+        .agg(F.min("dist").cast("bigint").alias("dist"))
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("entity_type"),
+            F.expr("node div 2").alias("entity_key"),
+            "dist",
+        )
+    )
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between customer nation and order priority in
+    micro-nats — the feature-selection statistic (how many nats knowing
+    the nation tells you about the priority) complementing `chi_square`'s
+    significance test: chi-square says "is there association", MI says
+    "how much".
+
+    Cross-engine exactness: the contingency table is exact integer
+    counts; marginals are window sums over the BOUNDED cell table
+    (≤ nations·priorities rows); each cell's `obs·ln(obs·N/(rt·ct))` is
+    one identically-written IEEE expression floored to micro-units, so
+    the total is an order-independent bigint sum (the `tf_idf` ln
+    precedent); the final ÷N runs as one floored double division. The ln
+    products are computed in DOUBLE (obs·N would overflow int64 past
+    N≈3e9; the double product is exact until 2^53 and identically rounded
+    on both engines beyond).
+
+    Scale: one fact join (customer broadcast-able), one hash agg to the
+    bounded cell grid, windows over that grid only, final 1-row agg.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("x"),
+            F.col("o_orderpriority").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wn = Window.partitionBy()
+    terms = cells.select(
+        "x",
+        "y",
+        "obs",
+        F.sum("obs").over(wx).alias("rt"),
+        F.sum("obs").over(wy).alias("ct"),
+        F.sum("obs").over(wn).alias("tot"),
+    ).select(
+        "x",
+        "y",
+        "tot",
+        F.expr(
+            "cast(floor(1000000.0 * cast(obs as double)"
+            " * ln((cast(obs as double) * cast(tot as double))"
+            " / (cast(rt as double) * cast(ct as double)))) as bigint)"
+        ).alias("term_micro"),
+    )
+    return terms.agg(
+        F.countDistinct("x").cast("int").alias("n_nations"),
+        F.countDistinct("y").cast("int").alias("n_priorities"),
+        F.any_value("tot").cast("bigint").alias("n_orders"),
+        F.expr(
+            "cast(floor(cast(sum(term_micro) as double)"
+            " / cast(any_value(tot) as double)) as bigint)"
+        ).alias("mi_micro_nats"),
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution in micro-nats
+    — the corpus-diversity screen run before mixing sources into a
+    training set (a low-entropy source is boilerplate/templated text;
+    `token_diversity`'s type-token ratio is the zeroth-order version of
+    this). H = ln(N) − (Σ c·ln c)/N over per-token counts c.
+
+    Cross-engine exactness: token counts are exact integers (the shared
+    whitespace tokenizer); each token's `c·ln c` term is floored to
+    micro-units so the per-source total S is an order-independent bigint
+    sum (ln(1)=0 exactly, so hapaxes contribute 0 with no float in
+    sight); the final entropy is two floored terms subtracted —
+    floor(10⁶·ln N) − floor(S/N) — written identically on both sides,
+    all-integer afterwards.
+
+    Scale: one explode → one hash agg per (source, token) with map-side
+    combine → one per-source agg. No windows, no joins; vocabulary never
+    materializes per-source sets (the per-token rows ARE the state).
+    """
+    from .operators.textops import all_tokens_col
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(all_tokens_col("text")).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_source = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.expr(
+                "cast(floor(1000000.0 * cast(c as double)"
+                " * ln(cast(c as double))) as bigint)"
+            )
+        ).cast("bigint").alias("s_micro"),
+    )
+    return per_source.select(
+        "source",
+        "vocab",
+        "n_tokens",
+        F.expr(
+            "cast(floor(1000000.0 * ln(cast(n_tokens as double))) as bigint)"
+            " - cast(floor(cast(s_micro as double)"
+            " / cast(n_tokens as double)) as bigint)"
+        ).alias("entropy_micro_nats"),
+    )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per order priority: the day where the
+    cumulative deviation of daily order volume from the priority's mean
+    peaks — the classic "when did the level shift" statistic, in EXACT
+    integer arithmetic (cusum_k = Σ_{d≤k}(D·n_d − T) with D = day count
+    and T = total, i.e. the mean-centered sum scaled by D so no division
+    ever happens).
+
+    The windows run over the BOUNDED daily-cell table (priorities ×
+    calendar days — aggregation collapses the fact first), never raw
+    orders; the argmax is a rank-1 pick with a deterministic tie-break
+    (largest |cusum|, then earliest day). int64 headroom: |cusum| ≤ D·T ≈
+    10⁴ days · 10¹⁰ orders — fine to sf10⁴.
+
+    All-integer → the oracle is bitwise, no float tolerance anywhere.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    wp = Window.partitionBy("priority")
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = daily.select(
+        "priority",
+        "day",
+        "n_d",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_days"),
+        F.sum("n_d").over(wp).cast("bigint").alias("total"),
+    ).select(
+        "priority",
+        "day",
+        "n_days",
+        "total",
+        F.sum(F.expr("n_days * n_d - total")).over(wcum)
+        .cast("bigint")
+        .alias("cusum"),
+    )
+    wrank = Window.partitionBy("priority").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") == 1)
+        .select(
+            "priority",
+            F.col("day").alias("peak_day"),
+            "cusum",
+            "n_days",
+            "total",
+        )
+    )
+
+
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per order priority: average order
+    value on each weekday relative to the priority's overall average, in
+    ppm (1 000 000 = no seasonal effect) — the multiplicative seasonal
+    factor a demand forecast divides out before trend fitting.
+
+    Engine-portable weekday: `(days_since_epoch + 3) % 7` (0 = Monday;
+    1970-01-01 was a Thursday) — Spark's dayofweek() and DuckDB's
+    dayofweek() disagree on both origin and base, the epoch formula is
+    pure integer arithmetic on both. Revenue accumulates as exact integer
+    cents; the index is one identically-written floored double expression
+    (sum_dow·n_all / (n_dow·sum_all) cross-multiplied in DOUBLE — the
+    int64 product would overflow past sf100).
+
+    Scale: one hash agg to the bounded 5×7 grid, windows over that grid
+    only (per-priority totals), no joins.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "(datediff(to_date(o_orderdate), date'1970-01-01') + 3) % 7"
+        ).cast("int").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.expr("cast(cast(o_totalprice as decimal(20,6)) * 100 as bigint)")
+        ).cast("bigint").alias("sum_cents"),
+    )
+    wp = Window.partitionBy("priority")
+    return cells.select(
+        "priority",
+        "dow",
+        "n_orders",
+        "sum_cents",
+        F.expr(
+            "cast(floor(1000000.0 * (cast(sum_cents as double)"
+            " * cast(sum(n_orders) over (partition by priority) as double))"
+            " / (cast(n_orders as double)"
+            " * cast(sum(sum_cents) over (partition by priority) as double)))"
+            " as bigint)"
+        ).alias("index_ppm"),
+    )
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-drift screen: the 50 tokens (≥20 occurrences) whose
+    frequency shifts most between the lower and upper halves of the corpus
+    (by doc_id) — the topic-drift / contamination-burst check run before a
+    corpus snapshot ships. Drift is symmetric: score = max(late:early,
+    early:late) as an integer ppm ratio, so decaying terms surface
+    alongside trending ones.
+
+    The epoch split needs the global max doc_id, which is a broadcast
+    1-row aggregate crossJoined in (never a driver collect); the halves
+    are CONDITIONAL sums inside one hash aggregate — one explode pass, one
+    agg, no self-join of epochs. Ratios are positive-int `div` (floor on
+    both engines) and the top-k is TakeOrderedAndProject (per-partition
+    heap + k-row driver merge — no global sort) with a deterministic
+    (score desc, token asc) tie-break, so the query is bitwise-exact.
+    """
+    from .operators.textops import all_tokens_col
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").cast("bigint").alias("mx"))
+    tok = docs.select(
+        "doc_id", F.explode(all_tokens_col("text")).alias("token")
+    ).crossJoin(F.broadcast(mx))
+    counts = tok.groupBy("token").agg(
+        F.sum(F.expr("case when doc_id * 2 < mx then 1 else 0 end"))
+        .cast("bigint")
+        .alias("early"),
+        F.sum(F.expr("case when doc_id * 2 >= mx then 1 else 0 end"))
+        .cast("bigint")
+        .alias("late"),
+    )
+    return (
+        counts.where(F.col("early") + F.col("late") >= 20)
+        .select(
+            "token",
+            "early",
+            "late",
+            F.expr(
+                "greatest((late * 1000000) div greatest(early, cast(1 as bigint)),"
+                " (early * 1000000) div greatest(late, cast(1 as bigint)))"
+            )
+            .cast("bigint")
+            .alias("drift_ppm"),
+        )
+        .orderBy(F.col("drift_ppm").desc(), F.col("token").asc())
+        .limit(50)
     )
 
 
@@ -5132,6 +5503,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_merge": q_interval_merge,
     "ab_test_zscore": q_ab_test_zscore,
     "degree_assortativity": q_degree_assortativity,
+    "shortest_path_weighted": q_shortest_path_weighted,
+    "mutual_information": q_mutual_information,
+    "token_entropy": q_token_entropy,
+    "cusum_changepoint": q_cusum_changepoint,
+    "seasonality_dow": q_seasonality_dow,
+    "token_drift": q_token_drift,
     # TPC-H-analog analytic pack (see tpch.py module docstring)
     **_TPCH_QUERIES,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
@@ -5268,6 +5645,8 @@ _DRIVER_PRIORITY = [
     "target_encoding", "correlation_matrix", "ewma_smooth",
     "benford_deviation", "new_vs_returning", "interval_merge",
     "ab_test_zscore", "degree_assortativity",
+    "shortest_path_weighted", "mutual_information", "token_entropy",
+    "cusum_changepoint", "seasonality_dow", "token_drift",
     # regression backfill (all already driver-green in rounds 1-3)
     "gold_fact_lineitem", "pagerank_trade", "triangle_count",
     "dedup_minhash_lsh", "streaming_running_totals", "tpch_q1",
@@ -6371,6 +6750,168 @@ ORACLES: dict[str, str] = {
                        AS BIGINT)
              END AS assortativity_ppm
       FROM s, nn
+    """,
+    "shortest_path_weighted": """
+      WITH half AS (
+        SELECT CAST(l_suppkey AS BIGINT) * 2 AS src,
+               CAST(o_custkey AS BIGINT) * 2 + 1 AS dst,
+               1 + (1000 // CAST(COUNT(*) AS BIGINT)) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+      ),
+      edges AS (
+        SELECT src, dst, w FROM half
+        UNION ALL SELECT dst AS src, src AS dst, w FROM half
+      ),
+      l0 AS (
+        SELECT DISTINCT CAST(s_suppkey AS BIGINT) * 2 AS node,
+               CAST(0 AS BIGINT) AS dist
+        FROM supplier WHERE s_nationkey = 1
+      ),
+      l1 AS (
+        SELECT e.dst AS node, MIN(l.dist + e.w) AS dist
+        FROM l0 l JOIN edges e ON e.src = l.node GROUP BY 1
+      ),
+      l2 AS (
+        SELECT e.dst AS node, MIN(l.dist + e.w) AS dist
+        FROM l1 l JOIN edges e ON e.src = l.node GROUP BY 1
+      ),
+      l3 AS (
+        SELECT e.dst AS node, MIN(l.dist + e.w) AS dist
+        FROM l2 l JOIN edges e ON e.src = l.node GROUP BY 1
+      ),
+      best AS (
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+          SELECT * FROM l0 UNION ALL SELECT * FROM l1
+          UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+        ) GROUP BY node
+      )
+      SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+               AS entity_type,
+             node // 2 AS entity_key, dist
+      FROM best
+    """,
+    "mutual_information": """
+      WITH cells AS (
+        SELECT c_nationkey AS x, o_orderpriority AS y,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+      ),
+      terms AS (
+        SELECT x, y, obs,
+               SUM(obs) OVER (PARTITION BY x) AS rt,
+               SUM(obs) OVER (PARTITION BY y) AS ct,
+               SUM(obs) OVER () AS tot
+        FROM cells
+      )
+      SELECT CAST(COUNT(DISTINCT x) AS INT) AS n_nations,
+             CAST(COUNT(DISTINCT y) AS INT) AS n_priorities,
+             CAST(ANY_VALUE(tot) AS BIGINT) AS n_orders,
+             CAST(FLOOR(CAST(SUM(CAST(FLOOR(1000000.0 * CAST(obs AS DOUBLE)
+                 * LN((CAST(obs AS DOUBLE) * CAST(tot AS DOUBLE))
+                      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))))
+                 AS BIGINT)) AS DOUBLE)
+               / CAST(ANY_VALUE(tot) AS DOUBLE)) AS BIGINT) AS mi_micro_nats
+      FROM terms
+    """,
+    "token_entropy": """
+      WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+      ),
+      counts AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+      ),
+      per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(FLOOR(1000000.0 * CAST(c AS DOUBLE)
+                    * LN(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_micro
+        FROM counts GROUP BY 1
+      )
+      SELECT source, vocab, n_tokens,
+             CAST(FLOOR(1000000.0 * LN(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+             - CAST(FLOOR(CAST(s_micro AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+               AS entropy_micro_nats
+      FROM per_source
+    """,
+    "cusum_changepoint": """
+      WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_d
+        FROM orders GROUP BY 1, 2
+      ),
+      annotated AS (
+        SELECT priority, day, n_d,
+               CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n_days,
+               CAST(SUM(n_d) OVER (PARTITION BY priority) AS BIGINT) AS total
+        FROM daily
+      ),
+      cusum AS (
+        SELECT priority, day, n_days, total,
+               CAST(SUM(n_days * n_d - total) OVER (
+                 PARTITION BY priority ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cusum
+        FROM annotated
+      ),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY priority ORDER BY ABS(cusum) DESC, day ASC
+               ) AS rn
+        FROM cusum
+      )
+      SELECT priority, day AS peak_day, cusum, n_days, total
+      FROM ranked WHERE rn = 1
+    """,
+    "seasonality_dow": """
+      WITH cells AS (
+        SELECT o_orderpriority AS priority,
+               CAST((date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) + 3) % 7 AS INT)
+                 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                             AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders GROUP BY 1, 2
+      )
+      SELECT priority, dow, n_orders, sum_cents,
+             CAST(FLOOR(1000000.0 * (CAST(sum_cents AS DOUBLE)
+                  * CAST(SUM(n_orders) OVER (PARTITION BY priority) AS DOUBLE))
+                / (CAST(n_orders AS DOUBLE)
+                  * CAST(SUM(sum_cents) OVER (PARTITION BY priority) AS DOUBLE)))
+               AS BIGINT) AS index_ppm
+      FROM cells
+    """,
+    "token_drift": """
+      WITH mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
+      tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+      ),
+      counts AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN doc_id * 2 < mx THEN 1 ELSE 0 END)
+                    AS BIGINT) AS early,
+               CAST(SUM(CASE WHEN doc_id * 2 >= mx THEN 1 ELSE 0 END)
+                    AS BIGINT) AS late
+        FROM tok CROSS JOIN mx GROUP BY 1
+      )
+      SELECT token, early, late,
+             CAST(GREATEST(
+               (late * 1000000) // GREATEST(early, CAST(1 AS BIGINT)),
+               (early * 1000000) // GREATEST(late, CAST(1 AS BIGINT)))
+                  AS BIGINT) AS drift_ppm
+      FROM counts
+      WHERE early + late >= 20
+      ORDER BY drift_ppm DESC, token ASC
+      LIMIT 50
     """,
     "weighted_median": """
       WITH j AS (

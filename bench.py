@@ -137,6 +137,12 @@ HEADLINE = [
     "interval_merge",
     "ab_test_zscore",
     "degree_assortativity",
+    "shortest_path_weighted",
+    "mutual_information",
+    "token_entropy",
+    "cusum_changepoint",
+    "seasonality_dow",
+    "token_drift",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",
     "tpch_q3",

@@ -433,12 +433,15 @@ def test_target_encoding_single_fact_pass(spark):
 
 
 def test_degree_assortativity_hash_joins_no_sort(spark):
-    """The deg lookups run as shuffle-hash joins: zero Sort operators (SMJ
-    would sort the E-sized edge list twice per join) and no cartesian; the
-    only nested-loop is the 1-row n_nodes crossJoin broadcast."""
+    """The deg lookups are hash joins, never SMJ: zero Sort operators (SMJ
+    would sort the E-sized edge list twice per join) and no cartesian.
+    Below BROADCAST_NODE_LIMIT the per-node deg table broadcasts (the edge
+    list never shuffles — forcing shuffle-hash measured 5.8× at 10× rows);
+    past the gate it degrades to shuffle-hash, still sort-free."""
     plan = _formatted_plan(SPARK_QUERIES["degree_assortativity"](spark, SF_SMALL))
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 0, plan[:800]
-    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -461,3 +464,64 @@ def test_interval_merge_no_self_join(spark):
     plan = _formatted_plan(SPARK_QUERIES["interval_merge"](spark, SF_SMALL))
     assert "Join" not in plan, plan[:800]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_shortest_path_weighted_no_nested_loop_no_sort(spark):
+    """Every Bellman-Ford round is an equi-join + min hash-agg: no
+    cartesian/nested-loop anywhere, and no Sort (an SMJ spine would sort
+    the edge list once per round)."""
+    plan = _formatted_plan(SPARK_QUERIES["shortest_path_weighted"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 0, plan[:800]
+
+
+def test_mutual_information_windows_over_bounded_cells(spark):
+    """MI marginals come from windows over the nations×priorities cell
+    grid, never raw orders: every Sort input is cell-shaped."""
+    plan = _formatted_plan(SPARK_QUERIES["mutual_information"](spark, SF_SMALL))
+    cell_cols = {"x", "y", "obs", "rt", "ct", "tot"}
+    for s in _sort_input_cols(plan):
+        assert s <= cell_cols, f"Sort over non-cell columns {s - cell_cols}"
+
+
+def test_token_entropy_pure_hash_aggs(spark):
+    """Entropy is two chained hash aggregates over one scan: zero Sorts,
+    zero joins, nothing in Python."""
+    plan = _formatted_plan(SPARK_QUERIES["token_entropy"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 0, plan[:800]
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_windows_over_daily_cells_only(spark):
+    """The CUSUM scan and the argmax rank both window over the bounded
+    (priority × day) cell table — every Sort input is cell-shaped, never
+    raw order rows."""
+    plan = _formatted_plan(SPARK_QUERIES["cusum_changepoint"](spark, SF_SMALL))
+    # _w0 is Spark's internal alias for the abs(cusum) rank-sort expression
+    cell_cols = {"priority", "day", "n_d", "n_days", "total", "cusum", "rn", "_w0"}
+    sorts = _sort_input_cols(plan)
+    assert sorts, "expected window sorts over the daily cell table"
+    for s in sorts:
+        assert s <= cell_cols, f"Sort over non-cell columns {s - cell_cols}"
+
+
+def test_seasonality_windows_over_grid_only(spark):
+    """The per-priority totals window over the 5×7 (priority, dow) grid —
+    every Sort input is grid-shaped."""
+    plan = _formatted_plan(SPARK_QUERIES["seasonality_dow"](spark, SF_SMALL))
+    grid_cols = {"priority", "dow", "n_orders", "sum_cents"}
+    for s in _sort_input_cols(plan):
+        assert s <= grid_cols, f"Sort over non-grid columns {s - grid_cols}"
+
+
+def test_token_drift_topk_is_heap_not_global_sort(spark):
+    """The drift top-50 runs as TakeOrderedAndProject (per-partition heap
+    + driver merge), never a rangepartitioned global sort; the epoch
+    split is one broadcast 1-row aggregate."""
+    plan = _formatted_plan(SPARK_QUERIES["token_drift"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan  # the mx crossJoin must broadcast

@@ -122,6 +122,12 @@ PROBE = [
     "interval_merge",
     "ab_test_zscore",
     "degree_assortativity",
+    "shortest_path_weighted",
+    "mutual_information",
+    "token_entropy",
+    "cusum_changepoint",
+    "seasonality_dow",
+    "token_drift",
 ]
 
 
