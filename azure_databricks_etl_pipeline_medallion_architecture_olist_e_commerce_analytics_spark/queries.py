@@ -5411,6 +5411,182 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy against the corpus-trained
+    add-one-smoothed bigram LM, in micro-nats — the CCNet-style LM quality
+    score (documents whose word sequences surprise the corpus LM are
+    boilerplate, spam, or noise; low cross-entropy = fluent). Completes
+    the quality family: `quality_filter` scores surface statistics,
+    `repetition_quality` scores self-similarity, this scores fluency
+    against the corpus itself.
+
+    Shape: the corpus collapses to bigram counts in one explode +
+    hash-agg pass (the `bigram_lm_counts` table), head totals are a
+    second hash agg joined back on the head word (vocab-bounded), and the
+    continuation-vocab size V is a broadcast 1-row aggregate. Scoring is
+    one shuffle join of per-doc bigram occurrences against the bounded LM
+    table on the (w1,w2) key, then a per-doc hash agg — no windows, and
+    the LM never round-trips the driver.
+
+    Cross-engine exactness: every count is an exact integer; each
+    occurrence's ln P(w2|w1) term is floored to micro-units so the
+    per-doc sum is an order-independent bigint (the tf_idf ln precedent);
+    the final ÷m is one identically-written floored double division.
+    """
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).filter(F.size("w") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    # the LM table is vocab²-bounded and feeds three consumers (head
+    # totals, vocab size, the scoring join) — materialize it once or each
+    # branch re-derives the full corpus explode
+    counts12 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n12")
+    ).localCheckpoint()
+    counts1 = counts12.groupBy("w1").agg(
+        F.sum("n12").cast("bigint").alias("n1")
+    )
+    vocab = counts12.agg(
+        F.countDistinct("w2").cast("bigint").alias("v")
+    )
+    lm = counts12.join(counts1, "w1").crossJoin(F.broadcast(vocab))
+    scored = bigrams.join(lm, ["w1", "w2"]).select(
+        "doc_id",
+        F.expr(
+            "cast(floor(1000000.0 * ln((cast(n12 as double) + 1.0)"
+            " / (cast(n1 as double) + cast(v as double)))) as bigint)"
+        ).alias("term_micro"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("term_micro").cast("bigint").alias("s_micro"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        F.expr(
+            "cast(floor((0.0 - cast(s_micro as double))"
+            " / cast(n_bigrams as double)) as bigint)"
+        ).alias("cross_entropy_micro_nats"),
+    )
+
+
+def q_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the corpus
+    mixture, in micro-nats — the drift measure corpus mixing reads before
+    reweighting (a source with near-zero KL is redundant with the
+    mixture; a high-KL source is what `mix_temperature` upweights for
+    diversity). Sibling of `token_entropy` (within-source diversity) and
+    `source_overlap` (pairwise vocabulary sharing).
+
+    KL(P_s‖P) = Σ_t (c_st/n_s)·ln(c_st·N/(n_s·c_t)) — every count exact:
+    c_st from one explode + hash agg, the per-token corpus counts c_t
+    RE-AGGREGATE the (source, token) table rather than rescanning the
+    corpus, per-source totals n_s broadcast (one row per source), N a
+    broadcast 1-row agg. One shuffle join on the token key; per-token
+    terms floored to micro-units → order-independent bigint sums; final
+    ÷n_s one identically-written floored double division. P_s is
+    absolutely continuous w.r.t. P by construction (every source token is
+    in the corpus), so no term needs an epsilon.
+    """
+    from .operators.textops import all_tokens_col
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    # (source, token) counts feed FOUR consumers (the join, c_t, n_s, N) —
+    # materialize the bounded table once; without it each branch
+    # re-derives the full corpus explode
+    c_st = (
+        docs.select("source", F.explode(all_tokens_col("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
+        .localCheckpoint()
+    )
+    c_t = c_st.groupBy("token").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    n_s = c_st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    n_tot = c_st.agg(F.sum("c_st").cast("bigint").alias("n"))
+    terms = (
+        c_st.join(c_t, "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "source",
+            "n_s",
+            F.expr(
+                "cast(floor(1000000.0 * cast(c_st as double)"
+                " * ln((cast(c_st as double) * cast(n as double))"
+                " / (cast(n_s as double) * cast(c_t as double)))) as bigint)"
+            ).alias("term_micro"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.any_value("n_s").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "cast(floor(cast(sum(term_micro) as double)"
+            " / cast(any_value(n_s) as double)) as bigint)"
+        ).alias("kl_micro_nats"),
+    )
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table over the quasi-identifier
+    triple (nation, market segment, account-balance $1000-bucket): how
+    many rows sit in equivalence classes below the k=5 re-identification
+    threshold — the privacy gate a governance pipeline runs before a
+    dataset leaves the boundary (`pii_scrub` removes direct identifiers;
+    this measures the INDIRECT ones).
+
+    Output is the bounded 4-band histogram of class sizes (k=1 unique,
+    2–4 below-threshold, 5–19, 20+) with row shares in ppm. The balance
+    bucket floors a double division (exact: cents ≤ 10⁶ in magnitude) —
+    integer `div` is NOT used because Spark's truncates toward zero while
+    DuckDB's floors, and acctbal goes negative. Two chained hash aggs
+    (rows → classes → bands) + windows over ≤4 band rows; nothing else.
+    """
+    tune_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "cast(floor(cast(cast(c_acctbal as decimal(20,6)) * 100 as bigint)"
+            " / 100000.0) as bigint)"
+        ).alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    bands = classes.select(
+        F.expr(
+            "case when k = 1 then '1:unique' when k < 5 then '2:2-4'"
+            " when k < 20 then '3:5-19' else '4:20+' end"
+        ).alias("band"),
+        "k",
+    ).groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )
+    wall = Window.partitionBy()
+    return bands.select(
+        "band",
+        "n_classes",
+        "n_rows",
+        F.expr("n_rows * 1000000").alias("__num"),
+        F.sum("n_rows").over(wall).alias("__tot"),
+    ).select(
+        "band",
+        "n_classes",
+        "n_rows",
+        F.expr("__num div __tot").cast("bigint").alias("row_share_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -5509,6 +5685,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_changepoint": q_cusum_changepoint,
     "seasonality_dow": q_seasonality_dow,
     "token_drift": q_token_drift,
+    "lm_perplexity": q_lm_perplexity,
+    "kl_divergence_sources": q_kl_divergence_sources,
+    "k_anonymity_audit": q_k_anonymity_audit,
     # TPC-H-analog analytic pack (see tpch.py module docstring)
     **_TPCH_QUERIES,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
@@ -5647,6 +5826,7 @@ _DRIVER_PRIORITY = [
     "ab_test_zscore", "degree_assortativity",
     "shortest_path_weighted", "mutual_information", "token_entropy",
     "cusum_changepoint", "seasonality_dow", "token_drift",
+    "lm_perplexity", "kl_divergence_sources", "k_anonymity_audit",
     # regression backfill (all already driver-green in rounds 1-3)
     "gold_fact_lineitem", "pagerank_trade", "triangle_count",
     "dedup_minhash_lsh", "streaming_running_totals", "tpch_q1",
@@ -6912,6 +7092,90 @@ ORACLES: dict[str, str] = {
       WHERE early + late >= 20
       ORDER BY drift_ppm DESC, token ASC
       LIMIT 50
+    """,
+    "lm_perplexity": """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+      ),
+      bigrams AS (
+        SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM toks, unnest(range(1, len(w))) AS t(i)
+      ),
+      counts12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+        FROM bigrams GROUP BY 1, 2
+      ),
+      counts1 AS (
+        SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM counts12 GROUP BY 1
+      ),
+      vocab AS (
+        SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM counts12
+      ),
+      scored AS (
+        SELECT b.doc_id,
+               CAST(FLOOR(1000000.0 * LN((CAST(n12 AS DOUBLE) + 1.0)
+                    / (CAST(n1 AS DOUBLE) + CAST(v AS DOUBLE)))) AS BIGINT)
+                 AS term_micro
+        FROM bigrams b
+        JOIN counts12 USING (w1, w2)
+        JOIN counts1 USING (w1)
+        CROSS JOIN vocab
+      )
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(FLOOR((0.0 - CAST(SUM(term_micro) AS DOUBLE))
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS cross_entropy_micro_nats
+      FROM scored GROUP BY 1
+    """,
+    "kl_divergence_sources": """
+      WITH c_st AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+      ),
+      cst AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM c_st GROUP BY 1, 2
+      ),
+      ct AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
+      ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY 1),
+      nt AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cst),
+      terms AS (
+        SELECT cst.source, n_s,
+               CAST(FLOOR(1000000.0 * CAST(c_st AS DOUBLE)
+                    * LN((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE))
+                         / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))))
+                 AS BIGINT) AS term_micro
+        FROM cst JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nt
+      )
+      SELECT source,
+             CAST(ANY_VALUE(n_s) AS BIGINT) AS n_tokens,
+             CAST(FLOOR(CAST(SUM(term_micro) AS DOUBLE)
+                        / CAST(ANY_VALUE(n_s) AS DOUBLE)) AS BIGINT)
+               AS kl_micro_nats
+      FROM terms GROUP BY 1
+    """,
+    "k_anonymity_audit": """
+      WITH classes AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(FLOOR(CAST(CAST(CAST(c_acctbal AS DECIMAL(20,6)) * 100
+                    AS BIGINT) AS DOUBLE) / 100000.0) AS BIGINT) AS bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM customer GROUP BY 1, 2, 3
+      ),
+      bands AS (
+        SELECT CASE WHEN k = 1 THEN '1:unique' WHEN k < 5 THEN '2:2-4'
+                    WHEN k < 20 THEN '3:5-19' ELSE '4:20+' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(k) AS BIGINT) AS n_rows
+        FROM classes GROUP BY 1
+      )
+      SELECT band, n_classes, n_rows,
+             CAST((n_rows * 1000000) // SUM(n_rows) OVER () AS BIGINT)
+               AS row_share_ppm
+      FROM bands
     """,
     "weighted_median": """
       WITH j AS (

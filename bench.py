@@ -143,6 +143,9 @@ HEADLINE = [
     "cusum_changepoint",
     "seasonality_dow",
     "token_drift",
+    "lm_perplexity",
+    "kl_divergence_sources",
+    "k_anonymity_audit",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",
     "tpch_q3",

@@ -525,3 +525,35 @@ def test_token_drift_topk_is_heap_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan[:800]
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan  # the mx crossJoin must broadcast
+
+
+def test_lm_perplexity_two_corpus_passes_no_sort(spark):
+    """LM build + scoring are the only corpus passes: the vocab²-bounded
+    LM table is checkpointed (each consumer must NOT re-derive the corpus
+    explode), and nothing sorts or runs in Python."""
+    plan = _formatted_plan(SPARK_QUERIES["lm_perplexity"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 0, plan[:800]
+    # exactly ONE live parquet scan (the scoring pass); the LM side reads
+    # the checkpointed RDD, not the file again
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:800]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kl_divergence_single_corpus_pass(spark):
+    """c_t / n_s / N re-aggregate the checkpointed (source, token) table —
+    the corpus parquet is scanned ZERO times in the final plan (all
+    consumers read the checkpoint) and nothing sorts."""
+    plan = _formatted_plan(SPARK_QUERIES["kl_divergence_sources"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan[:800]
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_k_anonymity_windows_over_bands_only(spark):
+    """Both aggs are hash aggs and the share window runs over ≤4 band
+    rows: every Sort input is band-shaped."""
+    plan = _formatted_plan(SPARK_QUERIES["k_anonymity_audit"](spark, SF_SMALL))
+    band_cols = {"band", "n_classes", "n_rows", "__num", "__tot"}
+    for s in _sort_input_cols(plan):
+        assert s <= band_cols, f"Sort over non-band columns {s - band_cols}"

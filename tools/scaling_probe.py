@@ -128,6 +128,9 @@ PROBE = [
     "cusum_changepoint",
     "seasonality_dow",
     "token_drift",
+    "lm_perplexity",
+    "kl_divergence_sources",
+    "k_anonymity_audit",
 ]
 
 
