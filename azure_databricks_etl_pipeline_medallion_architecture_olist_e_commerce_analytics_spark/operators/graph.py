@@ -469,3 +469,67 @@ def pagerank_integer(
         ).alias("__rank"),
     )
     return ranks.select(F.col("__node").alias("node"), F.col("__rank").alias("rank"))
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    dist: str = "dist",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford: minimum total ``weight`` from the seed
+    set to every node reachable in ≤ ``rounds`` edges (min-plus relaxation).
+    Dijkstra's priority queue is inherently sequential driver state; BF's
+    per-round "relax every edge, min-combine per node" is one equi-join +
+    one map-side-combined hash aggregate — the Pregel message-combine
+    shape. Used by queries.py::q_shortest_path_weighted; bfs_reach is the
+    unweighted (w=1, hop-count) special case of this relaxation.
+
+    Each round's frontier is min-reduced BEFORE the next join (a round
+    never fans out more than one candidate per node), and the result is
+    the min over the per-round unions — for non-negative weights exactly
+    the ≤rounds-edge shortest distance. Integer weights make every step
+    order-independent, so results are bitwise-reproducible across
+    partitionings.
+
+    Scale: O(E) join + agg per round; the frontier broadcasts below
+    ``BROADCAST_NODE_LIMIT`` (the edge list never shuffles) and falls back
+    to the shuffle path above it, per round — the same driver-known-count
+    gating as the other iterative operators. Hub-safe: a 500k-degree hub
+    relaxes through the hash aggregate's map-side combine, never through
+    one task (skew_probe.py measures this flat). Seeds and per-round
+    frontiers are localCheckpoint-ed; callers pass ``edges`` already
+    materialized (every round re-scans it).
+    """
+    levels = [
+        seeds.select(
+            F.col(node).alias("__node"), F.col(dist).cast("long").alias("__dist")
+        ).localCheckpoint()
+    ]
+    for _ in range(rounds):
+        prev = levels[-1]
+        frontier = (
+            F.broadcast(prev) if prev.count() <= BROADCAST_NODE_LIMIT else prev
+        )
+        levels.append(
+            edges.join(frontier, edges[src] == frontier["__node"])
+            .select(
+                edges[dst].alias("__node"),
+                (F.col("__dist") + F.col(weight).cast("long")).alias("__dist"),
+            )
+            .groupBy("__node")
+            .agg(F.min("__dist").alias("__dist"))
+            .localCheckpoint()
+        )
+    best = levels[0]
+    for lv in levels[1:]:
+        best = best.union(lv)
+    return (
+        best.groupBy("__node")
+        .agg(F.min("__dist").cast("bigint").alias(dist))
+        .select(F.col("__node").alias(node), dist)
+    )

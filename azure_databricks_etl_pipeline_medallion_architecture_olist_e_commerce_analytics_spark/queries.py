@@ -5062,23 +5062,19 @@ def q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive. Completes the graph family's distance axis: bfs_reach is
     the unweighted special case of this relaxation.
 
-    Bellman-Ford shape, not Dijkstra: Dijkstra's priority queue is
-    inherently sequential driver state; BF's per-round "relax every edge,
-    min-combine per node" is one equi-join + one map-side-combined hash
-    aggregate — the Pregel message-combine pattern that scales to any
-    edge count. Each round's frontier is min-reduced BEFORE the next join
-    (so a round never fans out more than one candidate per node), and the
-    final answer is the min over the per-round unions, which for
-    non-negative weights equals the true ≤3-edge shortest distance.
+    Runs on operators/graph.py::bellman_ford (min-plus relaxation with
+    per-round min-combine and broadcast-gated frontiers — see its
+    docstring for the Dijkstra-vs-BF scale argument and the hub-probe
+    evidence).
 
     Cross-engine exactness: costs are int64 (`div` floor on positive
     ints), min-combines are order-independent — the oracle is the same 3
     rounds as chained CTEs, bitwise equal. Scale: weights come from one
     hash agg over the fact join (map-side combined); each round is
     O(E) with the frontier broadcast below the node limit (same gating as
-    bfs_reach) and shuffle-hash above it; no driver state, no collect.
+    bfs_reach) and the shuffle path above it; no driver state, no collect.
     """
-    from .operators.graph import BROADCAST_NODE_LIMIT
+    from .operators.graph import bellman_ford
 
     tune_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
@@ -5100,46 +5096,20 @@ def q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    l0 = (
+    seeds = (
         supplier.where(F.col("s_nationkey") == 1)
         .select(
             (F.col("s_suppkey").cast("long") * 2).alias("node"),
             F.lit(0).cast("bigint").alias("dist"),
         )
         .distinct()
-        .localCheckpoint()
     )
-    levels = [l0]
-    for _ in range(3):
-        prev = levels[-1]
-        frontier = (
-            F.broadcast(prev)
-            if prev.count() <= BROADCAST_NODE_LIMIT
-            else prev
-        )
-        levels.append(
-            edges.join(frontier, edges["src"] == frontier["node"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("w")).alias("dist"),
-            )
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
-        )
-    best = None
-    for lv in levels:
-        best = lv if best is None else best.union(lv)
-    return (
-        best.groupBy("node")
-        .agg(F.min("dist").cast("bigint").alias("dist"))
-        .select(
-            F.when(F.col("node") % 2 == 0, F.lit("supplier"))
-            .otherwise(F.lit("customer"))
-            .alias("entity_type"),
-            F.expr("node div 2").alias("entity_key"),
-            "dist",
-        )
+    return bellman_ford(edges, seeds, rounds=3).select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("entity_type"),
+        F.expr("node div 2").alias("entity_key"),
+        "dist",
     )
 
 
@@ -5587,6 +5557,144 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two per-nation customer rankings (by
+    order count and by total spend): RRF = Σ 10⁶ div (60 + rank_i) — the
+    standard score-free method for merging heterogeneous rankings
+    (search result lists, recommender channels) without calibrating their
+    scales. Top-3 fused customers per nation.
+
+    Integer exactness: ranks come from ROW_NUMBER with full deterministic
+    tie-breaks (metric desc, custkey asc), the RRF terms are positive-int
+    `div` (floor on both engines), and the final top-3 pick re-ranks on
+    (fused desc, custkey asc) — bitwise.
+
+    Scale: the fact collapses to one row per customer (hash agg with
+    map-side combine) BEFORE any window; both rankings and the final pick
+    share ONE hash partitioning on nation (one exchange, plan-guarded) —
+    the window sorts run over per-customer rows, the honest cost of exact
+    dense ranking; when only the head is needed at 100 TB, group_topk's
+    WindowGroupLimit shape bounds per-group state to k instead.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.expr(
+                    "cast(cast(o_totalprice as decimal(20,6)) * 100 as bigint)"
+                )
+            ).cast("bigint").alias("sum_cents"),
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_nationkey").alias("nat"),
+            ),
+            "custkey",
+        )
+    )
+    w1 = Window.partitionBy("nat").orderBy(
+        F.col("n_orders").desc(), F.col("custkey").asc()
+    )
+    w2 = Window.partitionBy("nat").orderBy(
+        F.col("sum_cents").desc(), F.col("custkey").asc()
+    )
+    fused = per_cust.select(
+        "nat",
+        "custkey",
+        "n_orders",
+        "sum_cents",
+        F.row_number().over(w1).alias("r_count"),
+        F.row_number().over(w2).alias("r_spend"),
+    ).withColumn(
+        "rrf_micro",
+        F.expr(
+            "cast(1000000 div (60 + r_count) + 1000000 div (60 + r_spend)"
+            " as bigint)"
+        ),
+    )
+    wpick = Window.partitionBy("nat").orderBy(
+        F.col("rrf_micro").desc(), F.col("custkey").asc()
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") <= 3)
+        .select(
+            "nat",
+            F.col("rn").cast("int").alias("fused_rank"),
+            "custkey",
+            "n_orders",
+            "sum_cents",
+            F.col("r_count").cast("int").alias("r_count"),
+            F.col("r_spend").cast("int").alias("r_spend"),
+            "rrf_micro",
+        )
+    )
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the hour before a
+    purchase shares the conversion credit equally — the fairness
+    counterpart to `attribution_last_touch` (which gives rank-1 all of
+    it). Credit is exact integer micro-units: each of the k touches gets
+    10⁶ div k, and the remainder 10⁶ % k goes to the EARLIEST touch, so
+    per-purchase credit sums to exactly 10⁶ by construction (an invariant
+    the value-level oracle re-derives, not just spot-checks).
+
+    Shape: clicks⋈purchases is an equi-join on user_id with the time
+    window as a residual join condition (the as-of/range-join family's
+    batch shape); k and the earliest-touch rank come from one window
+    partitioned by purchase — bounded by touches-per-hour, never the
+    user's full history. Purchases with no preceding click simply don't
+    appear (inner join; the unattributed share is `attribution_last_touch`'s
+    NULL row in that query's contract).
+    """
+    tune_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    wk = Window.partitionBy("purchase_id")
+    wfirst = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").asc(), F.col("click_id").asc()
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.count(F.lit(1)).over(wk).cast("bigint").alias("k_touches"),
+        F.row_number().over(wfirst).alias("touch_rank"),
+    ).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        "k_touches",
+        F.col("touch_rank").cast("int").alias("touch_rank"),
+        F.expr(
+            "cast(1000000 div k_touches"
+            " + case when touch_rank = 1 then 1000000 % k_touches"
+            " else 0 end as bigint)"
+        ).alias("credit_micro"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -5688,6 +5796,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "kl_divergence_sources": q_kl_divergence_sources,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "rank_fusion_rrf": q_rank_fusion_rrf,
+    "attribution_linear": q_attribution_linear,
     # TPC-H-analog analytic pack (see tpch.py module docstring)
     **_TPCH_QUERIES,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
@@ -5827,6 +5937,7 @@ _DRIVER_PRIORITY = [
     "shortest_path_weighted", "mutual_information", "token_entropy",
     "cusum_changepoint", "seasonality_dow", "token_drift",
     "lm_perplexity", "kl_divergence_sources", "k_anonymity_audit",
+    "rank_fusion_rrf", "attribution_linear",
     # regression backfill (all already driver-green in rounds 1-3)
     "gold_fact_lineitem", "pagerank_trade", "triangle_count",
     "dedup_minhash_lsh", "streaming_running_totals", "tpch_q1",
@@ -7176,6 +7287,72 @@ ORACLES: dict[str, str] = {
              CAST((n_rows * 1000000) // SUM(n_rows) OVER () AS BIGINT)
                AS row_share_ppm
       FROM bands
+    """,
+    "rank_fusion_rrf": """
+      WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(20,6)) * 100
+                             AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders GROUP BY 1
+      ),
+      with_nat AS (
+        SELECT c_nationkey AS nat, custkey, n_orders, sum_cents
+        FROM per_cust JOIN customer ON custkey = c_custkey
+      ),
+      ranked AS (
+        SELECT nat, custkey, n_orders, sum_cents,
+               ROW_NUMBER() OVER (PARTITION BY nat
+                 ORDER BY n_orders DESC, custkey ASC) AS r_count,
+               ROW_NUMBER() OVER (PARTITION BY nat
+                 ORDER BY sum_cents DESC, custkey ASC) AS r_spend
+        FROM with_nat
+      ),
+      fused AS (
+        SELECT *, CAST(1000000 // (60 + r_count)
+                       + 1000000 // (60 + r_spend) AS BIGINT) AS rrf_micro
+        FROM ranked
+      ),
+      picked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nat
+                 ORDER BY rrf_micro DESC, custkey ASC) AS rn
+        FROM fused
+      )
+      SELECT nat, CAST(rn AS INT) AS fused_rank, custkey, n_orders,
+             sum_cents, CAST(r_count AS INT) AS r_count,
+             CAST(r_spend AS INT) AS r_spend, rrf_micro
+      FROM picked WHERE rn <= 3
+    """,
+    "attribution_linear": """
+      WITH clicks AS (
+        SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+      ),
+      purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+      ),
+      joined AS (
+        SELECT purchase_id, user_id, click_id, click_ts
+        FROM clicks JOIN purchases
+          ON click_user = user_id
+         AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+         AND click_ts <= purchase_ts
+      ),
+      windowed AS (
+        SELECT purchase_id, user_id, click_id,
+               CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+                 AS k_touches,
+               ROW_NUMBER() OVER (PARTITION BY purchase_id
+                 ORDER BY click_ts ASC, click_id ASC) AS touch_rank
+        FROM joined
+      )
+      SELECT purchase_id, user_id, click_id, k_touches,
+             CAST(touch_rank AS INT) AS touch_rank,
+             CAST(1000000 // k_touches
+                  + CASE WHEN touch_rank = 1 THEN 1000000 % k_touches
+                         ELSE 0 END AS BIGINT) AS credit_micro
+      FROM windowed
     """,
     "weighted_median": """
       WITH j AS (

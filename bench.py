@@ -146,6 +146,8 @@ HEADLINE = [
     "lm_perplexity",
     "kl_divergence_sources",
     "k_anonymity_audit",
+    "rank_fusion_rrf",
+    "attribution_linear",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",
     "tpch_q3",

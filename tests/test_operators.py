@@ -1126,3 +1126,44 @@ def test_exact_kth_nan_inf_and_degenerate_range(spark):
     ddf = spark.createDataFrame([(lo,)] * 6 + [(hi,)] * 6, "v double")
     assert exact_kth(ddf, "v", 3, bins=16, threshold=0) == lo
     assert exact_kth(ddf, "v", 9, bins=16, threshold=0) == hi
+
+
+def test_bellman_ford_known_graph(spark):
+    """Diamond with a shortcut: 0->1 (w=10), 0->2 (w=1), 2->1 (w=2),
+    1->3 (w=1), 2->3 (w=100). Shortest: d(1)=3 via 0->2->1 (beats the
+    direct 10), d(2)=1, d(3)=4 via 0->2->1->3 (needs all 3 rounds to beat
+    round-2's 0->2->3=101 and 0->1->3=11 — proves later rounds IMPROVE
+    earlier answers, not just extend reach)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        bellman_ford,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1), (2, 3, 100)],
+        "src long, dst long, w long",
+    ).localCheckpoint()
+    seeds = spark.createDataFrame([(0, 0)], "node long, dist long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford(edges, seeds, rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 3, 2: 1, 3: 4}
+
+
+def test_bellman_ford_fewer_rounds_is_bounded_hop(spark):
+    """rounds=2 must report the best ≤2-edge distance (d(3)=11 via
+    0->1->3), NOT the true 3-edge optimum — the bound is a contract."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        bellman_ford,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1), (2, 3, 100)],
+        "src long, dst long, w long",
+    ).localCheckpoint()
+    seeds = spark.createDataFrame([(0, 0)], "node long, dist long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford(edges, seeds, rounds=2).collect()
+    }
+    assert got == {0: 0, 1: 3, 2: 1, 3: 11}

@@ -557,3 +557,28 @@ def test_k_anonymity_windows_over_bands_only(spark):
     band_cols = {"band", "n_classes", "n_rows", "__num", "__tot"}
     for s in _sort_input_cols(plan):
         assert s <= band_cols, f"Sort over non-band columns {s - band_cols}"
+
+
+def test_rank_fusion_shares_one_nation_partitioning(spark):
+    """Both rankings and the final top-3 pick window over the SAME nation
+    partitioning: exactly one nation hash exchange in the plan (the sorts
+    differ per window, the shuffle is paid once)."""
+    plan = _formatted_plan(SPARK_QUERIES["rank_fusion_rrf"](spark, SF_SMALL))
+    nat_exchanges = re.findall(r"hashpartitioning\(nat\b", plan)
+    assert len(nat_exchanges) == 1, plan[:1200]
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_linear_is_equi_join_with_residual(spark):
+    """The time window must ride the user_id equi-join as a residual
+    condition — a nested-loop/cartesian here is quadratic in events; and
+    the credit windows partition by purchase (bounded by touches/hour),
+    never by user history."""
+    plan = _formatted_plan(SPARK_QUERIES["attribution_linear"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan[:800]

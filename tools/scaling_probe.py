@@ -131,6 +131,8 @@ PROBE = [
     "lm_perplexity",
     "kl_divergence_sources",
     "k_anonymity_audit",
+    "rank_fusion_rrf",
+    "attribution_linear",
 ]
 
 

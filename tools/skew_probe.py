@@ -130,6 +130,24 @@ def probe_graph_hub(spark) -> None:
         t0 = time.perf_counter()
         pagerank_integer(both, "a", "b", iterations=3).count()
         print(f"| pagerank 3 iters (hub in-degree {deg}) | {deg} | {time.perf_counter()-t0:.2f} |", flush=True)
+        # Bellman-Ford seeded AT the hub: round 1 relaxes all hub edges in
+        # one join — the min-combine's map-side partial must absorb the
+        # fan-out (flat as the hub grows 100×, like the pagerank in-sum)
+        from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+            bellman_ford,
+        )
+
+        w_edges = both.select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            (F.lit(1) + (F.col("a") + F.col("b")) % 7).alias("w"),
+        ).localCheckpoint()
+        seeds = spark.range(1).select(
+            F.lit(0).cast("long").alias("node"), F.lit(0).cast("long").alias("dist")
+        )
+        t0 = time.perf_counter()
+        bellman_ford(w_edges, seeds, rounds=3).count()
+        print(f"| bellman-ford 3 rounds (hub-seeded) | {deg} | {time.perf_counter()-t0:.2f} |", flush=True)
 
 
 if __name__ == "__main__":
