@@ -5695,6 +5695,139 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order-volume series at lags
+    1–7, per priority — THE seasonality/memory diagnostic read before
+    fitting any forecast (a weekly cycle shows as a lag-7 peak;
+    `seasonality_dow` then quantifies it, `ewma_smooth` then smooths it).
+
+    ACF_k here is the Pearson correlation of (x_t, x_{t+k}) over the
+    overlapping pairs (the "sample" convention that is exactly a
+    correlation, so |r| ≤ 1 by construction). Every sufficient statistic
+    is an exact int64 hash-agg sum over LAGGED PAIRS of the bounded daily
+    cell table: the fact collapses to (priority, day, n_d) first, lags
+    come from one window per priority ordered by day (≤ calendar-days
+    rows), and the correlation arithmetic is one identically-written
+    floored double expression per (priority, lag) — bitwise. Zero-variance
+    sides NULL explicitly (Spark x/0 is NULL, DuckDB ±inf).
+
+    Scale: one fact pass to the cells; 7 lag columns from ONE window
+    (one sort of the cell table, lags 1..7 share it); the pair stats are
+    a hash agg to 5×7 rows. Nothing touches raw orders after the first
+    agg.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("priority").orderBy("day")
+    lagged = daily.select(
+        "priority",
+        "x",
+        *[F.lead("x", k).over(w).alias(f"x{k}") for k in range(1, 8)],
+    )
+    pairs = None
+    for k in range(1, 8):
+        p = lagged.where(F.col(f"x{k}").isNotNull()).select(
+            "priority",
+            F.lit(k).alias("lag"),
+            F.col("x").alias("a"),
+            F.col(f"x{k}").alias("b"),
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    stats = pairs.groupBy("priority", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.expr("a * b")).cast("bigint").alias("sab"),
+        F.sum(F.expr("a * a")).cast("bigint").alias("saa"),
+        F.sum(F.expr("b * b")).cast("bigint").alias("sbb"),
+    )
+    return stats.select(
+        "priority",
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.expr(
+            "case when (cast(n as double) * cast(saa as double)"
+            " - cast(sa as double) * cast(sa as double)) > 0"
+            " and (cast(n as double) * cast(sbb as double)"
+            " - cast(sb as double) * cast(sb as double)) > 0"
+            " then cast(floor(1000000.0 * (cast(n as double) * cast(sab as double)"
+            " - cast(sa as double) * cast(sb as double))"
+            " / (sqrt(cast(n as double) * cast(saa as double)"
+            " - cast(sa as double) * cast(sa as double))"
+            " * sqrt(cast(n as double) * cast(sbb as double)"
+            " - cast(sb as double) * cast(sb as double)))) as bigint)"
+            " end"
+        ).alias("acf_ppm"),
+    )
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier days: daily order volumes outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] per priority — the box-plot anomaly
+    screen, in ALL-INTEGER arithmetic (the fences multiply by 4:
+    4x < 4·q1 − 6·iqr marks a low outlier, so the 1.5 factor never
+    produces a float; quartiles are type-1 — the smallest value whose
+    cumulative count reaches ⌈q·n⌉ — actual data values, no
+    interpolation).
+
+    Windows run over the bounded daily-cell table only (the fact
+    collapses first): one cumulative-count window ordered by (x, day)
+    picks the quartiles per priority; the fence test is a broadcast join
+    of the 5-row quartile table back to the cells. Bitwise oracle.
+    """
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wp = Window.partitionBy("priority")
+    wr = Window.partitionBy("priority").orderBy(
+        F.col("x").asc(), F.col("day").asc()
+    )
+    ranked = daily.select(
+        "priority",
+        "day",
+        "x",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    quartiles = (
+        ranked.where(
+            (F.col("rnk") * 4 >= F.col("n"))
+            & ((F.col("rnk") - 1) * 4 < F.col("n"))
+            | (F.col("rnk") * 4 >= 3 * F.col("n"))
+            & ((F.col("rnk") - 1) * 4 < 3 * F.col("n"))
+        )
+        .groupBy("priority")
+        .agg(
+            F.min("x").cast("bigint").alias("q1"),
+            F.max("x").cast("bigint").alias("q3"),
+        )
+    )
+    return (
+        daily.join(F.broadcast(quartiles), "priority")
+        .where(
+            (F.col("x") * 4 < F.col("q1") * 4 - (F.col("q3") - F.col("q1")) * 6)
+            | (F.col("x") * 4 > F.col("q3") * 4 + (F.col("q3") - F.col("q1")) * 6)
+        )
+        .select(
+            "priority",
+            "day",
+            "x",
+            "q1",
+            "q3",
+            F.expr(
+                "case when x < q1 then 'low' else 'high' end"
+            ).alias("side"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -5798,6 +5931,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_audit": q_k_anonymity_audit,
     "rank_fusion_rrf": q_rank_fusion_rrf,
     "attribution_linear": q_attribution_linear,
+    "autocorrelation": q_autocorrelation,
+    "iqr_outliers": q_iqr_outliers,
     # TPC-H-analog analytic pack (see tpch.py module docstring)
     **_TPCH_QUERIES,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
@@ -5938,6 +6073,7 @@ _DRIVER_PRIORITY = [
     "cusum_changepoint", "seasonality_dow", "token_drift",
     "lm_perplexity", "kl_divergence_sources", "k_anonymity_audit",
     "rank_fusion_rrf", "attribution_linear",
+    "autocorrelation", "iqr_outliers",
     # regression backfill (all already driver-green in rounds 1-3)
     "gold_fact_lineitem", "pagerank_trade", "triangle_count",
     "dedup_minhash_lsh", "streaming_running_totals", "tpch_q1",
@@ -7353,6 +7489,82 @@ ORACLES: dict[str, str] = {
                   + CASE WHEN touch_rank = 1 THEN 1000000 % k_touches
                          ELSE 0 END AS BIGINT) AS credit_micro
       FROM windowed
+    """,
+    "autocorrelation": """
+      WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2
+      ),
+      lagged AS (
+        SELECT priority, x,
+               LEAD(x, 1) OVER w AS x1, LEAD(x, 2) OVER w AS x2,
+               LEAD(x, 3) OVER w AS x3, LEAD(x, 4) OVER w AS x4,
+               LEAD(x, 5) OVER w AS x5, LEAD(x, 6) OVER w AS x6,
+               LEAD(x, 7) OVER w AS x7
+        FROM daily
+        WINDOW w AS (PARTITION BY priority ORDER BY day)
+      ),
+      pairs AS (
+        SELECT priority, 1 AS lag, x AS a, x1 AS b FROM lagged WHERE x1 IS NOT NULL
+        UNION ALL SELECT priority, 2, x, x2 FROM lagged WHERE x2 IS NOT NULL
+        UNION ALL SELECT priority, 3, x, x3 FROM lagged WHERE x3 IS NOT NULL
+        UNION ALL SELECT priority, 4, x, x4 FROM lagged WHERE x4 IS NOT NULL
+        UNION ALL SELECT priority, 5, x, x5 FROM lagged WHERE x5 IS NOT NULL
+        UNION ALL SELECT priority, 6, x, x6 FROM lagged WHERE x6 IS NOT NULL
+        UNION ALL SELECT priority, 7, x, x7 FROM lagged WHERE x7 IS NOT NULL
+      ),
+      stats AS (
+        SELECT priority, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+               CAST(SUM(a*b) AS BIGINT) AS sab,
+               CAST(SUM(a*a) AS BIGINT) AS saa,
+               CAST(SUM(b*b) AS BIGINT) AS sbb
+        FROM pairs GROUP BY 1, 2
+      )
+      SELECT priority, CAST(lag AS INT) AS lag, n,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                  THEN CAST(FLOOR(1000000.0
+                       * (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                       / (SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                          * SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))))
+                       AS BIGINT)
+             END AS acf_ppm
+      FROM stats
+    """,
+    "iqr_outliers": """
+      WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1, 2
+      ),
+      ranked AS (
+        SELECT priority, day, x,
+               ROW_NUMBER() OVER (PARTITION BY priority
+                 ORDER BY x ASC, day ASC) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+        FROM daily
+      ),
+      quartiles AS (
+        SELECT priority,
+               CAST(MIN(x) AS BIGINT) AS q1, CAST(MAX(x) AS BIGINT) AS q3
+        FROM ranked
+        WHERE (rnk * 4 >= n AND (rnk - 1) * 4 < n)
+           OR (rnk * 4 >= 3 * n AND (rnk - 1) * 4 < 3 * n)
+        GROUP BY 1
+      )
+      SELECT d.priority, d.day, d.x, q1, q3,
+             CASE WHEN d.x < q1 THEN 'low' ELSE 'high' END AS side
+      FROM daily d JOIN quartiles q ON d.priority = q.priority
+      WHERE d.x * 4 < q1 * 4 - (q3 - q1) * 6
+         OR d.x * 4 > q3 * 4 + (q3 - q1) * 6
     """,
     "weighted_median": """
       WITH j AS (

@@ -148,6 +148,8 @@ HEADLINE = [
     "k_anonymity_audit",
     "rank_fusion_rrf",
     "attribution_linear",
+    "autocorrelation",
+    "iqr_outliers",
     # TPC-H-analog analytic pack (classic star-schema plan shapes)
     "tpch_q1",
     "tpch_q3",

@@ -582,3 +582,26 @@ def test_attribution_linear_is_equi_join_with_residual(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     ), plan[:800]
+
+
+def test_autocorrelation_one_lag_window_over_cells(spark):
+    """All 7 lags come from ONE window sort over the bounded daily-cell
+    table (lead(x,1..7) share the sort); every Sort input is cell-shaped
+    and the pair stats are plain hash aggs."""
+    plan = _formatted_plan(SPARK_QUERIES["autocorrelation"](spark, SF_SMALL))
+    cell_cols = {"priority", "day", "x"}
+    sorts = _sort_input_cols(plan)
+    assert sorts, "expected the lag window's cell sort"
+    for s in sorts:
+        assert s <= cell_cols, f"Sort over non-cell columns {s - cell_cols}"
+
+
+def test_iqr_outliers_broadcasts_quartiles(spark):
+    """The 5-row quartile table joins back to the cells as a broadcast
+    (never a shuffle of the cell table for a 5-row build side), and all
+    windows sort only cell-shaped rows."""
+    plan = _formatted_plan(SPARK_QUERIES["iqr_outliers"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    cell_cols = {"priority", "day", "x", "rnk", "n"}
+    for s in _sort_input_cols(plan):
+        assert s <= cell_cols, f"Sort over non-cell columns {s - cell_cols}"

@@ -133,6 +133,8 @@ PROBE = [
     "k_anonymity_audit",
     "rank_fusion_rrf",
     "attribution_linear",
+    "autocorrelation",
+    "iqr_outliers",
 ]
 
 
