@@ -337,3 +337,21 @@ def test_run_recovers_from_stale_managed_location(spark):
     assert spark.table("`silver`.`stale_nums`").count() == 7
     spark.sql("DROP TABLE `silver`.`stale_nums`")
     shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_driver_priority_registry_integrity():
+    """The driver tests a 50-slot prefix of the catalog dict, ordered by
+    _DRIVER_PRIORITY — a typo'd name there silently forfeits a
+    verification slot. Every entry must resolve, the prefix must be
+    duplicate-free, and every catalog query must carry an oracle."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        ORACLES,
+        SPARK_QUERIES,
+        _DRIVER_PRIORITY,
+    )
+
+    unknown = [n for n in _DRIVER_PRIORITY if n not in SPARK_QUERIES]
+    assert not unknown, f"priority entries not in catalog: {unknown}"
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
+    no_oracle = [n for n in SPARK_QUERIES if n not in ORACLES]
+    assert not no_oracle, f"catalog queries without oracles: {no_oracle}"
