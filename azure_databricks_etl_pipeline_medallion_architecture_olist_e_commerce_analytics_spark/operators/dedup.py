@@ -270,7 +270,11 @@ def minhash_lsh_pairs(
         )
         if len(probe) <= _BITMAP_MAX_VOCAB:
             vocab = sorted(r.t for r in probe)
-    if vocab is not None:
+    # `if vocab:` not `is not None`: an EMPTY vocab (zero docs, or all-empty
+    # token sets) would build the untyped `map()` literal, which fails
+    # analysis with DATATYPE_MISMATCH — the xxhash64 path below handles the
+    # degenerate corpus fine
+    if vocab:
         n_words = (len(vocab) + 63) // 64
         tid = F.create_map(
             *[F.lit(x) for i, t in enumerate(vocab) for x in (t, i)]

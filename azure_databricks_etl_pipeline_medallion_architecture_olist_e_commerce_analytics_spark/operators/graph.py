@@ -411,6 +411,13 @@ def pagerank_integer(
         e_deg = e_ck.withColumn(
             "__deg", F.sum("__w").over(Window.partitionBy("__src"))
         ).localCheckpoint()
+    if n == 0:
+        # empty graph (a filter matched nothing): ranks of nothing is an
+        # empty table, not a ZeroDivisionError in scale div n below
+        return nodes.select(
+            F.col("__node").alias("node"),
+            F.lit(None).cast("long").alias("rank"),
+        ).limit(0)
     base_val = (100 - damping_pct) * (scale // n) // 100  # driver-side int
 
     # The loop variable is the MESSAGE vector (summed in-contributions per

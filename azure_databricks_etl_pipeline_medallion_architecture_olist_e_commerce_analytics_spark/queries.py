@@ -2439,6 +2439,13 @@ def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write("ok")
     state = tempfile.mkdtemp(prefix="spark_graft_jsonl_state_")
     result = JsonlIngestor(jsonl_dir, state).ingest(spark)
+    if "doc_id" not in result.df.columns:
+        # empty corpus: JSON schema inference sees zero records and yields
+        # only _rescued_data — return the typed empty frame instead of an
+        # unresolved-column failure
+        return spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        )
     return result.df.select(
         F.col("doc_id").cast("long"),
         "text",
@@ -2725,8 +2732,11 @@ def q_list_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n"))
         .first()[0]
     )
+    # MAX over zero groups is NULL (empty orders slice): one round ranks
+    # the empty node table fine; int(None) would not
     ranked = list_rank(
-        nodes, "o_orderkey", "prev_key", rank_col="__r", max_depth=int(depth)
+        nodes, "o_orderkey", "prev_key", rank_col="__r",
+        max_depth=int(depth) if depth is not None else 1,
     )
     return nodes.select("o_custkey", "o_orderkey").join(ranked, "o_orderkey").select(
         "o_custkey",
@@ -4081,6 +4091,13 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_cdc_apply(changes, table, ckpt, keys=["user_id"], sequence_by="seq")
     snap = read_current(spark, table)
+    if snap is None:
+        # zero input batches (empty change feed): no snapshot version was
+        # ever committed — the CDC state of nothing is an empty table
+        return spark.createDataFrame(
+            [], "user_id long, event_id long, ts timestamp, event_type string,"
+            " value double"
+        )
     return snap.select("user_id", "event_id", "ts", "event_type", "value")
 
 
@@ -4102,7 +4119,16 @@ def q_streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv, ckpt = os.path.join(base, "mv"), os.path.join(base, "ckpt")
     source = _stream_events(spark, sf_dir).select("event_type", "value")
     maintain_aggregate_mv(source, mv, ckpt, keys=["event_type"], value="value")
-    return read_mv(spark, mv)
+    out = read_mv(spark, mv)
+    if out is None:
+        # zero input batches (empty stream): no MV state version exists —
+        # the aggregate of nothing is an empty table
+        return spark.createDataFrame(
+            [], "event_type string, n_rows bigint, n_values bigint,"
+            " min_value double, max_value double, sum_value_d double,"
+            " avg_value double"
+        )
+    return out
 
 
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,5 +1,7 @@
 """Unit tests for the pipeline engine: registry, DAG, expectations, run()."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -355,3 +357,45 @@ def test_driver_priority_registry_integrity():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
     no_oracle = [n for n in SPARK_QUERIES if n not in ORACLES]
     assert not no_oracle, f"catalog queries without oracles: {no_oracle}"
+
+
+def test_entire_catalog_tolerates_empty_tables(spark, tmp_path):
+    """Every catalog query must run (returning zero rows is fine) against
+    EMPTY schema-only tables. At 100 TB, empty inputs are routine — a
+    filter matching nothing, an empty partition, a fresh ingest — and the
+    round-4 probe found eight latent crashes here: driver-side
+    ZeroDivisionError in pagerank's scale div n, an untyped map() literal
+    in the minhash bitmap path, JSON schema inference collapsing to
+    _rescued_data, int(None) from a MAX over zero groups, None snapshots
+    from zero foreachBatch invocations, and a 1-D numpy array hitting
+    norm(axis=1). `global_median_select`'s raise on no values is a
+    documented contract, asserted as such."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        SPARK_QUERIES,
+    )
+    from conftest import SF_SMALL
+
+    dst = str(tmp_path / "empty_sf")
+    os.makedirs(dst, exist_ok=True)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        sch = pq.read_schema(f"{SF_SMALL}/{t}.parquet")
+        sch = pa.schema([f.remove_metadata() for f in sch]).remove_metadata()
+        pq.write_table(sch.empty_table(), f"{dst}/{t}.parquet")
+
+    failures = []
+    for name, fn in SPARK_QUERIES.items():
+        try:
+            fn(spark, dst).count()
+        except ValueError as exc:
+            if name == "global_median_select" and "no non-null" in str(exc):
+                continue  # documented empty-input contract
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+        except Exception as exc:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
