@@ -37,6 +37,18 @@ _LANG_SCORE_SQL = ", ".join(
     for lang, words in LANG_MARKERS.items()
 )
 
+# DuckDB twin of operators/textops.lang_id_col's deterministic argmax
+# (first language in declaration order whose score >= all later and > all
+# earlier) — shared by every oracle that replicates the language-ID column.
+_PRED_LANG_CASE_SQL = """CASE
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh AND s_es > s_en THEN 'es'
+               WHEN s_fr >= s_de AND s_fr >= s_zh AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+               WHEN s_de >= s_zh AND s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+               WHEN s_zh > s_en AND s_zh > s_es AND s_zh > s_fr AND s_zh > s_de THEN 'zh'
+               ELSE 'en'
+             END"""
+
 # --------------------------------------------------------------------------
 # DuckDB oracle fragments replicating the silver layer (shared by gold oracles)
 # --------------------------------------------------------------------------
@@ -239,6 +251,60 @@ def _cast_dim_date_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's ROW_NUMBER int."""
     tune_session(spark)
     return pipeline_dataframe(spark, sf_dir, "gold.dim_date")
+
+
+# --------------------------------------------------------------------------
+# Corpus pipeline-dataset queries (plans/corpus.py — the LLM-data medallion)
+# --------------------------------------------------------------------------
+
+def _corpus_q(dataset: str, drop: tuple[str, ...] = ()) -> Callable:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .plans.corpus import corpus_dataframe
+
+        tune_session(spark)
+        df = corpus_dataframe(spark, sf_dir, dataset)
+        return df.drop(*drop) if drop else df
+
+    q.__name__ = f"q_corpus_{dataset.rpartition('.')[2]}"
+    q.__doc__ = (
+        f"Corpus medallion pipeline dataset `{dataset}`: runs the engine's "
+        "corpus registry DAG (bronze document ingest -> silver text-analysis "
+        "columns with warn expectations -> gold dedup-survivor + mixture SQL "
+        "MVs with LIVE. references) and returns this dataset's DataFrame — "
+        "the DLT surface applied to LLM training-data prep."
+    )
+    return q
+
+
+def q_corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline's warn-level expectation metrics as a
+    driver-checkable query: one row per REGISTRY-registered expectation on
+    `silver.corpus_docs` with its violation count (NULL predicate counts as
+    a violation — DLT's semantics, plans/expectations.py). One aggregate
+    pass + stack, exactly the shape the engine's Observation rides on
+    table writes."""
+    from .plans.corpus import corpus_dataframe, corpus_silver_expectations
+
+    tune_session(spark)
+    silver = corpus_dataframe(spark, sf_dir, "silver.corpus_docs")
+    exps = corpus_silver_expectations()
+    counted = silver.agg(
+        F.count(F.lit(1)).alias("__rows"),
+        *[
+            F.sum(
+                F.when(
+                    F.coalesce(F.expr(e.predicate).cast("boolean"), F.lit(False)),
+                    F.lit(0),
+                ).otherwise(F.lit(1))
+            ).alias(e.name)
+            for e in exps
+        ],
+    )
+    stack = ", ".join(f"'{e.name}', {e.name}" for e in exps)
+    return counted.selectExpr(
+        f"stack({len(exps)}, {stack}) AS (expectation, violations)",
+        "__rows AS n_rows",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5428,52 +5494,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence's ln P(w2|w1) term is floored to micro-units so the
     per-doc sum is an order-independent bigint (the tf_idf ln precedent);
     the final ÷m is one identically-written floored double division.
+
+    Body shared with `lm_perplexity_pruned` (the frequency-floor scale
+    path); min_count=1 is the exact unpruned LM. The LM table is
+    vocab²-bounded and feeds three consumers (head totals, vocab size,
+    the scoring join) — `_lm_cross_entropy` materializes it once or each
+    branch would re-derive the full corpus explode.
     """
-    tune_session(spark)
-    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
-    ).filter(F.size("w") >= 2)
-    bigrams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 1),"
-                " i -> struct(w[i-1] AS w1, w[i] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
-    # the LM table is vocab²-bounded and feeds three consumers (head
-    # totals, vocab size, the scoring join) — materialize it once or each
-    # branch re-derives the full corpus explode
-    counts12 = bigrams.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n12")
-    ).localCheckpoint()
-    counts1 = counts12.groupBy("w1").agg(
-        F.sum("n12").cast("bigint").alias("n1")
-    )
-    vocab = counts12.agg(
-        F.countDistinct("w2").cast("bigint").alias("v")
-    )
-    lm = counts12.join(counts1, "w1").crossJoin(F.broadcast(vocab))
-    scored = bigrams.join(lm, ["w1", "w2"]).select(
-        "doc_id",
-        F.expr(
-            "cast(floor(1000000.0 * ln((cast(n12 as double) + 1.0)"
-            " / (cast(n1 as double) + cast(v as double)))) as bigint)"
-        ).alias("term_micro"),
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.sum("term_micro").cast("bigint").alias("s_micro"),
-    ).select(
-        "doc_id",
-        "n_bigrams",
-        F.expr(
-            "cast(floor((0.0 - cast(s_micro as double))"
-            " / cast(n_bigrams as double)) as bigint)"
-        ).alias("cross_entropy_micro_nats"),
-    )
+    return _lm_cross_entropy(spark, sf_dir, min_count=1)
 
 
 def q_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5854,6 +5882,292 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`lm_perplexity` with the documented frequency-floor: bigrams whose
+    corpus count falls below MIN_COUNT are pruned from the LM table before
+    the scoring join, while the smoothing denominators (head totals n1,
+    continuation vocabulary V) keep the FULL counts — surviving bigrams
+    score identically to the unpruned path; rare bigrams simply stop
+    contributing occurrences (documents reduce to their frequent-bigram
+    subsequence; docs with zero surviving bigrams drop out).
+
+    This is the scale path (round-4 verdict ask #6): the LM table and the
+    scoring join shrink to the frequent head of the bigram distribution,
+    which grows sub-linearly with corpus size (heavy-tail pruning), where
+    the unpruned join is linear in total token volume.
+    """
+    return _lm_cross_entropy(spark, sf_dir, min_count=3)
+
+
+def _lm_cross_entropy(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
+    """Shared body of lm_perplexity / lm_perplexity_pruned (see their
+    docstrings; min_count=1 is the exact unpruned LM)."""
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).filter(F.size("w") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    counts12 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n12")
+    ).localCheckpoint()
+    counts1 = counts12.groupBy("w1").agg(
+        F.sum("n12").cast("bigint").alias("n1")
+    )
+    vocab = counts12.agg(
+        F.countDistinct("w2").cast("bigint").alias("v")
+    )
+    kept = counts12 if min_count <= 1 else counts12.filter(
+        F.col("n12") >= F.lit(min_count)
+    )
+    lm = kept.join(counts1, "w1").crossJoin(F.broadcast(vocab))
+    scored = bigrams.join(lm, ["w1", "w2"]).select(
+        "doc_id",
+        F.expr(
+            "cast(floor(1000000.0 * ln((cast(n12 as double) + 1.0)"
+            " / (cast(n1 as double) + cast(v as double)))) as bigint)"
+        ).alias("term_micro"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("term_micro").cast("bigint").alias("s_micro"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        F.expr(
+            "cast(floor((0.0 - cast(s_micro as double))"
+            " / cast(n_bigrams as double)) as bigint)"
+        ).alias("cross_entropy_micro_nats"),
+    )
+
+
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 user journey paths: each user's first 8 event types in time
+    order collapsed to a `a>b>c` path string, ranked by how many users
+    share the path — the product-analytics "common flows" report.
+
+    Shape: one per-user window (rank within user — the fact's natural
+    partitioning), the head-8 filter is WindowGroupLimit-eligible, the
+    path assembly is an array_sort over per-user structs (no second sort
+    pass), and the final top-25 is TakeOrderedAndProject. Determinism:
+    rank ties break on event_id; path ranking ties break on the path
+    string."""
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 8)
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(25)
+    )
+
+
+def q_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution in
+    micro-nats — the behavioral-diversity screen (a zero-entropy user is a
+    bot hammering one action; high entropy = broad engagement). Same
+    exact-integer convention as `token_entropy` (its per-source corpus
+    twin): H = ln(N) − (Σ c·ln c)/N with each c·ln c floored to
+    micro-units so sums are order-independent bigints, and the two final
+    terms floored identically on both engines.
+
+    Scale: two hash aggregates with map-side combine ((user,type) then
+    user); no windows, no joins."""
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(
+            F.expr(
+                "cast(floor(1000000.0 * cast(c as double)"
+                " * ln(cast(c as double))) as bigint)"
+            )
+        ).cast("bigint").alias("s_micro"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_types",
+        "n_events",
+        F.expr(
+            "cast(floor(1000000.0 * ln(cast(n_events as double))) as bigint)"
+            " - cast(floor(cast(s_micro as double)"
+            " / cast(n_events as double)) as bigint)"
+        ).alias("entropy_micro_nats"),
+    )
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue decile-lift table per market segment: customers ranked by
+    lifetime spend, cut into NTILE(10) deciles within their segment, each
+    decile reporting customer count, revenue, revenue share, and
+    cumulative share — the classic direct-marketing lift report.
+
+    Exactness: spend accumulates as floor(price·100) integer cents (the
+    rfm_segments convention); shares are single identically-written
+    floored-double divisions to ppm. Scale: the fact collapses to one row
+    per customer FIRST (hash agg), so the NTILE window and everything
+    after run over the customer dimension, partitioned by segment — never
+    over fact rows; output is 10 rows per segment."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    seg = spend.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")),
+        "o_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend_cents"), F.asc("o_custkey")
+    )
+    tiled = seg.select(
+        "c_mktsegment", "spend_cents", F.ntile(10).over(w).alias("decile")
+    )
+    per_decile = tiled.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("decile_cents"),
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    wcum = wseg.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.select(
+        "c_mktsegment",
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.expr(
+            "cast(floor(1000000.0 * cast(decile_cents as double)"
+            " / cast(sum(decile_cents) over (partition by c_mktsegment) as double)) as bigint)"
+        ).alias("share_ppm"),
+        (
+            F.sum("decile_cents").over(wcum).cast("double") * F.lit(1000000.0)
+            / F.sum("decile_cents").over(wseg).cast("double")
+        ).alias("_raw"),
+    ).select(
+        "c_mktsegment",
+        "decile",
+        "n_customers",
+        "decile_cents",
+        "share_ppm",
+        F.floor(F.col("_raw")).cast("bigint").alias("cum_share_ppm"),
+    )
+
+
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per market segment: the smallest number of
+    top-spending customers whose cumulative revenue reaches 80% of the
+    segment's total (the "how true is 80/20 here" report), with the share
+    they actually hold.
+
+    Exactness: integer cents throughout; the 80% threshold is the
+    division-free cross-multiply 5·cum ≥ 4·total (the iqr_outliers
+    trick), so no float enters the decision; the reported share is one
+    floored-double ppm division. Scale: fact → per-customer hash agg
+    first; the rank/cumsum window runs over the customer dimension
+    partitioned by segment; the final row set is one row per segment."""
+    tune_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    seg = spend.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")),
+        "o_custkey",
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend_cents"), F.asc("o_custkey")
+    )
+    ranked = seg.select(
+        "c_mktsegment",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("spend_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_cents"),
+        F.sum("spend_cents")
+        .over(Window.partitionBy("c_mktsegment"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    qualifying = F.col("cum_cents") * 5 >= F.col("total_cents") * 4
+    return ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min(F.when(qualifying, F.col("rnk"))).cast("bigint").alias("pareto_n"),
+        F.expr(
+            "cast(floor(1000000.0"
+            " * cast(min(case when cum_cents * 5 >= total_cents * 4"
+            "              then cum_cents end) as double)"
+            " / cast(any_value(total_cents) as double)) as bigint)"
+        ).alias("pareto_share_ppm"),
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value (TWAP): each
+    value weighted by the seconds until the user's next event — the
+    correct average for irregularly-sampled state (a value held for an
+    hour counts 3600× one held a second); the last event has no holding
+    interval and is excluded.
+
+    Exactness: values floor to integer micro-units, durations are exact
+    integer seconds (truncated epoch on both engines), each term is a
+    bigint product, and the final ÷Σdt is one identically-written
+    floored-double division. Scale: one per-user window (lead) over the
+    fact's natural partitioning, then one hash agg — no joins."""
+    tune_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = events.select(
+        "user_id",
+        F.expr("cast(floor(value * 1000000.0) as bigint)").alias("v_micro"),
+        (
+            F.lead(F.unix_timestamp("ts")).over(w) - F.unix_timestamp("ts")
+        ).cast("bigint").alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull())
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dt_s").cast("bigint").alias("total_dt_s"),
+        F.expr(
+            # a user whose every holding interval is zero seconds has no
+            # time-weighted mean — NULL, spelled out because DuckDB's
+            # 0.0/0.0 is NaN while Spark's is NULL
+            "case when sum(dt_s) = 0 then null else"
+            " cast(floor(cast(sum(v_micro * dt_s) as double)"
+            " / cast(sum(dt_s) as double)) as bigint) end"
+        ).alias("twap_micro"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Catalog
 # --------------------------------------------------------------------------
@@ -5959,6 +6273,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_linear": q_attribution_linear,
     "autocorrelation": q_autocorrelation,
     "iqr_outliers": q_iqr_outliers,
+    # round-5 additions: LM scale path + behavioral/revenue analytics
+    "lm_perplexity_pruned": q_lm_perplexity_pruned,
+    "user_paths": q_user_paths,
+    "event_entropy": q_event_entropy,
+    "decile_lift": q_decile_lift,
+    "pareto_customers": q_pareto_customers,
+    "time_weighted_avg": q_time_weighted_avg,
     # TPC-H-analog analytic pack (see tpch.py module docstring)
     **_TPCH_QUERIES,
     # -- group 1: no driver signal yet (r01 tested only the first 50);
@@ -6024,6 +6345,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "silver_orders": _pipeline_q("silver.silver_orders", drop=("processed_at",)),
     "silver_customer": _pipeline_q("silver.silver_customer"),
     "silver_events": _pipeline_q("silver.silver_events"),
+    # corpus medallion pipeline (plans/corpus.py) — the engine's DLT surface
+    # applied to LLM training-data prep
+    "corpus_silver_docs": _corpus_q("silver.corpus_docs", drop=("processed_at",)),
+    "corpus_gold_survivors": _corpus_q("gold.corpus_survivors"),
+    "corpus_gold_mix": _corpus_q("gold.corpus_mix"),
+    "corpus_expectations": q_corpus_expectations,
     # operator-level
     "typed_projection": q_typed_projection,
     "predicates": q_predicates,
@@ -6066,44 +6393,46 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # The driver samples a PREFIX of this dict each round (50 entries), so
-# catalog order is driver-signal-first: the queries that have never
-# received a hard CORRECTNESS row (31 after rounds 1-3 — every one
-# value-matches its DuckDB oracle in the local full-catalog sim, but a
-# driver row is stronger signal) are hoisted to the front, followed by
-# queries new this round, then everything already driver-green.
+# catalog order is driver-signal-first: queries without a hard driver
+# CORRECTNESS row lead, then queries new this round, then a regression
+# rotation over the highest-value already-green shapes.
 _DRIVER_PRIORITY = [
-    # Round-4 budget: the 31 queries with no hard driver row after three
-    # rounds lead (12 round-2 leftovers + 19 round-3 remainder) — a green
-    # round-4 sample closes driver verification of the ENTIRE catalog.
-    # The remaining ~19 slots go to queries new this round, then the
-    # highest-value regression shapes (flagship, streaming, graph).
-    "correlated_subquery", "group_normalize", "streaming_distinct_users",
-    "unpivot_metrics", "heavy_hitters", "embedding_centroids",
-    "full_outer_join", "pii_scrub", "incremental_agg", "group_topk",
-    "stratified_sample", "exists_subquery",
-    "tpch_q2", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
-    "running_totals_window", "cohort_retention", "skew_profile",
-    "robust_zscore", "event_transitions", "oov_rate", "source_overlap",
-    "pagerank_weighted", "global_median_select", "weighted_median",
-    "gini_concentration", "mode_per_group", "ratio_to_report",
-    "longest_streak",
-    # new in round 4 (sketch twins with in-query error-bound proofs)
-    "weighted_median_approx", "robust_zscore_approx", "profile_table_approx",
-    # new in round 4: CRM/product-analytics + ML-prep shapes
-    "rfm_segments", "zipf_head_share", "token_diversity",
-    "feature_hashing", "class_rebalance", "chi_square", "dau_wau",
-    "target_encoding", "correlation_matrix", "ewma_smooth",
-    "benford_deviation", "new_vs_returning", "interval_merge",
-    "ab_test_zscore", "degree_assortativity",
-    "shortest_path_weighted", "mutual_information", "token_entropy",
-    "cusum_changepoint", "seasonality_dow", "token_drift",
-    "lm_perplexity", "kl_divergence_sources", "k_anonymity_audit",
-    "rank_fusion_rrf", "attribution_linear",
-    "autocorrelation", "iqr_outliers",
-    # regression backfill (all already driver-green in rounds 1-3)
-    "gold_fact_lineitem", "pagerank_trade", "triangle_count",
-    "dedup_minhash_lsh", "streaming_running_totals", "tpch_q1",
-    "window_dedup", "order_totals", "gold_dim_customers",
+    # Round-5 budget (50 slots):
+    #   slots 1-17  — backfill: the 12 round-4 late additions that landed
+    #                 below the round-4 50-slot cutoff (mutual_information
+    #                 .. iqr_outliers) + the 5 queries whose only driver
+    #                 row is r01's no_oracle (the md5-family value oracles
+    #                 landed in round 2 but the driver never re-sampled
+    #                 them). All 17 value-match locally; a green row here
+    #                 closes hard driver verification of the whole catalog.
+    #   next slots  — queries NEW in round 5 (corpus medallion pipeline +
+    #                 analytics additions), per the round-4 verdict rule
+    #                 that new work must ship inside the tested prefix.
+    #   remainder   — regression rotation: flagship, gold dims, streaming,
+    #                 CDC, LSH/dedup, graph, sketch twins, TPC-H anchors.
+    # --- backfill: 12 round-4 late additions ---
+    "mutual_information", "token_entropy", "cusum_changepoint",
+    "seasonality_dow", "token_drift", "lm_perplexity",
+    "kl_divergence_sources", "k_anonymity_audit", "rank_fusion_rrf",
+    "attribution_linear", "autocorrelation", "iqr_outliers",
+    # --- backfill: 5 r01-no_oracle queries re-sampled post-oracle ---
+    "dedup_minhash_lsh", "dedup_simhash", "ann_topk_ivf",
+    "embedding_dup_pairs_lsh", "winnow_fingerprints",
+    # --- new in round 5: corpus medallion pipeline (engine-wired) ---
+    "corpus_silver_docs", "corpus_gold_survivors", "corpus_gold_mix",
+    "corpus_expectations",
+    # --- new in round 5: analytics + LM-prep additions ---
+    "lm_perplexity_pruned", "user_paths", "event_entropy",
+    "decile_lift", "pareto_customers", "time_weighted_avg",
+    # --- regression rotation (all driver-green in rounds 1-4) ---
+    "gold_fact_lineitem", "tpch_q1", "tpch_q21", "window_dedup",
+    "order_totals", "gold_dim_customers", "gold_dim_date",
+    "streaming_running_totals", "streaming_stream_join",
+    "csv_ingest_roundtrip", "cdc_apply", "merge_upsert",
+    "scd2_customers", "dedup_components", "dedup_survivors",
+    "pagerank_trade", "triangle_count", "bfs_reach",
+    "profile_table_approx", "weighted_median_approx",
+    "ann_topk_np", "mix_temperature", "pack_shards",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -8164,14 +8493,7 @@ ORACLES: dict[str, str] = {
       SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
-             CASE
-               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
-               WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh AND s_es > s_en THEN 'es'
-               WHEN s_fr >= s_de AND s_fr >= s_zh AND s_fr > s_en AND s_fr > s_es THEN 'fr'
-               WHEN s_de >= s_zh AND s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
-               WHEN s_zh > s_en AND s_zh > s_es AND s_zh > s_fr AND s_zh > s_de THEN 'zh'
-               ELSE 'en'
-             END AS predicted_lang,
+             {_PRED_LANG_CASE_SQL} AS predicted_lang,
              round(0.4 * least(1.0, n_chars / 500.0)
                  + 0.3 * least(1.0, (stop_hits / greatest(n_tokens, 1.0)) * 5.0)
                  + 0.3 * (alpha_chars / greatest(n_chars, 1.0)), 6) AS quality_score,
@@ -9244,4 +9566,259 @@ ORACLES["ann_topk_ivf"] = """
         PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
       FROM pairs
     ) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-pipeline oracles (plans/corpus.py). `_CORPUS_SILVER_SQL` is the
+# DuckDB twin of silver.corpus_docs (minus the processed_at audit column);
+# the gold oracles stack on it exactly as the MVs stack on the silver table.
+# --------------------------------------------------------------------------
+
+_CORPUS_SILVER_SQL = f"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         text,
+         COALESCE(lang, 'und') AS lang_declared,
+         COALESCE(source, 'unknown') AS source,
+         CAST(n_chars AS INTEGER) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
+         {_PRED_LANG_CASE_SQL} AS predicted_lang,
+         round(0.4 * least(1.0, q_chars / 500.0)
+             + 0.3 * least(1.0, (stop_hits / greatest(n_tokens, 1.0)) * 5.0)
+             + 0.3 * (alpha_chars / greatest(q_chars, 1.0)), 6) AS quality_score,
+         md5(array_to_string(list_sort(toks), ' ')) AS fingerprint
+  FROM (
+    SELECT *, CAST(len(toks) AS DOUBLE) AS n_tokens,
+           {_LANG_SCORE_SQL},
+           CAST(len(list_intersect(toks, {LANG_MARKERS['en']!r})) AS DOUBLE) AS stop_hits
+    FROM (
+      SELECT doc_id, text, lang, source, n_chars,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks,
+             CAST(length(text) AS DOUBLE) AS q_chars,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+      FROM documents
+    ) base
+  ) scored
+"""
+
+ORACLES["corpus_silver_docs"] = _CORPUS_SILVER_SQL
+
+ORACLES["corpus_gold_survivors"] = f"""
+  WITH silver AS ({_CORPUS_SILVER_SQL}),
+  ranked AS (
+    SELECT doc_id, source, predicted_lang, quality_score, bpe_tokens, fingerprint,
+           ROW_NUMBER() OVER (PARTITION BY fingerprint
+                              ORDER BY quality_score DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+    FROM silver
+  )
+  SELECT sha256(CAST(doc_id AS VARCHAR)) AS doc_key,
+         doc_id, source, predicted_lang, quality_score, bpe_tokens, fingerprint,
+         CAST(n_copies AS BIGINT) AS n_copies
+  FROM ranked WHERE rn = 1
+"""
+
+ORACLES["corpus_gold_mix"] = f"""
+  WITH silver AS ({_CORPUS_SILVER_SQL}),
+  survivors AS (
+    SELECT source, predicted_lang, bpe_tokens FROM (
+      SELECT source, predicted_lang, bpe_tokens,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY quality_score DESC, doc_id) AS rn
+      FROM silver
+    ) WHERE rn = 1
+  )
+  SELECT source, predicted_lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
+         ROUND(CAST(SUM(bpe_tokens) AS DOUBLE)
+               / CAST(SUM(SUM(bpe_tokens)) OVER () AS DOUBLE), 6) AS token_share
+  FROM survivors
+  GROUP BY source, predicted_lang
+"""
+
+ORACLES["corpus_expectations"] = f"""
+  WITH silver AS ({_CORPUS_SILVER_SQL}),
+  agg AS (
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN NOT COALESCE(doc_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_doc_id_not_null,
+           CAST(SUM(CASE WHEN NOT COALESCE(LENGTH(text) > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_text_nonempty,
+           CAST(SUM(CASE WHEN NOT COALESCE(quality_score >= 0.0 AND quality_score <= 1.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_quality,
+           CAST(SUM(CASE WHEN NOT COALESCE(ws_tokens >= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_has_tokens
+    FROM silver
+  )
+  SELECT 'doc_id_not_null' AS expectation, v_doc_id_not_null AS violations, n_rows FROM agg
+  UNION ALL
+  SELECT 'text_nonempty', v_text_nonempty, n_rows FROM agg
+  UNION ALL
+  SELECT 'quality_in_unit_range', v_quality, n_rows FROM agg
+  UNION ALL
+  SELECT 'has_tokens', v_has_tokens, n_rows FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-5 analytics oracles
+# --------------------------------------------------------------------------
+
+ORACLES["lm_perplexity_pruned"] = """
+  WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+  ),
+  bigrams AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM toks, unnest(range(1, len(w))) AS t(i)
+  ),
+  counts12 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+    FROM bigrams GROUP BY 1, 2
+  ),
+  counts1 AS (
+    SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM counts12 GROUP BY 1
+  ),
+  vocab AS (
+    SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM counts12
+  ),
+  kept AS (
+    SELECT * FROM counts12 WHERE n12 >= 3
+  ),
+  scored AS (
+    SELECT b.doc_id,
+           CAST(FLOOR(1000000.0 * LN((CAST(n12 AS DOUBLE) + 1.0)
+                / (CAST(n1 AS DOUBLE) + CAST(v AS DOUBLE)))) AS BIGINT)
+             AS term_micro
+    FROM bigrams b
+    JOIN kept USING (w1, w2)
+    JOIN counts1 USING (w1)
+    CROSS JOIN vocab
+  )
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(FLOOR((0.0 - CAST(SUM(term_micro) AS DOUBLE))
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+           AS cross_entropy_micro_nats
+  FROM scored GROUP BY 1
+"""
+
+ORACLES["user_paths"] = """
+  WITH seq AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+  ),
+  paths AS (
+    SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM seq WHERE rn <= 8 GROUP BY user_id
+  )
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM paths GROUP BY path
+  ORDER BY n_users DESC, path
+  LIMIT 25
+"""
+
+ORACLES["event_entropy"] = """
+  WITH counts AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+  ),
+  per_user AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(1000000.0 * CAST(c AS DOUBLE)
+                * LN(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_micro
+    FROM counts GROUP BY 1
+  )
+  SELECT user_id, n_types, n_events,
+         CAST(FLOOR(1000000.0 * LN(CAST(n_events AS DOUBLE))) AS BIGINT)
+         - CAST(FLOOR(CAST(s_micro AS DOUBLE)
+                      / CAST(n_events AS DOUBLE)) AS BIGINT)
+           AS entropy_micro_nats
+  FROM per_user
+"""
+
+ORACLES["decile_lift"] = """
+  WITH spend AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+    FROM orders GROUP BY 1
+  ),
+  seg AS (
+    SELECT s.o_custkey, s.spend_cents, c.c_mktsegment
+    FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+  ),
+  tiled AS (
+    SELECT c_mktsegment, spend_cents,
+           NTILE(10) OVER (PARTITION BY c_mktsegment
+                           ORDER BY spend_cents DESC, o_custkey) AS decile
+    FROM seg
+  ),
+  per_decile AS (
+    SELECT c_mktsegment, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(spend_cents) AS BIGINT) AS decile_cents
+    FROM tiled GROUP BY 1, 2
+  )
+  SELECT c_mktsegment, CAST(decile AS INTEGER) AS decile, n_customers, decile_cents,
+         CAST(FLOOR(1000000.0 * CAST(decile_cents AS DOUBLE)
+              / CAST(SUM(decile_cents) OVER (PARTITION BY c_mktsegment) AS DOUBLE)) AS BIGINT)
+           AS share_ppm,
+         CAST(FLOOR(CAST(SUM(decile_cents) OVER (PARTITION BY c_mktsegment
+                         ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              * 1000000.0
+              / CAST(SUM(decile_cents) OVER (PARTITION BY c_mktsegment) AS DOUBLE)) AS BIGINT)
+           AS cum_share_ppm
+  FROM per_decile
+"""
+
+ORACLES["pareto_customers"] = """
+  WITH spend AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+    FROM orders GROUP BY 1
+  ),
+  seg AS (
+    SELECT s.o_custkey, s.spend_cents, c.c_mktsegment
+    FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+  ),
+  ranked AS (
+    SELECT c_mktsegment,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                              ORDER BY spend_cents DESC, o_custkey) AS rnk,
+           CAST(SUM(spend_cents) OVER (PARTITION BY c_mktsegment
+                ORDER BY spend_cents DESC, o_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+           CAST(SUM(spend_cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS total_cents
+    FROM seg
+  )
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(MIN(CASE WHEN cum_cents * 5 >= total_cents * 4 THEN rnk END) AS BIGINT) AS pareto_n,
+         CAST(FLOOR(1000000.0
+              * CAST(MIN(CASE WHEN cum_cents * 5 >= total_cents * 4
+                           THEN cum_cents END) AS DOUBLE)
+              / CAST(ANY_VALUE(total_cents) AS DOUBLE)) AS BIGINT) AS pareto_share_ppm
+  FROM ranked
+  GROUP BY c_mktsegment
+"""
+
+ORACLES["time_weighted_avg"] = """
+  WITH stepped AS (
+    SELECT user_id,
+           CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v_micro,
+           CAST(FLOOR(EPOCH(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                - FLOOR(EPOCH(ts)) AS BIGINT) AS dt_s
+    FROM events
+  )
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(SUM(dt_s) AS BIGINT) AS total_dt_s,
+         CASE WHEN SUM(dt_s) = 0 THEN NULL ELSE
+           CAST(FLOOR(CAST(SUM(v_micro * dt_s) AS DOUBLE)
+                / CAST(SUM(dt_s) AS DOUBLE)) AS BIGINT) END AS twap_micro
+  FROM stepped
+  WHERE dt_s IS NOT NULL
+  GROUP BY user_id
 """
