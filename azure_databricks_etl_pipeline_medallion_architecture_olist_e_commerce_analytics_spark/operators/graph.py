@@ -487,6 +487,7 @@ def bellman_ford(
     weight: str = "w",
     node: str = "node",
     dist: str = "dist",
+    max_frontier: int | None = None,
 ) -> DataFrame:
     """Bounded-round Bellman-Ford: minimum total ``weight`` from the seed
     set to every node reachable in ≤ ``rounds`` edges (min-plus relaxation).
@@ -506,12 +507,20 @@ def bellman_ford(
     Scale: O(E) join + agg per round; the frontier broadcasts below
     ``BROADCAST_NODE_LIMIT`` (the edge list never shuffles) and falls back
     to the shuffle path above it, per round — the same driver-known-count
-    gating as the other iterative operators. Hub-safe: a 500k-degree hub
-    relaxes through the hash aggregate's map-side combine, never through
-    one task (skew_probe.py measures this flat). Seeds and per-round
-    frontiers are localCheckpoint-ed; callers pass ``edges`` already
-    materialized (every round re-scans it).
+    gating as the other iterative operators. The gate is an eager
+    ``count()`` driver job per round; a caller who can bound the frontier
+    (frontier size never exceeds reachable nodes ≤ |V|) passes
+    ``max_frontier=|V|`` to skip those per-round jobs entirely — the same
+    caller-known-bound contract as pagerank_integer's ``symmetric``/
+    ``materialized`` hints. Hub-safe: a 500k-degree hub relaxes through
+    the hash aggregate's map-side combine, never through one task
+    (skew_probe.py measures this flat). Seeds and per-round frontiers are
+    localCheckpoint-ed; callers pass ``edges`` already materialized (every
+    round re-scans it).
     """
+    # caller-known bound: decide broadcast once, with zero driver jobs
+    always_broadcast = max_frontier is not None and max_frontier <= BROADCAST_NODE_LIMIT
+    never_broadcast = max_frontier is not None and not always_broadcast
     levels = [
         seeds.select(
             F.col(node).alias("__node"), F.col(dist).cast("long").alias("__dist")
@@ -519,9 +528,14 @@ def bellman_ford(
     ]
     for _ in range(rounds):
         prev = levels[-1]
-        frontier = (
-            F.broadcast(prev) if prev.count() <= BROADCAST_NODE_LIMIT else prev
-        )
+        if always_broadcast:
+            frontier = F.broadcast(prev)
+        elif never_broadcast:
+            frontier = prev
+        else:
+            frontier = (
+                F.broadcast(prev) if prev.count() <= BROADCAST_NODE_LIMIT else prev
+            )
         levels.append(
             edges.join(frontier, edges[src] == frontier["__node"])
             .select(

@@ -27,7 +27,18 @@ DECODE_SCHEMA = (
 
 FRAME_SCHEMA = "doc_id long, n_bytes int, n_frames int, frame_index int, frame_offset int"
 
-REAL_DECODERS_AVAILABLE = False  # PIL / cv2 / torchaudio not in this image
+# Real-decoder escape hatch: probe for PIL at import. In THIS container the
+# probe fails (PIL/cv2/torchaudio absent) and every decode runs the
+# deterministic stub; in a container with Pillow the real path activates
+# automatically (decode_image_meta(use_real_decoder=None) follows this flag)
+# while the stub stays available for oracle-reproducible runs.
+try:
+    from PIL import Image as _PILImage  # type: ignore
+
+    REAL_DECODERS_AVAILABLE = True
+except Exception:  # ImportError, or a broken PIL install
+    _PILImage = None
+    REAL_DECODERS_AVAILABLE = False
 
 
 def attach_binary_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -59,12 +70,38 @@ def _fake_image_meta(n_bytes: int) -> tuple[int, int, int]:
     return width, height, 3
 
 
-def decode_image_meta(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+def _real_image_meta(payload) -> tuple:
+    """REAL decode of one payload via PIL → (width, height, channels);
+    a payload PIL cannot parse yields (None, None, None) — NULL metadata,
+    never a job abort (at corpus scale some fraction of blobs is always
+    corrupt). Only callable when REAL_DECODERS_AVAILABLE."""
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(bytes(payload))) as im:
+            return im.width, im.height, len(im.getbands())
+    except Exception:
+        return None, None, None
+
+
+def decode_image_meta(df: DataFrame, use_real_decoder: bool | None = None) -> DataFrame:
     """Arrow-batched image 'decode' extracting (width, height, channels).
 
-    ``use_real_decoder=True`` raises until a decode library is present —
-    the stub boundary is explicit, not silent.
+    ``use_real_decoder``: ``None`` (default) auto-selects — the real PIL
+    path when the import probe found Pillow, else the deterministic stub;
+    ``True`` demands the real path and raises when no decoder is present
+    (the stub boundary stays explicit, not silent); ``False`` pins the
+    stub (what the DuckDB oracles reproduce).
+
+    Both paths share the SAME ``DECODE_SCHEMA``, mapInPandas batch shape,
+    and metadata contract — only the (width, height, channels) values
+    differ, so swapping containers never changes the plan or the schema.
+    Real-path contract: one PIL header decode per payload (no pixel-buffer
+    materialization — PIL reads dimensions lazily), undecodable payloads
+    yield NULL dimensions.
     """
+    if use_real_decoder is None:
+        use_real_decoder = REAL_DECODERS_AVAILABLE
     if use_real_decoder and not REAL_DECODERS_AVAILABLE:
         raise NotImplementedError(
             "real image decoding requires PIL/cv2, not present in this container; "
@@ -74,7 +111,10 @@ def decode_image_meta(df: DataFrame, use_real_decoder: bool = False) -> DataFram
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             n_bytes = pdf["payload"].map(len)
-            meta = [_fake_image_meta(n) for n in n_bytes]
+            if use_real_decoder:
+                meta = [_real_image_meta(p) for p in pdf["payload"]]
+            else:
+                meta = [_fake_image_meta(n) for n in n_bytes]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

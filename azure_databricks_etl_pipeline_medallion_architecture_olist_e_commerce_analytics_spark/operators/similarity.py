@@ -115,20 +115,20 @@ def brute_force_topk_np(
     queries = df
     if query_filter is not None:
         queries = queries.filter(query_filter)
+    # single source of truth for BOTH the empty-batch fallback and the
+    # scorer output — the full result appends the window rank to this
+    out_schema = "query_id bigint, nbr_id bigint, cosine double"
+
     q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
         # empty query batch: np.array([]) is 1-D and norm(axis=1) raises —
         # the top-k of no queries is an empty result
-        return df.sparkSession.createDataFrame(
-            [], "query_id bigint, nbr_id bigint, cosine double, rank int"
-        )
+        return df.sparkSession.createDataFrame([], out_schema + ", rank int")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast((q_ids, Qn))
-
-    out_schema = "query_id bigint, nbr_id bigint, cosine double"
 
     def score(batches):
         b_ids, b_Qn = bc.value

@@ -631,12 +631,15 @@ def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + mapInPandas decode plumbing (stubbed decoder)."""
+    """Binary payload + mapInPandas decode plumbing. Pinned to the
+    deterministic stub kernel (the DuckDB oracle reproduces it) even in a
+    container whose PIL probe enables the real path — operators/multimodal
+    decode_image_meta(use_real_decoder=None) auto-selects there."""
     from .operators.multimodal import attach_binary_payload, decode_image_meta
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image_meta(attach_binary_payload(docs))
+    return decode_image_meta(attach_binary_payload(docs), use_real_decoder=False)
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,7 +662,10 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return resize_image_meta(decode_image_meta(attach_binary_payload(docs)), target=256)
+    return resize_image_meta(
+        decode_image_meta(attach_binary_payload(docs), use_real_decoder=False),
+        target=256,
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

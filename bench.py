@@ -173,6 +173,19 @@ HEADLINE = [
     "tpch_q12",
     "tpch_q16",
     "tpch_q20",
+    # round-5 additions (appended AFTER the TPC-H block so the TPC-H
+    # session position stays comparable across rounds — r04 showed late
+    # placement alone drifts short queries ~1.3x)
+    "corpus_silver_docs",
+    "corpus_gold_survivors",
+    "corpus_gold_mix",
+    "corpus_expectations",
+    "lm_perplexity_pruned",
+    "user_paths",
+    "event_entropy",
+    "decile_lift",
+    "pareto_customers",
+    "time_weighted_avg",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
@@ -205,6 +218,15 @@ def release_cached_state(spark) -> None:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for jrdd in list(jmap.values()):
         jrdd.unpersist(False)
+    # Collect the garbage the finished query left behind NOW, in the
+    # untimed gap, instead of letting the pause land inside the next
+    # query's timed run — the main source of the r04 late-session drift
+    # (short TPC-H queries at position 120+ read ~1.3-1.5x their r03
+    # times while total stayed flat).
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # gc is best-effort; never void the bench
+        pass
 
 
 def main() -> None:
@@ -230,9 +252,13 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in names:
         fn = SPARK_QUERIES[name]
+        # Sub-second queries are the most position-sensitive (one GC pause
+        # is a large relative error), and a third run costs little there —
+        # min-of-3 for the TPC-H block, min-of-2 elsewhere.
+        runs = 3 if name.startswith("tpch_") else 2
         try:
             if warmup:
-                timings[name] = round(time_noop(spark, fn, sf_dir, runs=2), 3)
+                timings[name] = round(time_noop(spark, fn, sf_dir, runs=runs), 3)
             else:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

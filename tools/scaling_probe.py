@@ -135,6 +135,17 @@ PROBE = [
     "attribution_linear",
     "autocorrelation",
     "iqr_outliers",
+    # round-5: corpus medallion pipeline + analytics additions
+    "corpus_silver_docs",
+    "corpus_gold_survivors",
+    "corpus_gold_mix",
+    "corpus_expectations",
+    "lm_perplexity_pruned",
+    "user_paths",
+    "event_entropy",
+    "decile_lift",
+    "pareto_customers",
+    "time_weighted_avg",
 ]
 
 
