@@ -36,10 +36,30 @@ from pyspark.sql import functions as F
 from .registry import Pipeline
 
 
-def build_corpus_pipeline(sf_dir: str) -> Pipeline:
-    """Construct the corpus pipeline bound to a testdata directory."""
+def corpus_silver_columns() -> list:
+    """The silver text-analysis projection, shared verbatim by the batch
+    pipeline table and the true-streaming twin (queries.py::
+    q_corpus_streaming_ingest) — one definition, two execution modes."""
     from ..operators.dedup import fingerprint_col
     from ..operators.textops import lang_id_col, quality_score_col, token_count_cols
+
+    ws, bpe = token_count_cols("text")
+    return [
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang_declared"),
+        F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        ws,
+        bpe,
+        lang_id_col("text").alias("predicted_lang"),
+        quality_score_col("text").alias("quality_score"),
+        fingerprint_col("text").alias("fingerprint"),
+    ]
+
+
+def build_corpus_pipeline(sf_dir: str) -> Pipeline:
+    """Construct the corpus pipeline bound to a testdata directory."""
     from ..sources.loader import load_table
 
     p = Pipeline("corpus_medallion")
@@ -69,20 +89,10 @@ def build_corpus_pipeline(sf_dir: str) -> Pipeline:
         }
     )
     def corpus_docs(ctx):
-        ws, bpe = token_count_cols("text")
         df = ctx.read_stream("bronze.corpus_documents")
-        return df.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("text"),
-            F.coalesce(F.col("lang"), F.lit("und")).alias("lang_declared"),
-            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
-            F.col("n_chars").cast("int").alias("n_chars"),
-            ws,
-            bpe,
-            lang_id_col("text").alias("predicted_lang"),
-            quality_score_col("text").alias("quality_score"),
-            fingerprint_col("text").alias("fingerprint"),
-        ).withColumn("processed_at", F.current_timestamp())
+        return df.select(*corpus_silver_columns()).withColumn(
+            "processed_at", F.current_timestamp()
+        )
 
     # gold: SQL MV files, parsed by the same wrapper parser as the flagship
     # gold layer (plans/sqlmv.py).

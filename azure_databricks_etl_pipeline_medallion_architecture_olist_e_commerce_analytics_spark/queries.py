@@ -1504,6 +1504,36 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(enriched, "mem_stream_enrich", output_mode="append")
 
 
+def q_corpus_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-streaming twin of the corpus pipeline's silver layer: the
+    document corpus as a file-source availableNow stream, projected through
+    the SAME column list the batch pipeline table uses
+    (plans/corpus.corpus_silver_columns — one definition, two execution
+    modes), proving the §2.8 incremental contract holds for the corpus
+    medallion exactly as it does for the Olist-analog one. Stateless
+    projection stream: no watermark, no state store — per microbatch the
+    plan is the batch plan."""
+    import os as _os
+
+    from .plans.corpus import corpus_silver_columns
+    from .streaming.incremental import run_to_memory, stream_source
+
+    tune_session(spark)
+    path = _os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    if _os.path.isdir(path):
+        # directory-of-part-files layout: stream the table directory itself
+        stream = stream_source(spark, path, schema=schema)
+    else:
+        # single-file driver-testdata layout: FileStreamSource needs a
+        # directory, so stream the parent with a file filter
+        stream = stream_source(
+            spark, sf_dir, schema=schema, path_glob_filter="documents.parquet"
+        )
+    silver = stream.select(*corpus_silver_columns())
+    return run_to_memory(silver, "mem_corpus_stream_silver", output_mode="append")
+
+
 def q_streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked sliding-window agg (1h window / 30m slide) as a real
     availableNow stream — each event lands in two overlapping windows."""
@@ -6357,6 +6387,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_gold_survivors": _corpus_q("gold.corpus_survivors"),
     "corpus_gold_mix": _corpus_q("gold.corpus_mix"),
     "corpus_expectations": q_corpus_expectations,
+    "corpus_streaming_ingest": q_corpus_streaming_ingest,
     # operator-level
     "typed_projection": q_typed_projection,
     "predicates": q_predicates,
@@ -6426,7 +6457,7 @@ _DRIVER_PRIORITY = [
     "embedding_dup_pairs_lsh", "winnow_fingerprints",
     # --- new in round 5: corpus medallion pipeline (engine-wired) ---
     "corpus_silver_docs", "corpus_gold_survivors", "corpus_gold_mix",
-    "corpus_expectations",
+    "corpus_expectations", "corpus_streaming_ingest",
     # --- new in round 5: analytics + LM-prep additions ---
     "lm_perplexity_pruned", "user_paths", "event_entropy",
     "decile_lift", "pareto_customers", "time_weighted_avg",
@@ -6438,7 +6469,7 @@ _DRIVER_PRIORITY = [
     "scd2_customers", "dedup_components", "dedup_survivors",
     "pagerank_trade", "triangle_count", "bfs_reach",
     "profile_table_approx", "weighted_median_approx",
-    "ann_topk_np", "mix_temperature", "pack_shards",
+    "ann_topk_np", "mix_temperature",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -9828,3 +9859,7 @@ ORACLES["time_weighted_avg"] = """
   WHERE dt_s IS NOT NULL
   GROUP BY user_id
 """
+
+# The streaming twin computes the identical silver projection, so it shares
+# the batch table's oracle verbatim.
+ORACLES["corpus_streaming_ingest"] = _CORPUS_SILVER_SQL

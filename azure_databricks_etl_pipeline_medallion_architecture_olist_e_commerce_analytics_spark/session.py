@@ -39,6 +39,17 @@ def get_spark(app_name: str = "medallion-engine", extra_conf: dict | None = None
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # A 150-query session generates thousands of whole-stage-codegen
+        # classes; the JDK17 default 240 MB code cache fills mid-session,
+        # the JIT stops compiling, and LATE queries run partially
+        # interpreted (the r04 "TPC-H block 1.3-1.5x at position 120+"
+        # drift). Double the cache and let the sweeper evict cold code.
+        # Applies at driver-JVM launch (first session in the process);
+        # harmless no-op via getOrCreate on an already-running JVM.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
     )
     if not os.environ.get("SPARK_MASTER_OVERRIDE"):
         builder = builder.master(f"local[{cpus}]")

@@ -218,15 +218,11 @@ def release_cached_state(spark) -> None:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for jrdd in list(jmap.values()):
         jrdd.unpersist(False)
-    # Collect the garbage the finished query left behind NOW, in the
-    # untimed gap, instead of letting the pause land inside the next
-    # query's timed run — the main source of the r04 late-session drift
-    # (short TPC-H queries at position 120+ read ~1.3-1.5x their r03
-    # times while total stayed flat).
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:  # gc is best-effort; never void the bench
-        pass
+    # NOTE: a System.gc() here was measured COUNTERPRODUCTIVE (round 5):
+    # the full GC unloads cold generated classes, evicting JIT-compiled
+    # code, and later queries repay compilation — TPC-H block 14.9s with
+    # the gc vs 13.5s without at the same session position. The actual
+    # late-session mitigation is the enlarged code cache in session.py.
 
 
 def main() -> None:

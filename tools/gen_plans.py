@@ -226,6 +226,40 @@ ANNOTATIONS = {
         "token frequency — set intersection without materializing any "
         "per-source token set."
     ),
+    "corpus_gold_survivors": (
+        "Corpus-pipeline gold MV (engine-resolved LIVE graph): the silver "
+        "text-analysis projection is pure codegen over one corpus scan, "
+        "and the survivor dedup is ONE hash exchange on fingerprint shared "
+        "by both window functions (best-quality rank + group count) — no "
+        "join back to the input, plan-guarded in tests/test_corpus.py."
+    ),
+    "corpus_gold_mix": (
+        "Gold→gold MV: reads the survivors MV through the registry. "
+        "Column pruning drops the survivors' COUNT window (only the rank "
+        "survives), restoring the WindowGroupLimit top-1 pushdown; the "
+        "global token-share window runs over the aggregated "
+        "(source × language) cells, never corpus rows."
+    ),
+    "lm_perplexity_pruned": (
+        "Frequency-floor LM scoring: the bigram LM table shrinks to "
+        "counts ≥ 3 BEFORE the scoring join (smoothing denominators keep "
+        "full counts, so surviving probabilities are unchanged); the "
+        "occurrence-side join and the per-doc aggregate then touch only "
+        "the frequent head of the bigram distribution."
+    ),
+    "decile_lift": (
+        "Fact collapses to one row per customer FIRST (hash agg with "
+        "map-side combine); the NTILE window and the share computations "
+        "run over the customer dimension partitioned by segment — never "
+        "over fact rows; the segment dim broadcasts into the spend table."
+    ),
+    "user_paths": (
+        "Per-user journey paths: rank within user is the fact's natural "
+        "partitioning (one exchange), the head-8 filter is "
+        "WindowGroupLimit-eligible, path assembly is array_sort over "
+        "per-user structs (no second sort pass), and the final top-25 is "
+        "TakeOrderedAndProject."
+    ),
 }
 
 
