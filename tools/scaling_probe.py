@@ -136,6 +136,7 @@ PROBE = [
     "autocorrelation",
     "iqr_outliers",
     # round-5: corpus medallion pipeline + analytics additions
+    "corpus_streaming_ingest",
     "corpus_silver_docs",
     "corpus_gold_survivors",
     "corpus_gold_mix",
