@@ -276,6 +276,46 @@ def _corpus_q(dataset: str, drop: tuple[str, ...] = ()) -> Callable:
     return q
 
 
+def q_corpus_survivors_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune aggregation twin of `gold.corpus_survivors` (the
+    window_dedup / window_dedup_agg precedent applied to the corpus): the
+    best-quality-doc-per-fingerprint decision as ONE `max_by` aggregate
+    ordered by (quality_score, -doc_id) instead of a ROW_NUMBER window.
+
+    Why it exists: a dup-heavy crawl is the REALISTIC hostile input for a
+    dedup pipeline — at web scale one boilerplate page can be 50% of a
+    shard. The MV's window formulation funnels that hot fingerprint group
+    into one task; this twin's partial aggregation collapses it to one
+    (best, count) pair per input partition BEFORE the exchange, so the hot
+    key costs map-side-combine time, not a single-task timeline
+    (tools/skew_probe.py::probe_corpus_hot_fingerprint measures both).
+    Identical result contract — same oracle as the MV."""
+    from .plans.corpus import corpus_dataframe
+
+    tune_session(spark)
+    silver = corpus_dataframe(spark, sf_dir, "silver.corpus_docs")
+    grouped = silver.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.expr(
+            "max_by(named_struct("
+            "'doc_id', doc_id, 'source', source,"
+            " 'predicted_lang', predicted_lang,"
+            " 'quality_score', quality_score, 'bpe_tokens', bpe_tokens),"
+            " named_struct('q', quality_score, 'neg_id', -doc_id))"
+        ).alias("best"),
+    )
+    return grouped.select(
+        F.sha2(F.col("best.doc_id").cast("string"), 256).alias("doc_key"),
+        F.col("best.doc_id").alias("doc_id"),
+        F.col("best.source").alias("source"),
+        F.col("best.predicted_lang").alias("predicted_lang"),
+        F.col("best.quality_score").alias("quality_score"),
+        F.col("best.bpe_tokens").alias("bpe_tokens"),
+        "fingerprint",
+        "n_copies",
+    )
+
+
 def q_corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus pipeline's warn-level expectation metrics as a
     driver-checkable query: one row per REGISTRY-registered expectation on
@@ -6388,6 +6428,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_gold_mix": _corpus_q("gold.corpus_mix"),
     "corpus_expectations": q_corpus_expectations,
     "corpus_streaming_ingest": q_corpus_streaming_ingest,
+    "corpus_survivors_agg": q_corpus_survivors_agg,
     # operator-level
     "typed_projection": q_typed_projection,
     "predicates": q_predicates,
@@ -6458,6 +6499,7 @@ _DRIVER_PRIORITY = [
     # --- new in round 5: corpus medallion pipeline (engine-wired) ---
     "corpus_silver_docs", "corpus_gold_survivors", "corpus_gold_mix",
     "corpus_expectations", "corpus_streaming_ingest",
+    "corpus_survivors_agg",
     # --- new in round 5: analytics + LM-prep additions ---
     "lm_perplexity_pruned", "user_paths", "event_entropy",
     "decile_lift", "pareto_customers", "time_weighted_avg",
@@ -6469,7 +6511,7 @@ _DRIVER_PRIORITY = [
     "scd2_customers", "dedup_components", "dedup_survivors",
     "pagerank_trade", "triangle_count", "bfs_reach",
     "profile_table_approx", "weighted_median_approx",
-    "ann_topk_np", "mix_temperature",
+    "ann_topk_np",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -9863,3 +9905,7 @@ ORACLES["time_weighted_avg"] = """
 # The streaming twin computes the identical silver projection, so it shares
 # the batch table's oracle verbatim.
 ORACLES["corpus_streaming_ingest"] = _CORPUS_SILVER_SQL
+
+# The aggregation twin computes the identical survivor contract, so it
+# shares the MV's oracle verbatim.
+ORACLES["corpus_survivors_agg"] = ORACLES["corpus_gold_survivors"]

@@ -116,6 +116,23 @@ def test_corpus_survivors_plan_single_exchange(spark):
     assert "hashpartitioning(fingerprint" in plan
 
 
+def test_corpus_survivors_agg_twin_matches_and_combines_mapside(spark):
+    """The skew-immune aggregation twin (`corpus_survivors_agg`) must
+    return exactly the MV's rows, and its plan must show the partial
+    max_by BEFORE the single exchange (map-side combine is what makes a
+    50%-hot fingerprint cost combine time instead of one task's sort —
+    measured 32.0s window vs 3.3s agg on 20M rows,
+    tools/skew_probe.py::probe_corpus_hot_fingerprint)."""
+    mv = SPARK_QUERIES["corpus_gold_survivors"](spark, SF_SMALL)
+    twin = SPARK_QUERIES["corpus_survivors_agg"](spark, SF_SMALL)
+    assert mv.exceptAll(twin).isEmpty() and twin.exceptAll(mv).isEmpty()
+    plan = _formatted_plan(twin)
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("Exchange") == 1, nodes
+    assert "Window" not in nodes
+    assert "partial_max_by" in plan  # map-side combine before the shuffle
+
+
 def test_corpus_mix_plan_prunes_count_window(spark):
     """The mixture MV only needs the rank from the survivors subplan, so
     column pruning must drop the COUNT window and re-enable the

@@ -150,6 +150,69 @@ def probe_graph_hub(spark) -> None:
         print(f"| bellman-ford 3 rounds (hub-seeded) | {deg} | {time.perf_counter()-t0:.2f} |", flush=True)
 
 
+def probe_corpus_hot_fingerprint(spark) -> None:
+    """Third section: the corpus dedup-survivor decision under a dup-heavy
+    corpus (the realistic hostile input for dedup — one boilerplate page
+    can be 50% of a web shard). Synthetic isolation of the decision
+    itself: 20M (fingerprint, quality, id) rows with HALF on one hot
+    fingerprint, so the text-analysis cost shared by both formulations
+    doesn't mute the difference. The MV's ROW_NUMBER window funnels the
+    hot group through one task's sort; the `corpus_survivors_agg` twin's
+    max_by collapses it to one partial per input partition map-side."""
+    from pyspark.sql import Window
+
+    print()
+    print("## Corpus survivor dedup under a 50%-hot fingerprint (20M rows)")
+    print()
+    print("| formulation | wall (s) |")
+    print("|---|---|")
+    n = 20_000_000
+    base = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("HOT"))
+            .otherwise(
+                F.concat(F.lit("fp_"), (F.col("id") % 1_000_000).cast("string"))
+            )
+            .alias("fingerprint"),
+            ((F.col("id") * 2654435761) % 1000000).cast("double").alias(
+                "quality_score"
+            ),
+        )
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    win = (
+        base.select(
+            "fingerprint",
+            "doc_id",
+            "quality_score",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias(
+                "n_copies"
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    t0 = time.perf_counter()
+    win.write.format("noop").mode("overwrite").save()
+    print(f"| ROW_NUMBER window (the MV idiom) | {time.perf_counter()-t0:.2f} |", flush=True)
+    agg = base.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.expr(
+            "max_by(named_struct('doc_id', doc_id, 'quality_score', quality_score),"
+            " named_struct('q', quality_score, 'neg_id', -doc_id))"
+        ).alias("best"),
+    )
+    t0 = time.perf_counter()
+    agg.write.format("noop").mode("overwrite").save()
+    print(f"| max_by aggregation (corpus_survivors_agg twin) | {time.perf_counter()-t0:.2f} |", flush=True)
+
+
 if __name__ == "__main__":
     if not os.path.exists(os.path.join(OUT, "events.parquet")):
         build()
@@ -165,3 +228,4 @@ if __name__ == "__main__":
         except Exception as exc:
             print(f"| {name} | — | — | ERROR {type(exc).__name__} |", flush=True)
     probe_graph_hub(spark)
+    probe_corpus_hot_fingerprint(spark)
