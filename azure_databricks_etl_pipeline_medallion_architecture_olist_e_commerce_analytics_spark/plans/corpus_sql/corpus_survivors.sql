@@ -7,9 +7,14 @@
 -- over the engine's corpus silver layer.
 --
 -- Scale: ONE hash exchange on fingerprint feeds both window functions
--- (ROW_NUMBER and the per-group COUNT share the partition spec), and the
--- rn = 1 filter is a WindowGroupLimit-eligible top-1 — no second shuffle,
--- no join back to the input.
+-- (ROW_NUMBER and the per-group COUNT share the partition spec) — no
+-- second shuffle, no join back to the input. The n_copies COUNT window
+-- blocks the WindowGroupLimit top-1 pushdown HERE (downstream consumers
+-- that drop n_copies get it back via column pruning — corpus_mix does,
+-- plan-guarded), and a hot fingerprint group sorts in one task; for
+-- dup-heavy corpora the skew-immune production twin is
+-- queries.py::q_corpus_survivors_agg (max_by aggregation, same oracle,
+-- measured ~10x faster under a 50%-hot fingerprint — SCALING.md).
 CREATE OR REFRESH MATERIALIZED VIEW gold.corpus_survivors
 (
   CONSTRAINT survivor_doc_not_null EXPECT (doc_id IS NOT NULL) ON VIOLATION FAIL UPDATE,

@@ -89,6 +89,15 @@ def test_corpus_survivor_is_best_quality_in_group(spark):
     assert mismatch.isEmpty()
 
 
+def test_corpus_streaming_twin_matches_batch(spark):
+    """The true-streaming silver twin must produce exactly the batch
+    pipeline table's rows — same projection list by construction
+    (plans/corpus.corpus_silver_columns), same values by assertion."""
+    batch = SPARK_QUERIES["corpus_silver_docs"](spark, SF_SMALL)
+    stream = SPARK_QUERIES["corpus_streaming_ingest"](spark, SF_SMALL)
+    assert batch.exceptAll(stream).isEmpty() and stream.exceptAll(batch).isEmpty()
+
+
 def test_corpus_survivors_fail_constraint_registered(spark):
     """The survivors MV carries the parsed FAIL-level key constraint and the
     warn-level quality-range constraint (sqlmv wrapper → expectations)."""

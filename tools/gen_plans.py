@@ -240,6 +240,15 @@ ANNOTATIONS = {
         "global token-share window runs over the aggregated "
         "(source × language) cells, never corpus rows."
     ),
+    "corpus_survivors_agg": (
+        "Skew-immune twin of the survivors MV: ONE max_by aggregate "
+        "ordered by (quality, -doc_id) — partial aggregation collapses a "
+        "hot fingerprint to one (best, count) pair per input partition "
+        "before the exchange (measured ~10x vs the window under a "
+        "50%-hot fingerprint, SCALING.md). SortAggregate (struct ordering "
+        "key has no mutable buffer), but the per-partition sort is "
+        "embarrassingly parallel, unlike the window's one-task hot group."
+    ),
     "lm_perplexity_pruned": (
         "Frequency-floor LM scoring: the bigram LM table shrinks to "
         "counts ≥ 3 BEFORE the scoring join (smoothing denominators keep "
