@@ -316,6 +316,34 @@ def q_corpus_survivors_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (~90/5/5): the split key is the
+    DEDUP FINGERPRINT, not the document id, so near-duplicate documents
+    (same fingerprint group) land in the SAME split by construction — the
+    classic eval-leakage bug (a val doc whose near-dup sits in train) is
+    structurally impossible. Buckets come from the first two hex chars of
+    md5(fingerprint) (256 deterministic buckets: <'e6' train ≈ 89.8%,
+    <'f3' val ≈ 5.1%, else test), the engine-portable seed-free hashing
+    family every sampling oracle here uses.
+
+    Scale: a pure projection over the silver corpus — zero shuffles, no
+    split table to join; any executor can compute any doc's split
+    independently, which is what makes the assignment reproducible across
+    reshards and incremental ingests (a re-crawled duplicate lands in its
+    group's split forever)."""
+    from .plans.corpus import corpus_dataframe
+
+    tune_session(spark)
+    silver = corpus_dataframe(spark, sf_dir, "silver.corpus_docs")
+    b = F.substring(F.md5(F.col("fingerprint")), 1, 2)
+    return silver.select(
+        "doc_id",
+        "source",
+        "fingerprint",
+        F.when(b < "e6", "train").when(b < "f3", "val").otherwise("test").alias("split"),
+    )
+
+
 def q_corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus pipeline's warn-level expectation metrics as a
     driver-checkable query: one row per REGISTRY-registered expectation on
@@ -6429,6 +6457,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_expectations": q_corpus_expectations,
     "corpus_streaming_ingest": q_corpus_streaming_ingest,
     "corpus_survivors_agg": q_corpus_survivors_agg,
+    "leakage_safe_split": q_leakage_safe_split,
     # operator-level
     "typed_projection": q_typed_projection,
     "predicates": q_predicates,
@@ -6499,7 +6528,7 @@ _DRIVER_PRIORITY = [
     # --- new in round 5: corpus medallion pipeline (engine-wired) ---
     "corpus_silver_docs", "corpus_gold_survivors", "corpus_gold_mix",
     "corpus_expectations", "corpus_streaming_ingest",
-    "corpus_survivors_agg",
+    "corpus_survivors_agg", "leakage_safe_split",
     # --- new in round 5: analytics + LM-prep additions ---
     "lm_perplexity_pruned", "user_paths", "event_entropy",
     "decile_lift", "pareto_customers", "time_weighted_avg",
@@ -6509,7 +6538,7 @@ _DRIVER_PRIORITY = [
     "streaming_running_totals", "streaming_stream_join",
     "csv_ingest_roundtrip", "cdc_apply", "merge_upsert",
     "scd2_customers", "dedup_components", "dedup_survivors",
-    "pagerank_trade", "triangle_count", "bfs_reach",
+    "pagerank_trade", "bfs_reach",
     "profile_table_approx", "weighted_median_approx",
     "ann_topk_np",
 ]
@@ -9909,3 +9938,12 @@ ORACLES["corpus_streaming_ingest"] = _CORPUS_SILVER_SQL
 # The aggregation twin computes the identical survivor contract, so it
 # shares the MV's oracle verbatim.
 ORACLES["corpus_survivors_agg"] = ORACLES["corpus_gold_survivors"]
+
+ORACLES["leakage_safe_split"] = f"""
+  WITH silver AS ({_CORPUS_SILVER_SQL})
+  SELECT doc_id, source, fingerprint,
+         CASE WHEN substring(md5(fingerprint), 1, 2) < 'e6' THEN 'train'
+              WHEN substring(md5(fingerprint), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END AS split
+  FROM silver
+"""

@@ -98,6 +98,31 @@ def test_corpus_streaming_twin_matches_batch(spark):
     assert batch.exceptAll(stream).isEmpty() and stream.exceptAll(batch).isEmpty()
 
 
+def test_leakage_safe_split_is_group_atomic(spark):
+    """The split's whole point: NO fingerprint group straddles splits (a
+    val doc with a near-dup in train is structurally impossible), and the
+    bucket arithmetic lands near 90/5/5."""
+    df = SPARK_QUERIES["leakage_safe_split"](spark, SF_SMALL)
+    straddlers = (
+        df.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert straddlers.isEmpty()
+    frac = {
+        r["split"]: r["n"]
+        for r in df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(frac.values())
+    assert frac["train"] / total > 0.8
+    assert 0 < frac.get("val", 0) < 0.15 * total
+    assert 0 < frac.get("test", 0) < 0.15 * total
+    # zero-shuffle plan: a pure projection over the silver corpus
+    plan = _formatted_plan(df)
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("Exchange") == 0, nodes
+
+
 def test_corpus_survivors_fail_constraint_registered(spark):
     """The survivors MV carries the parsed FAIL-level key constraint and the
     warn-level quality-range constraint (sqlmv wrapper → expectations)."""

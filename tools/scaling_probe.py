@@ -137,6 +137,8 @@ PROBE = [
     "iqr_outliers",
     # round-5: corpus medallion pipeline + analytics additions
     "corpus_streaming_ingest",
+    "corpus_survivors_agg",
+    "leakage_safe_split",
     "corpus_silver_docs",
     "corpus_gold_survivors",
     "corpus_gold_mix",
