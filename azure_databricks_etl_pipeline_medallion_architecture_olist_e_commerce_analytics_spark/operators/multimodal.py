@@ -110,16 +110,29 @@ def decode_image_meta(df: DataFrame, use_real_decoder: bool | None = None) -> Da
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n_bytes = pdf["payload"].map(len)
+            # NULL payload -> NULL metadata (same contract as an
+            # undecodable payload on the real path); at corpus scale some
+            # fraction of blobs is always missing and len(None) would
+            # abort the job
+            n_bytes = pdf["payload"].map(lambda p: len(p) if p is not None else None)
             if use_real_decoder:
-                meta = [_real_image_meta(p) for p in pdf["payload"]]
+                meta = [
+                    _real_image_meta(p) if p is not None else (None, None, None)
+                    for p in pdf["payload"]
+                ]
             else:
-                meta = [_fake_image_meta(n) for n in n_bytes]
+                meta = [
+                    _fake_image_meta(n) if n is not None else (None, None, None)
+                    for n in n_bytes
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "format": [m["format"] for m in pdf["media_meta"]],
+                    "n_bytes": n_bytes.astype("Int32"),
+                    "format": [
+                        m["format"] if m is not None else None
+                        for m in pdf["media_meta"]
+                    ],
                     "width": [m[0] for m in meta],
                     "height": [m[1] for m in meta],
                     "channels": [m[2] for m in meta],
@@ -142,6 +155,8 @@ def sample_frames(df: DataFrame, frame_stride: int = 1024) -> DataFrame:
         for pdf in it:
             out: dict[str, list] = {k: [] for k in ("doc_id", "n_bytes", "n_frames", "frame_index", "frame_offset")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # a NULL payload has nothing to sample
                 n = len(payload)
                 n_frames = n // frame_stride + 1
                 for i in range(n_frames):
@@ -179,22 +194,28 @@ def resize_image_meta(df: DataFrame, target: int = 256) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            w = pdf["width"].astype("int64")
-            h = pdf["height"].astype("int64")
+            # rows whose decode produced NULL metadata (missing/undecodable
+            # payload) resize to NULL — compute on placeholder-filled ints,
+            # then re-null via the validity mask
+            valid = (
+                pdf["width"].notna() & pdf["height"].notna() & pdf["channels"].notna()
+            )
+            w = pdf["width"].fillna(1).astype("int64")
+            h = pdf["height"].fillna(1).astype("int64")
+            c = pdf["channels"].fillna(1).astype("int64")
             mx = w.where(w >= h, h)
             scale_needed = mx > target
-            rw = (w * target // mx).where(scale_needed, w).astype("int32")
-            rh = (h * target // mx).where(scale_needed, h).astype("int32")
+            rw = (w * target // mx).where(scale_needed, w)
+            rh = (h * target // mx).where(scale_needed, h)
+            rbytes = rw * rh * c
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": pdf["width"],
                     "height": pdf["height"],
-                    "resized_width": rw,
-                    "resized_height": rh,
-                    "resized_bytes": (rw.astype("int64") * rh * pdf["channels"]).astype(
-                        "int32"
-                    ),
+                    "resized_width": rw.where(valid).astype("Int32"),
+                    "resized_height": rh.where(valid).astype("Int32"),
+                    "resized_bytes": rbytes.where(valid).astype("Int32"),
                 }
             )
 
@@ -214,9 +235,17 @@ def extract_byte_features(df: DataFrame, bins: int = 16) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats, counts = [], []
+            n_list, feats, counts = [], [], []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # NULL payload -> NULL features (distinct from an
+                    # empty payload's zero histogram)
+                    n_list.append(None)
+                    feats.append(None)
+                    counts.append(None)
+                    continue
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_list.append(len(buf))
                 if len(buf) == 0:
                     feats.append([0.0] * bins)
                     counts.append([0] * bins)
@@ -230,7 +259,7 @@ def extract_byte_features(df: DataFrame, bins: int = 16) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "n_bytes": pd.array(n_list, dtype="Int32"),
                     "byte_histogram": feats,
                     "byte_hist_counts": counts,
                 }

@@ -56,7 +56,9 @@ def with_running_total(
     except Exception:
         ranged.unpersist()
         raise
-    sums = {int(r["__pid"]): int(r["__psum"]) for r in partials}
+    # __psum is NULL for a partition whose every value is NULL (SQL SUM
+    # skips nulls) — such a partition contributes 0 to the prefix
+    sums = {int(r["__pid"]): int(r["__psum"] or 0) for r in partials}
     offsets = {}
     acc = 0
     for pid in sorted(sums):
@@ -74,7 +76,10 @@ def with_running_total(
         pid = TaskContext.get().partitionId()
         running = offsets.get(pid, 0)
         for pdf in it:
-            vals = pdf[value_col].astype("int64")
+            # NULL values add 0 to the scan — the same skip-null semantics
+            # the JVM SUM applied in the offsets phase, so the two phases
+            # stay consistent on data with missing values
+            vals = pdf[value_col].fillna(0).astype("int64")
             inclusive = vals.cumsum() + running
             pdf = pdf.copy()
             pdf[out] = inclusive - vals  # exclusive prefix

@@ -112,6 +112,11 @@ def brute_force_topk_np(
     import numpy as np
     import pandas as pd
 
+    # NULL vectors can neither query nor be scored, and a NULL id would
+    # silently cast to garbage in the int64 numpy path — drop both up
+    # front (missing values are routine at corpus scale; list(None) in
+    # the driver batch or the Arrow kernel would abort the job)
+    df = df.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     queries = df
     if query_filter is not None:
         queries = queries.filter(query_filter)
@@ -383,6 +388,11 @@ def srp_band_keys(
 
     return (
         spread_partitions(df)
+        # a NULL vector has no angle to hash, and a NULL id would cast to
+        # garbage in the int64 numpy path — drop both before the Arrow
+        # batch (at corpus scale some fraction of embeddings is always
+        # missing; list(None) in the kernel would abort the job)
+        .filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
         .mapInPandas(sig, out_schema)
     )

@@ -53,7 +53,10 @@ def _running_totals_fn(key, pdf_iter: Iterator["pd.DataFrame"], state) -> Iterat
     if chunks:
         pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        micros = (pdf["value"] * 1_000_000).round().astype("int64")
+        # NULL values accumulate as 0 (SQL SUM's skip-null semantics,
+        # matching the JVM twin except on an all-null prefix where SQL
+        # yields NULL); NaN.astype(int64) would abort the stream
+        micros = (pdf["value"].fillna(0.0) * 1_000_000).round().astype("int64")
         run_micros = micros.cumsum() + cum_micros
         run_events = pd.RangeIndex(1, len(pdf) + 1) + cum_events
         cum_micros = int(run_micros.iloc[-1])

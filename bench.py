@@ -186,6 +186,9 @@ HEADLINE = [
     "decile_lift",
     "pareto_customers",
     "time_weighted_avg",
+    "corpus_streaming_ingest",
+    "corpus_survivors_agg",
+    "leakage_safe_split",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
