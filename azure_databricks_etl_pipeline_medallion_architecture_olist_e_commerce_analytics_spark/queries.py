@@ -6586,7 +6586,7 @@ ORACLES: dict[str, str] = {
     "quality_rank": r"""
       WITH base AS (
         SELECT doc_id, source, text,
-               list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks,
+               list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\s+')) AS toks,
                CAST(length(text) AS DOUBLE) AS n_chars,
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars,
                string_split(text, ' ') AS words
@@ -6653,7 +6653,7 @@ ORACLES: dict[str, str] = {
     """,
     "bigram_lm_counts": r"""
       WITH toks AS (
-        SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+        SELECT regexp_split_to_array(trim(text, ' '), '\s+') AS w FROM documents
       ),
       bigrams AS (
         SELECT w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
@@ -6676,7 +6676,7 @@ ORACLES: dict[str, str] = {
       WITH fp AS (
         SELECT doc_id,
                md5(array_to_string(list_sort(list_distinct(
-                 regexp_split_to_array(lower(trim(text)), '\s+'))), ' ')) AS fingerprint
+                 regexp_split_to_array(lower(trim(text, ' ')), '\s+'))), ' ')) AS fingerprint
         FROM documents
       ),
       history AS (
@@ -7107,7 +7107,7 @@ ORACLES: dict[str, str] = {
       WITH toks AS (
         SELECT source, u.tok
         FROM (SELECT source,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+                     regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS arr
               FROM documents) d, unnest(arr) AS u(tok)
         WHERE u.tok <> ''
       ),
@@ -7128,7 +7128,7 @@ ORACLES: dict[str, str] = {
       WITH tok AS (
         SELECT DISTINCT source, u.tok
         FROM (SELECT source,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+                     regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS arr
               FROM documents) d, unnest(arr) AS u(tok)
         WHERE u.tok <> ''
       ),
@@ -7238,7 +7238,7 @@ ORACLES: dict[str, str] = {
       WITH counts AS (
         SELECT source, u.tok, COUNT(*) AS c
         FROM (SELECT source,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+                     regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS arr
               FROM documents) d, unnest(arr) AS u(tok)
         WHERE u.tok <> ''
         GROUP BY 1, 2
@@ -7268,7 +7268,7 @@ ORACLES: dict[str, str] = {
       WITH counts AS (
         SELECT source, u.tok, COUNT(*) AS c
         FROM (SELECT source,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+                     regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS arr
               FROM documents) d, unnest(arr) AS u(tok)
         WHERE u.tok <> ''
         GROUP BY 1, 2
@@ -7290,7 +7290,7 @@ ORACLES: dict[str, str] = {
       WITH toks AS (
         SELECT doc_id, u.tok
         FROM (SELECT doc_id,
-                     regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+                     regexp_split_to_array(lower(trim(text, ' ')), '\s+') AS arr
               FROM documents WHERE doc_id % 20 = 0) d, unnest(arr) AS u(tok)
         WHERE u.tok <> ''
       ),
@@ -7708,7 +7708,7 @@ ORACLES: dict[str, str] = {
     "token_entropy": """
       WITH tok AS (
         SELECT source,
-               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+               unnest(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS token
         FROM documents
       ),
       counts AS (
@@ -7782,7 +7782,7 @@ ORACLES: dict[str, str] = {
       WITH mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mx FROM documents),
       tok AS (
         SELECT doc_id,
-               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+               unnest(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS token
         FROM documents
       ),
       counts AS (
@@ -7805,8 +7805,8 @@ ORACLES: dict[str, str] = {
     """,
     "lm_perplexity": """
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-        FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+        SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\\s+') AS w
+        FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 2
       ),
       bigrams AS (
         SELECT doc_id, w[i] AS w1, w[i+1] AS w2
@@ -7842,7 +7842,7 @@ ORACLES: dict[str, str] = {
     "kl_divergence_sources": """
       WITH c_st AS (
         SELECT source,
-               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+               unnest(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS token
         FROM documents
       ),
       cst AS (
@@ -8248,8 +8248,8 @@ ORACLES: dict[str, str] = {
     # sorted-neighborhood blocking: identical lag-window + levenshtein
     "dedup_sorted_neighborhood": """
       WITH b AS (
-        SELECT doc_id, lower(trim(text)) AS key,
-               substr(lower(trim(text)), 1, 2) AS blk
+        SELECT doc_id, lower(trim(text, ' ')) AS key,
+               substr(lower(trim(text, ' ')), 1, 2) AS blk
         FROM documents
       ),
       w AS (
@@ -8321,7 +8321,7 @@ ORACLES: dict[str, str] = {
       WITH words AS (
         SELECT w, COUNT(*) AS freq
         FROM (
-          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          SELECT unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS w
           FROM documents
         ) WHERE length(w) >= 2
         GROUP BY w
@@ -8338,7 +8338,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_join": r"""
       WITH names AS (SELECT DISTINCT p_name FROM part),
       blocked AS (
-        SELECT p_name, regexp_split_to_array(trim(p_name), '\s+')[-1] AS blk
+        SELECT p_name, regexp_split_to_array(trim(p_name, ' '), '\s+')[-1] AS blk
         FROM names
       )
       SELECT a.p_name AS name_a, b.p_name AS name_b,
@@ -8369,7 +8369,7 @@ ORACLES: dict[str, str] = {
     """,
     "segment_dedup": r"""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\s+') AS t
         FROM documents
       ),
       segs AS (
@@ -8535,13 +8535,13 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_fingerprint": """
       SELECT md5(array_to_string(list_sort(list_distinct(
-               regexp_split_to_array(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+               regexp_split_to_array(lower(trim(text, ' ')), '\\s+'))), ' ')) AS fingerprint,
              MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1
     """,
     "dedup_jaccard": """
       WITH tok AS (
-        SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+        SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS s
         FROM documents WHERE doc_id < 300
       ),
       pairs AS (
@@ -8554,7 +8554,7 @@ ORACLES: dict[str, str] = {
     """,
     "top_ngrams": """
       WITH toks AS (
-        SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS s FROM documents
+        SELECT regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS s FROM documents
       ),
       grams AS (
         SELECT unnest(CASE WHEN len(s) >= 2
@@ -8567,7 +8567,7 @@ ORACLES: dict[str, str] = {
     """,
     "tf_idf": """
       WITH term_rows AS (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS term
         FROM documents WHERE doc_id < 200
       ),
       tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -8586,7 +8586,7 @@ ORACLES: dict[str, str] = {
     "text_analysis": f"""
       WITH base AS (
         SELECT doc_id, text,
-               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks,
+               list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS toks,
                CAST(length(text) AS DOUBLE) AS n_chars,
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
         FROM documents
@@ -8599,7 +8599,7 @@ ORACLES: dict[str, str] = {
         FROM base
       )
       SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+             CAST(len(regexp_split_to_array(trim(text, ' '), '\\s+')) AS INTEGER) AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
              {_PRED_LANG_CASE_SQL} AS predicted_lang,
              round(0.4 * least(1.0, n_chars / 500.0)
@@ -8877,7 +8877,7 @@ ORACLES: dict[str, str] = {
     "explode_tokens": """
       SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, s[i] AS token
       FROM (
-        SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS s
+        SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+'))) AS s
         FROM documents WHERE doc_id < 50
       ) t, unnest(range(1, len(s) + 1)) AS u(i)
     """,
@@ -9084,7 +9084,7 @@ ORACLES["group_normalize"] = """
 # star contraction instead, which is the 100 TB path.
 ORACLES["dedup_components"] = """
     WITH RECURSIVE tok AS (
-      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS s
       FROM documents WHERE doc_id < 300
     ),
     pairs AS (
@@ -9191,7 +9191,7 @@ ORACLES["unpivot_metrics"] = """
 
 ORACLES["heavy_hitters"] = """
     WITH toks AS (
-      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS token
       FROM documents
     ),
     t AS (SELECT token FROM toks WHERE token <> '')
@@ -9435,7 +9435,7 @@ ORACLES["pack_shards"] = """
 
 ORACLES["dedup_survivors"] = """
     WITH RECURSIVE tok AS (
-      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+      SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS s
       FROM documents WHERE doc_id < 300
     ),
     pairs AS (
@@ -9467,7 +9467,7 @@ ORACLES["dedup_survivors"] = """
 ORACLES["inverted_index"] = """
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))
+             unnest(list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')))
                AS token
       FROM documents
     ),
@@ -9486,7 +9486,7 @@ ORACLES["inverted_index"] = """
 
 ORACLES["doc_chunking"] = """
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ),
     s AS (
@@ -9529,7 +9529,7 @@ ORACLES["bucketed_join"] = """
 ORACLES["dedup_minhash_lsh"] = """
     WITH d AS (
       SELECT doc_id,
-             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+             list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS s
       FROM documents
     ),
     sig AS (
@@ -9556,7 +9556,7 @@ ORACLES["dedup_minhash_lsh"] = """
 ORACLES["dedup_simhash"] = """
     WITH d AS (
       SELECT doc_id,
-             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s
+             list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS s
       FROM documents
     ),
     h AS (
@@ -9584,7 +9584,7 @@ ORACLES["dedup_simhash"] = """
 # min selection, distinct+sorted fingerprints per document.
 ORACLES["winnow_fingerprints"] = """
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS toks
       FROM documents
     ),
     g AS (
@@ -9689,7 +9689,7 @@ _CORPUS_SILVER_SQL = f"""
          COALESCE(lang, 'und') AS lang_declared,
          COALESCE(source, 'unknown') AS source,
          CAST(n_chars AS INTEGER) AS n_chars,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_split_to_array(trim(text, ' '), '\\s+')) AS INTEGER) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens,
          {_PRED_LANG_CASE_SQL} AS predicted_lang,
          round(0.4 * least(1.0, q_chars / 500.0)
@@ -9702,7 +9702,7 @@ _CORPUS_SILVER_SQL = f"""
            CAST(len(list_intersect(toks, {LANG_MARKERS['en']!r})) AS DOUBLE) AS stop_hits
     FROM (
       SELECT doc_id, text, lang, source, n_chars,
-             list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks,
+             list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS toks,
              CAST(length(text) AS DOUBLE) AS q_chars,
              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha_chars
       FROM documents
@@ -9772,8 +9772,8 @@ ORACLES["corpus_expectations"] = f"""
 
 ORACLES["lm_perplexity_pruned"] = """
   WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-    FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+    SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\\s+') AS w
+    FROM documents WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 2
   ),
   bigrams AS (
     SELECT doc_id, w[i] AS w1, w[i+1] AS w2
