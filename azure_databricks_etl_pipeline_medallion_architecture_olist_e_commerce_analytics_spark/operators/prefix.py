@@ -44,20 +44,27 @@ def with_running_total(
 
     Returns the input columns plus ``out`` (long). One range shuffle total.
     """
-    ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    # NULL values add 0 to the scan (SQL SUM's skip-null semantics). The
+    # coalesce happens JVM-SIDE so the Arrow column arriving in the Python
+    # scan is a non-null int64: a nullable long column would reach pandas
+    # as float64, silently rounding values above 2^53 while the JVM
+    # offsets phase stayed exact.
+    ranged = (
+        df.withColumn("__v", F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long")))
+        .repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+    )
     ranged = ranged.persist()
     try:
         partials = (
             ranged.withColumn("__pid", F.spark_partition_id())
             .groupBy("__pid")
-            .agg(F.sum(F.col(value_col).cast("long")).alias("__psum"))
+            .agg(F.sum("__v").alias("__psum"))
             .collect()
         )
     except Exception:
         ranged.unpersist()
         raise
-    # __psum is NULL for a partition whose every value is NULL (SQL SUM
-    # skips nulls) — such a partition contributes 0 to the prefix
     sums = {int(r["__pid"]): int(r["__psum"] or 0) for r in partials}
     offsets = {}
     acc = 0
@@ -65,7 +72,7 @@ def with_running_total(
         offsets[pid] = acc
         acc += sums[pid]
 
-    fields = ranged.schema.fields
+    fields = [f for f in ranged.schema.fields if f.name != "__v"]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in fields] + [f"{out} long"]
     )
@@ -76,12 +83,9 @@ def with_running_total(
         pid = TaskContext.get().partitionId()
         running = offsets.get(pid, 0)
         for pdf in it:
-            # NULL values add 0 to the scan — the same skip-null semantics
-            # the JVM SUM applied in the offsets phase, so the two phases
-            # stay consistent on data with missing values
-            vals = pdf[value_col].fillna(0).astype("int64")
+            vals = pdf["__v"]  # non-null int64 by construction
             inclusive = vals.cumsum() + running
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns="__v")
             pdf[out] = inclusive - vals  # exclusive prefix
             running = int(inclusive.iloc[-1]) if len(pdf) else running
             yield pdf

@@ -20,7 +20,11 @@ SELECT
   predicted_lang,
   COUNT(*) AS n_docs,
   CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
-  ROUND(CAST(SUM(bpe_tokens) AS DOUBLE)
-        / CAST(SUM(SUM(bpe_tokens)) OVER () AS DOUBLE), 6) AS token_share
+  -- a zero-token corpus has no mixture: NULL, spelled out because Spark's
+  -- 0.0/0.0 is NULL while DuckDB's is NaN (the time_weighted_avg guard)
+  CASE WHEN COALESCE(SUM(SUM(bpe_tokens)) OVER (), 0) = 0 THEN NULL
+       ELSE ROUND(CAST(SUM(bpe_tokens) AS DOUBLE)
+                  / CAST(SUM(SUM(bpe_tokens)) OVER () AS DOUBLE), 6)
+  END AS token_share
 FROM LIVE.corpus_survivors
 GROUP BY source, predicted_lang

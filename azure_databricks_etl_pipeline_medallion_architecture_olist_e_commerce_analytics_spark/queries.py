@@ -9740,8 +9740,10 @@ ORACLES["corpus_gold_mix"] = f"""
   SELECT source, predicted_lang,
          COUNT(*) AS n_docs,
          CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
-         ROUND(CAST(SUM(bpe_tokens) AS DOUBLE)
-               / CAST(SUM(SUM(bpe_tokens)) OVER () AS DOUBLE), 6) AS token_share
+         CASE WHEN COALESCE(SUM(SUM(bpe_tokens)) OVER (), 0) = 0 THEN NULL
+              ELSE ROUND(CAST(SUM(bpe_tokens) AS DOUBLE)
+                         / CAST(SUM(SUM(bpe_tokens)) OVER () AS DOUBLE), 6)
+         END AS token_share
   FROM survivors
   GROUP BY source, predicted_lang
 """

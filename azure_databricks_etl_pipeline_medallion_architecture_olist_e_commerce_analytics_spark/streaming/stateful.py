@@ -38,6 +38,7 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("cum_micros", T.LongType()),
         T.StructField("cum_events", T.LongType()),
+        T.StructField("seen_values", T.LongType()),
     ]
 )
 
@@ -46,31 +47,46 @@ def _running_totals_fn(key, pdf_iter: Iterator["pd.DataFrame"], state) -> Iterat
     import pandas as pd
 
     (user_id,) = key
-    cum_micros, cum_events = state.get if state.exists else (0, 0)
+    cum_micros, cum_events, seen_values = state.get if state.exists else (0, 0, 0)
     # One key's batch rows can span several Arrow chunks; event-time order is
     # only defined over the whole batch, so concat before sorting.
     chunks = [pdf for pdf in pdf_iter if len(pdf)]
     if chunks:
         pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        # NULL values accumulate as 0 (SQL SUM's skip-null semantics,
-        # matching the JVM twin except on an all-null prefix where SQL
-        # yields NULL); NaN.astype(int64) would abort the stream
+        # na_position='first' = Spark's ASC NULLS FIRST, so the twin's
+        # window ordering and this sort agree on rows with NULL ts/id
+        pdf = pdf.sort_values(
+            ["ts", "event_id"], kind="mergesort", na_position="first"
+        )
+        # NULL values accumulate as 0 (SQL SUM's skip-null semantics;
+        # NaN.astype(int64) would abort the stream) — but SQL's running
+        # SUM is NULL until the key's FIRST non-null value, so mask the
+        # output back to NULL on an all-null prefix to stay value-equal
+        # to the JVM window twin (running_totals_window).
         micros = (pdf["value"].fillna(0.0) * 1_000_000).round().astype("int64")
         run_micros = micros.cumsum() + cum_micros
+        seen = pdf["value"].notna().cumsum() + seen_values
         run_events = pd.RangeIndex(1, len(pdf) + 1) + cum_events
         cum_micros = int(run_micros.iloc[-1])
         cum_events = cum_events + len(pdf)
+        seen_values = int(seen.iloc[-1])
+        # genuine NULLs, not NaN: Spark treats NaN as a value, the twin's
+        # SQL SUM yields NULL — build an object column with None holes
+        rv = (run_micros / 1_000_000).to_numpy()
+        seen_mask = (seen > 0).to_numpy()
         yield pd.DataFrame(
             {
                 "user_id": user_id,
                 "event_id": pdf["event_id"].values,
                 "ts": pdf["ts"].values,
-                "running_value": (run_micros / 1_000_000).values,
+                "running_value": pd.array(
+                    [v if m else None for v, m in zip(rv, seen_mask)],
+                    dtype="Float64",
+                ),
                 "running_events": run_events.astype("int64"),
             }
         )
-    state.update((cum_micros, cum_events))
+    state.update((cum_micros, cum_events, seen_values))
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

@@ -19,6 +19,13 @@ def spark():
     yield s
 
 
+def formatted_plan(df):
+    """explain("formatted") text for plan-guard assertions (shared by
+    test_plans.py and test_corpus.py — one definition, one rendering)."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb

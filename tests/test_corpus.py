@@ -21,11 +21,7 @@ from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analy
 )
 
 from conftest import SF_SMALL
-
-
-def _formatted_plan(df):
-    jvm = df.sparkSession._jvm
-    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from conftest import formatted_plan as _formatted_plan
 
 
 def test_corpus_pipeline_run_materializes_warehouse(spark):

@@ -47,6 +47,16 @@ def test_formerly_crashing_queries_tolerate_nulls(spark, null_sf, name):
     SPARK_QUERIES[name](spark, null_sf).count()
 
 
+def test_running_totals_twins_agree_on_null_data(spark, null_sf):
+    """The stateful streaming accumulator and its JVM window twin must be
+    VALUE-identical even on 10%-null data: NULL values accumulate as
+    skip-null SUM (NULL until the key's first non-null value — not 0, not
+    NaN), and NULL ts/event_id rows order NULLS FIRST in both."""
+    stream = SPARK_QUERIES["streaming_running_totals"](spark, null_sf)
+    batch = SPARK_QUERIES["running_totals_window"](spark, null_sf)
+    assert stream.exceptAll(batch).isEmpty() and batch.exceptAll(stream).isEmpty()
+
+
 def test_similarity_drops_null_ids_not_garbage(spark, null_sf):
     """A NULL vec_id must be DROPPED, never cast to an arbitrary int64:
     every id in the top-k output must exist in the non-null input ids."""

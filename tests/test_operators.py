@@ -405,7 +405,12 @@ def test_resize_never_upscales_and_preserves_aspect(spark):
     )
 
     docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 200)
-    out = resize_image_meta(decode_image_meta(attach_binary_payload(docs)), target=256)
+    # pin the stub kernel: in a Pillow-equipped container the auto default
+    # would real-decode the synthesized text payloads to NULL dims
+    out = resize_image_meta(
+        decode_image_meta(attach_binary_payload(docs), use_real_decoder=False),
+        target=256,
+    )
     for r in out.collect():
         assert max(r.resized_width, r.resized_height) <= max(256, min(r.width, r.height))
         assert r.resized_width <= r.width and r.resized_height <= r.height

@@ -14,9 +14,7 @@ from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analy
 from conftest import SF_SMALL
 
 
-def _formatted_plan(df):
-    jvm = df.sparkSession._jvm
-    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from conftest import formatted_plan as _formatted_plan  # noqa: E402
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
