@@ -44,11 +44,15 @@ def with_running_total(
 
     Returns the input columns plus ``out`` (long). One range shuffle total.
     """
-    # NULL values add 0 to the scan (SQL SUM's skip-null semantics). The
-    # coalesce happens JVM-SIDE so the Arrow column arriving in the Python
-    # scan is a non-null int64: a nullable long column would reach pandas
-    # as float64, silently rounding values above 2^53 while the JVM
-    # offsets phase stayed exact.
+    # NULL values contribute 0 to the running total — deliberately NOT
+    # windowed-SUM semantics (which stays NULL until the key's first
+    # non-null value; streaming/stateful.py masks its output for exactly
+    # that contract). Here the contract is `tokens_before`: a NULL-sized
+    # row occupies a position but adds no tokens, so an all-NULL prefix
+    # correctly reads 0, not NULL. The coalesce happens JVM-SIDE so the
+    # Arrow column arriving in the Python scan is a non-null int64: a
+    # nullable long column would reach pandas as float64, silently
+    # rounding values above 2^53 while the JVM offsets phase stayed exact.
     ranged = (
         df.withColumn("__v", F.coalesce(F.col(value_col).cast("long"), F.lit(0).cast("long")))
         .repartitionByRange(*order_cols)

@@ -9814,8 +9814,12 @@ ORACLES["lm_perplexity_pruned"] = """
 
 ORACLES["user_paths"] = """
   WITH seq AS (
+    -- NULLS FIRST pins DuckDB (default NULLS LAST) to Spark's ASC default
+    -- (NULLS FIRST) so NULL timestamps order identically in both engines.
     SELECT user_id, event_type,
-           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+           ) AS rn
     FROM events
   ),
   paths AS (
@@ -9916,9 +9920,13 @@ ORACLES["pareto_customers"] = """
 
 ORACLES["time_weighted_avg"] = """
   WITH stepped AS (
+    -- NULLS FIRST pins DuckDB (default NULLS LAST) to Spark's ASC default
+    -- (NULLS FIRST) so NULL timestamps order identically in both engines.
     SELECT user_id,
            CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v_micro,
-           CAST(FLOOR(EPOCH(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+           CAST(FLOOR(EPOCH(LEAD(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                )))
                 - FLOOR(EPOCH(ts)) AS BIGINT) AS dt_s
     FROM events
   )

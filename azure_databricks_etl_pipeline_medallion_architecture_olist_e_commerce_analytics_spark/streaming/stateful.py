@@ -47,7 +47,23 @@ def _running_totals_fn(key, pdf_iter: Iterator["pd.DataFrame"], state) -> Iterat
     import pandas as pd
 
     (user_id,) = key
-    cum_micros, cum_events, seen_values = state.get if state.exists else (0, 0, 0)
+    if state.exists:
+        st = tuple(state.get)
+        if len(st) == 2:
+            # Checkpoint written by the pre-`seen_values` 2-field state
+            # schema. Those builds coalesced NULLs into the running sum, so
+            # any key with prior events behaves as having seen a value —
+            # derive seen_values from cum_events rather than breaking the
+            # tuple unpack on resume. (Spark may still reject a
+            # stateStructType change at the state-store layer depending on
+            # version/provider; this guard covers the paths that hand the
+            # legacy tuple through.)
+            cum_micros, cum_events = st
+            seen_values = 1 if cum_events else 0
+        else:
+            cum_micros, cum_events, seen_values = st
+    else:
+        cum_micros, cum_events, seen_values = 0, 0, 0
     # One key's batch rows can span several Arrow chunks; event-time order is
     # only defined over the whole batch, so concat before sorting.
     chunks = [pdf for pdf in pdf_iter if len(pdf)]
