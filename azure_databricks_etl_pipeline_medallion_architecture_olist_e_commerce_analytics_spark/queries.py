@@ -1288,7 +1288,12 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     session totals accumulate in DECIMAL so they are order-independent.
     """
     tune_session(spark)
-    events = load_table(spark, sf_dir, "events")
+    return _q_sessionize_frame(load_table(spark, sf_dir, "events"))
+
+
+def _q_sessionize_frame(events: DataFrame) -> DataFrame:
+    """The window-form sessionization on an arbitrary events frame (shared
+    by the catalog query and the split-twin equivalence tests)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     is_new = F.when(
@@ -1305,6 +1310,25 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
     )
+
+
+def q_sessionize_batch_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe sessionization twin of ``sessionize_batch`` — same output
+    contract, same oracle, different physical shape.
+
+    The window form funnels each user's whole lag/cumsum chain through one
+    task (2.1× on the hostile-skew probe's 50%-hot user; a 10⁹-event bot at
+    100 TB is a stuck executor). This form pre-splits by 6-hour time range,
+    sessionizes per (user, range) in parallel, and stitches boundary
+    sessions over the per-user SESSION summaries — O(sessions), not
+    O(events), in the sequential per-user step. See
+    operators/sessionize.py for the equivalence argument.
+    """
+    tune_session(spark)
+    from .operators.sessionize import sessionize_split
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_split(events)
 
 
 def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6420,6 +6444,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct": q_sketch_distinct,
     "approx_quantiles": q_approx_quantiles,
     "sessionize_batch": q_sessionize_batch,
+    "sessionize_batch_split": q_sessionize_batch_split,
     "gap_fill_ffill": q_gap_fill_ffill,
     "rank_matrix": q_rank_matrix,
     "not_in_subquery": q_not_in_subquery,
@@ -8976,6 +9001,11 @@ ORACLES["sessionize_batch"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
     FROM tagged GROUP BY user_id, session_seq
 """
+
+# The split-and-stitch form computes the identical session contract, so it
+# shares the window form's oracle verbatim (operators/sessionize.py carries
+# the equivalence argument).
+ORACLES["sessionize_batch_split"] = ORACLES["sessionize_batch"]
 
 ORACLES["gap_fill_ffill"] = """
     WITH daily AS (

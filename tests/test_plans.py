@@ -603,3 +603,17 @@ def test_iqr_outliers_broadcasts_quartiles(spark):
     cell_cols = {"priority", "day", "x", "rnk", "n"}
     for s in _sort_input_cols(plan):
         assert s <= cell_cols, f"Sort over non-cell columns {s - cell_cols}"
+
+
+def test_sessionize_split_two_exchanges_only(spark):
+    """The skew-safe sessionize twin moves event-volume data through
+    exactly ONE exchange — hash(user, time-bucket), the partitioning that
+    breaks a hyperactive key apart — and session-volume data through ONE
+    more (the per-user stitch). Both downstream groupBys run exchange-free
+    because their keys are supersets of the window partitioning Spark
+    already has (HashPartitioning(user, bucket) satisfies grouping on
+    (user, bucket, local_seq); same for the final merge on user)."""
+    plan = _formatted_plan(SPARK_QUERIES["sessionize_batch_split"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:1200]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

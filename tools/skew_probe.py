@@ -44,6 +44,8 @@ PROBE = [
     "order_totals",       # hash agg on the hot lineitem key
     "grouped_median",     # per-key window over 5 event types (already coarse)
     "sessionize_batch",
+    "sessionize_batch_split",  # skew-safe twin: (user, time-range) pre-split
+    #                            + boundary stitch over session summaries
     "date_expr_join",
     "skew_salted_join",   # explicit salting
     "tpch_q18",           # HAVING over the hot order
