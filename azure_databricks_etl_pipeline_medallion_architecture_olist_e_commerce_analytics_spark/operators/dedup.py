@@ -146,6 +146,7 @@ def minhash_lsh_pairs(
     cache: bool = True,
     screen: bool | None = None,
     hash_family: str = "murmur3",
+    bucket_cap: int | None = 8192,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
@@ -205,7 +206,13 @@ def minhash_lsh_pairs(
     rows for the bucket shuffle, and (id, id) pairs afterwards. Token
     arrays travel only attached to one representative per distinct set.
     Giant buckets (a band hash shared by m reps) cost O(m²) *streamed,
-    codegen'd* pair evaluations but never a shuffled m² materialization.
+    codegen'd* pair evaluations but never a shuffled m² materialization —
+    and with ``bucket_cap`` set (default 8192) that quadratic stream is
+    *distributed*: buckets over the cap split into ⌈m/cap⌉ sorted chunks
+    and the pair generation runs as ⌈m/cap⌉² independent triangle/cross
+    blocks across the cluster instead of one task (output provably
+    identical — the blocks partition the pair set; see the inline comment).
+    ``bucket_cap=None`` disables the cap (the pre-round-6 behavior).
     ``cache=True`` persists the group table and the per-rep payload that
     multiple plan branches re-read; pass ``cache=False`` to manage
     persistence at the pipeline level.
@@ -329,12 +336,71 @@ def minhash_lsh_pairs(
     buckets = buckets.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    e1 = buckets.select("band_id", "ms", F.posexplode("ms").alias("i", "a"))
+    # Giant-bucket cap: a band hash owned by m reps costs O(m²) streamed
+    # pair evaluations, and without a cap they all stream inside ONE task
+    # (a boilerplate-heavy crawl makes m huge — the one remaining funnel in
+    # the banded plan). Triangle-block decomposition fixes the distribution
+    # without changing the output: sort the member array once, slice it
+    # into ⌈m/cap⌉ chunks, and emit each chunk-pair (ci ≤ cj) as its own
+    # work unit — diagonal blocks generate their i<j triangle, off-diagonal
+    # blocks the full cross product. Every unordered pair appears in
+    # exactly one block (the chunks partition the sorted array), so the
+    # exactly-once first-matching-band rule downstream is untouched.
+    # Buckets at or under the cap keep the original single-explode path —
+    # the common case pays only a size filter.
+    small = buckets if bucket_cap is None else buckets.filter(
+        F.size("ms") <= bucket_cap
+    )
+    e1 = small.select("band_id", "ms", F.posexplode("ms").alias("i", "a"))
     e2 = e1.select(
         "band_id",
         "a",
         F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"),
     )
+    if bucket_cap is not None:
+        cap = int(bucket_cap)
+        big = buckets.filter(F.size("ms") > cap)
+        nch = F.ceil(F.size("ms") / F.lit(cap)).cast("int")
+        chunked = big.select(
+            "band_id",
+            "band_hash",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nch - 1),
+                    lambda i: F.slice("ms", i * cap + 1, cap),
+                )
+            ).alias("ci", "chunk"),
+        )
+        cx = chunked.select(
+            "band_id",
+            "band_hash",
+            F.col("ci").alias("cxi"),
+            F.col("chunk").alias("mx"),
+        )
+        cy = chunked.select(
+            "band_id",
+            "band_hash",
+            F.col("ci").alias("cyi"),
+            F.col("chunk").alias("my"),
+        )
+        blocks = cx.join(cy, ["band_id", "band_hash"]).filter(
+            F.col("cxi") <= F.col("cyi")
+        )
+        diag = (
+            blocks.filter(F.col("cxi") == F.col("cyi"))
+            .select("band_id", "mx", F.posexplode("mx").alias("i", "a"))
+            .select(
+                "band_id",
+                "a",
+                F.explode(F.slice("mx", F.col("i") + 2, F.size("mx"))).alias("b"),
+            )
+        )
+        off = (
+            blocks.filter(F.col("cxi") < F.col("cyi"))
+            .select("band_id", "my", F.explode("mx").alias("a"))
+            .select("band_id", "a", F.explode("my").alias("b"))
+        )
+        e2 = e2.unionByName(diag).unionByName(off)
     matched_earlier = F.lit(False)
     for k in range(bands - 1):
         matched_earlier = matched_earlier | (

@@ -1234,3 +1234,44 @@ def test_bellman_ford_max_frontier_hint_paths_agree(spark):
             for r in bellman_ford(edges, seeds, rounds=3, max_frontier=bound).collect()
         }
         assert got == expect, f"max_frontier={bound}"
+
+
+def test_lsh_bucket_cap_output_identical_on_planted_megabucket(spark):
+    """300 near-identical docs (50 shared tokens + 1 unique each) collapse
+    into one mega-bucket per band; the capped triangle-block decomposition
+    must emit EXACTLY the uncapped pair set, across cap values that do and
+    don't divide the bucket size — including cap > size (pure small path)."""
+    shared = " ".join(f"w{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(i, f"{shared} u{i}") for i in range(300)], ["doc_id", "text"]
+    )
+
+    def pairs(cap):
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(
+                docs, threshold=0.8, bucket_cap=cap
+            ).collect()
+        )
+
+    baseline = pairs(None)
+    # J = 50/52 ≈ 0.96 → banding recall ≈ 1 (a stray pair may miss every
+    # band); the point here is capped == uncapped, not absolute recall.
+    assert len(baseline) >= 0.999 * (300 * 299 // 2)
+    for cap in (32, 77, 300, 4096):
+        assert pairs(cap) == baseline, f"cap={cap} diverged"
+
+
+def test_lsh_bucket_cap_default_no_change_on_testdata(spark):
+    """On the real documents table (no mega-buckets) the default cap is
+    byte-identical to the uncapped plan's output."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8, bucket_cap=None).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    )
+    assert a == b and len(a) > 0

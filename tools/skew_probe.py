@@ -215,6 +215,42 @@ def probe_corpus_hot_fingerprint(spark) -> None:
     print(f"| max_by aggregation (corpus_survivors_agg twin) | {time.perf_counter()-t0:.2f} |", flush=True)
 
 
+def probe_lsh_megabucket(spark) -> None:
+    """Fourth section: banded LSH under a planted mega-bucket (the
+    boilerplate-heavy-crawl shape — thousands of near-identical docs whose
+    signatures share every band hash). Uncapped, each band's O(m²) pair
+    stream runs in ONE task; the bucket_cap triangle-block decomposition
+    spreads it across ⌈m/cap⌉² independent blocks with identical output."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    print()
+    print("## Banded LSH under a planted mega-bucket (4096 near-identical docs)")
+    print()
+    print("| formulation | pairs | wall (s) |")
+    print("|---|---|---|")
+    m = 4096
+    shared = " ".join(f"w{i}" for i in range(50))
+    docs = (
+        spark.range(m)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(shared + " u"), F.col("id").cast("string")).alias(
+                "text"
+            ),
+        )
+        .localCheckpoint()
+    )
+    for label, cap in (("uncapped (single-task m² stream)", None),
+                       ("bucket_cap=512 (triangle blocks)", 512)):
+        t0 = time.perf_counter()
+        n = minhash_lsh_pairs(docs, threshold=0.8, bucket_cap=cap).count()
+        print(
+            f"| {label} | {n} | {time.perf_counter() - t0:.2f} |", flush=True
+        )
+
+
 if __name__ == "__main__":
     if not os.path.exists(os.path.join(OUT, "events.parquet")):
         build()
@@ -231,3 +267,4 @@ if __name__ == "__main__":
             print(f"| {name} | — | — | ERROR {type(exc).__name__} |", flush=True)
     probe_graph_hub(spark)
     probe_corpus_hot_fingerprint(spark)
+    probe_lsh_megabucket(spark)
