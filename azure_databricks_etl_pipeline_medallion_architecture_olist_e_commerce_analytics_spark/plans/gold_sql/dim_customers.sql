@@ -6,7 +6,13 @@ CREATE OR REFRESH MATERIALIZED VIEW gold.dim_customers
 COMMENT "Customer dimension enriched with first-event telemetry."
 TBLPROPERTIES (
   'quality' = 'gold',
-  'layer' = 'analytics'
+  'layer' = 'analytics',
+  -- reference write tuning (fact_order_items.sql:11-18): applied when
+  -- the sink runs with Delta jars; inert under the parquet fallback
+  'delta.autoOptimize.optimizeWrite' = 'true',
+  'delta.autoOptimize.autoCompact' = 'true',
+  'delta.enableDeletionVectors' = 'true',
+  'delta.targetFileSize' = '268435456'
 )
 AS
 WITH ranked_events AS (

@@ -13,7 +13,13 @@ CLUSTER BY (part_key, supplier_key, order_date_key, customer_key)
 COMMENT "Line-item fact with denormalized order/customer aggregates."
 TBLPROPERTIES (
   'quality' = 'gold',
-  'layer' = 'analytics'
+  'layer' = 'analytics',
+  -- reference write tuning (fact_order_items.sql:11-18): applied when
+  -- the sink runs with Delta jars; inert under the parquet fallback
+  'delta.autoOptimize.optimizeWrite' = 'true',
+  'delta.autoOptimize.autoCompact' = 'true',
+  'delta.enableDeletionVectors' = 'true',
+  'delta.targetFileSize' = '268435456'
 )
 AS
 WITH order_totals_sets AS (

@@ -119,8 +119,27 @@ def write_table(
         writer = writer.bucketBy(int(n), *cols)
         sort_cols = tuple(getattr(dataset, "sort_by", ()) or ()) or tuple(cols)
         writer = writer.sortBy(*sort_cols)
+    dropped_delta_props = []
     for k, v in dataset.table_properties.items():
+        if k.startswith("delta.") and use_fmt != "delta":
+            # The reference's write tuning (optimizeWrite/autoCompact,
+            # deletion vectors, targetFileSize — fact_order_items.sql:11-18)
+            # only means something to a Delta table; under the parquet
+            # fallback it must not masquerade as a parquet writer option.
+            # Parsed and carried this far so a Delta-equipped deployment
+            # gets the reference's tuning for free; warn-once here.
+            dropped_delta_props.append(k)
+            continue
         writer = writer.option(k, str(v))
+    if dropped_delta_props:
+        import warnings
+
+        warnings.warn(
+            f"{dataset.name}: Delta table properties {dropped_delta_props} "
+            "ignored under the parquet fallback (no Delta jars in this "
+            "environment); they apply when the sink writes format('delta').",
+            stacklevel=2,
+        )
     if location:
         writer = writer.option("path", location)
     writer.saveAsTable(ident)

@@ -101,3 +101,86 @@ def test_registered_mv_resolves_live_refs_and_drops_rows(spark):
     with pytest.raises(ExpectationViolation) as ei:
         enforce_fail(d.name, df, d.expectations)
     assert "valid_price" in str(ei.value)
+
+
+def test_table_properties_survive_to_sink_call(spark, tmp_path):
+    """The parsed TBLPROPERTIES dict must reach the write_table sink call
+    intact (delta.* write tuning included), and under the parquet fallback
+    the sink must warn-and-skip the delta.* entries rather than pass them
+    as bogus parquet writer options."""
+    import warnings
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.sources import (
+        sinks,
+    )
+
+    p = Pipeline("tp")
+
+    @p.table(name="silver.silver_items")
+    def silver_items(ctx):
+        return ctx.spark_session.createDataFrame(
+            [(1, 10.0, 2)], "part_key int, price double, qty int"
+        ).selectExpr(
+            "part_key", "price", "qty", "part_key AS supp_key",
+            "price * qty AS total_value",
+        )
+
+    spec = register_mv_sql(p, FACT_DDL.replace("fact_items", "tp_fact"))
+    assert spec.table_properties == {
+        "quality": "gold",
+        "delta.autoOptimize.optimizeWrite": "true",
+        "delta.targetFileSize": "268435456",
+    }
+
+    seen: dict[str, dict] = {}
+    real = sinks.write_table
+
+    def spy(sp, df, dataset, **kw):
+        seen[dataset.name] = dict(dataset.table_properties)
+        return real(sp, df, dataset, **kw)
+
+    sinks.write_table = spy
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            p.run(spark, warehouse=str(tmp_path))
+    finally:
+        sinks.write_table = real
+
+    # the full parsed dict reached the sink call
+    assert seen["gold.tp_fact"] == spec.table_properties
+    if not sinks.HAVE_DELTA:
+        msgs = [str(w.message) for w in caught]
+        assert any(
+            "delta.autoOptimize.optimizeWrite" in m and "parquet fallback" in m
+            for m in msgs
+        ), msgs
+
+
+def test_gold_ddl_files_carry_reference_delta_properties():
+    """Parity: every gold MV file sets the reference's four delta.* write
+    properties (fact_order_items.sql:11-18) so a Delta-equipped deployment
+    gets the reference's tuning without edits."""
+    import glob
+    import os
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.plans import (
+        sqlmv,
+    )
+
+    gold_dir = os.path.join(
+        os.path.dirname(sqlmv.__file__), "gold_sql"
+    )
+    files = sorted(glob.glob(os.path.join(gold_dir, "*.sql")))
+    assert len(files) == 6
+    want = {
+        "delta.autoOptimize.optimizeWrite": "true",
+        "delta.autoOptimize.autoCompact": "true",
+        "delta.enableDeletionVectors": "true",
+        "delta.targetFileSize": "268435456",
+    }
+    for f in files:
+        spec = parse_mv_ddl(open(f).read())
+        for k, v in want.items():
+            assert spec.table_properties.get(k) == v, (f, k)
+        assert spec.table_properties.get("quality") == "gold"
