@@ -4253,6 +4253,150 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_SEP = "\x01"
+_BPE_ROUNDS = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actual BPE tokenizer TRAINING: K unrolled merge iterations, not just
+    one pair-stat pass. Each round counts adjacent symbol pairs over the
+    vocabulary (weighted by word frequency), picks the argmax pair with a
+    deterministic tie-break (count DESC, symbol pair ASC), applies the
+    merge to every word left-to-right non-overlapping (Sennrich BPE scan
+    semantics), and repeats on the merged vocabulary. Returns the learned
+    merge table: (round, sym_a, sym_b, pair_count).
+
+    Engine-portable formulation: words are SEP-delimited symbol strings
+    (``·c·h·a·t·``) and a merge is a literal ``replace(w, ·a·b·, ·ab·)`` —
+    both engines' replace() scans left-to-right and continues after each
+    replacement, which is exactly the BPE non-overlapping merge order
+    (``aaa`` under merge (a,a) → ``[aa, a]``).
+
+    Scale shape (100 TB): corpus scale collapses to vocabulary scale in
+    the first map-side-combined shuffle; every round after that is a
+    vocab-bounded pair aggregate + a ONE-row TakeOrdered to the driver
+    (the merge choice is inherently sequential — the same fixed-round,
+    bounded-driver-traffic shape as pagerank_integer/bellman_ford) + a
+    narrow map applying the merge. localCheckpoint per round truncates
+    the K-deep lineage.
+    """
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return _bpe_merges_frame(docs)
+
+
+def _bpe_merges_frame(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> DataFrame:
+    """BPE merge training over an arbitrary documents frame (shared by the
+    catalog query and the merge-scan semantics tests)."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # Each symbol is wrapped in its OWN separator pair (·a··b··c·), so a
+    # merge is replace(w, ·a··b·, ·ab·). With single shared separators
+    # (·a·b·c·) the match would consume the next pair's leading separator
+    # and 'aaaa' under merge (a,a) would come out [aa,a,a] instead of the
+    # Sennrich scan's [aa,aa] — caught by
+    # test_bpe_merges_sennrich_scan_semantics.
+    vocab = words.select(
+        F.regexp_replace("w", "(.)", _BPE_SEP + "$1" + _BPE_SEP).alias("w"),
+        "freq",
+    ).localCheckpoint()
+    syms = F.filter(F.split("w", _BPE_SEP), lambda x: x != "")
+    merges: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            vocab.select("freq", syms.alias("syms"))
+            # sequence(1, 0) DESCENDS in Spark — guard 1-symbol words out
+            .filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS a,"
+                        "             element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((rnd, a, b, cnt))
+        # literal (non-regex) replace via call_function: symbols may contain
+        # regex/quote metacharacters from adversarial text
+        vocab = vocab.select(
+            F.call_function(
+                "replace",
+                F.col("w"),
+                F.lit(f"{_BPE_SEP}{a}{_BPE_SEP}{_BPE_SEP}{b}{_BPE_SEP}"),
+                F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
+            ).alias("w"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, sym_a string, sym_b string, pair_count bigint"
+    )
+
+
+def _bpe_merges_oracle(k: int = _BPE_ROUNDS) -> str:
+    """Unrolled K-round DuckDB twin of :func:`q_bpe_merges` (generated —
+    each round is mechanical: pair counts over v{i-1}, 1-row argmax m{i},
+    merged vocabulary v{i})."""
+    sql = [
+        r"""
+  WITH words AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      SELECT unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS w
+      FROM documents
+    ) WHERE length(w) >= 2 GROUP BY w
+  ),
+  v0 AS MATERIALIZED (
+    SELECT regexp_replace(w, '(.)', e'\x01\\1\x01', 'g') AS w, freq
+    FROM words
+  )"""
+    ]
+    for i in range(1, k + 1):
+        sql.append(
+            f"""
+  , p{i} AS MATERIALIZED (
+    SELECT syms[CAST(t.i AS INT)] AS a, syms[CAST(t.i AS INT) + 1] AS b,
+           CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM (SELECT list_filter(string_split(w, e'\x01'), x -> x <> '') AS syms,
+                 freq
+          FROM v{i - 1}),
+         UNNEST(range(1, len(syms))) AS t(i)
+    GROUP BY 1, 2
+  ),
+  m{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+  v{i} AS MATERIALIZED (
+    SELECT replace(w,
+             e'\x01' || (SELECT a FROM m{i}) || e'\x01\x01'
+                     || (SELECT b FROM m{i}) || e'\x01',
+             e'\x01' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || e'\x01'
+           ) AS w, freq
+    FROM v{i - 1}
+  )"""
+        )
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    sql.append(f"\n  {rows}")
+    return "".join(sql)
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy string self-match over part names: candidate pairs
     share a head-noun block, verified at levenshtein <= 2 (entity
@@ -6365,6 +6509,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateral_topk": q_lateral_topk,
     "multimodal_phash": q_multimodal_phash,
     "bpe_pairs": q_bpe_pairs,
+    "bpe_merges": q_bpe_merges,
     "fuzzy_join": q_fuzzy_join,
     "cdc_apply": q_cdc_apply,
     "streaming_incremental_mv": q_streaming_incremental_mv,
@@ -9006,6 +9151,8 @@ ORACLES["sessionize_batch"] = """
 # shares the window form's oracle verbatim (operators/sessionize.py carries
 # the equivalence argument).
 ORACLES["sessionize_batch_split"] = ORACLES["sessionize_batch"]
+
+ORACLES["bpe_merges"] = _bpe_merges_oracle()
 
 ORACLES["gap_fill_ffill"] = """
     WITH daily AS (

@@ -1275,3 +1275,43 @@ def test_lsh_bucket_cap_default_no_change_on_testdata(spark):
         for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_bpe_merges_sennrich_scan_semantics(spark):
+    """The replace-based merge must apply left-to-right non-overlapping
+    (Sennrich BPE): 'aaaa' under merge (a,a) becomes [aa, aa], 'aaa'
+    becomes [aa, a] — so round 2's top pair is (aa, aa), not (a, aa)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        _bpe_merges_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [("aaaa " * 10,), ("aaa " * 3,)], ["text"]
+    )
+    out = sorted(
+        (r.round, r.sym_a, r.sym_b, r.pair_count)
+        for r in _bpe_merges_frame(docs, rounds=3).collect()
+    )
+    # round 1: pairs per 'aaaa' = 3, per 'aaa' = 2 → (a,a) count 3+2=5
+    # (vocab is DISTINCT words — frequency is word count in corpus: 'aaaa'
+    # freq 10, 'aaa' freq 3 → 3*10 + 2*3 = 36)
+    assert out[0] == (1, "a", "a", 36)
+    # round 2: 'aaaa'→[aa,aa] (1 pair ×10), 'aaa'→[aa,a] → pair (aa,a) ×3
+    assert out[1] == (2, "aa", "aa", 10)
+    # round 3: 'aaaa'→[aaaa], 'aaa'→[aa,a] → top remaining pair (aa,a) ×3
+    assert out[2] == (3, "aa", "a", 3)
+
+
+def test_bpe_merges_empty_and_short_corpus(spark):
+    """Empty corpus and single-char words (no pairs) stop the loop early
+    with the correct schema and zero rows."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        _bpe_merges_frame,
+    )
+
+    empty = spark.createDataFrame([], "text string")
+    out = _bpe_merges_frame(empty, rounds=2)
+    assert out.count() == 0
+    assert out.columns == ["round", "sym_a", "sym_b", "pair_count"]
+    shorts = spark.createDataFrame([("a b c",)], ["text"])
+    assert _bpe_merges_frame(shorts, rounds=2).count() == 0

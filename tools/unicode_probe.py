@@ -64,6 +64,7 @@ TEXT_QUERIES = [
     "corpus_survivors_agg",
     "leakage_safe_split",
     "bpe_pairs",
+    "bpe_merges",
     "doc_chunking",
     "token_drift",
     "kl_divergence_sources",
