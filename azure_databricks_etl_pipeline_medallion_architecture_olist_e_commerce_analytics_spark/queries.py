@@ -6674,43 +6674,38 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # CORRECTNESS row lead, then queries new this round, then a regression
 # rotation over the highest-value already-green shapes.
 _DRIVER_PRIORITY = [
-    # Round-5 budget (50 slots):
-    #   slots 1-17  — backfill: the 12 round-4 late additions that landed
-    #                 below the round-4 50-slot cutoff (mutual_information
-    #                 .. iqr_outliers) + the 5 queries whose only driver
-    #                 row is r01's no_oracle (the md5-family value oracles
-    #                 landed in round 2 but the driver never re-sampled
-    #                 them). All 17 value-match locally; a green row here
-    #                 closes hard driver verification of the whole catalog.
-    #   next slots  — queries NEW in round 5 (corpus medallion pipeline +
-    #                 analytics additions), per the round-4 verdict rule
-    #                 that new work must ship inside the tested prefix.
-    #   remainder   — regression rotation: flagship, gold dims, streaming,
-    #                 CDC, LSH/dedup, graph, sketch twins, TPC-H anchors.
-    # --- backfill: 12 round-4 late additions ---
-    "mutual_information", "token_entropy", "cusum_changepoint",
-    "seasonality_dow", "token_drift", "lm_perplexity",
-    "kl_divergence_sources", "k_anonymity_audit", "rank_fusion_rrf",
-    "attribution_linear", "autocorrelation", "iqr_outliers",
-    # --- backfill: 5 r01-no_oracle queries re-sampled post-oracle ---
-    "dedup_minhash_lsh", "dedup_simhash", "ann_topk_ivf",
-    "embedding_dup_pairs_lsh", "winnow_fingerprints",
-    # --- new in round 5: corpus medallion pipeline (engine-wired) ---
-    "corpus_silver_docs", "corpus_gold_survivors", "corpus_gold_mix",
-    "corpus_expectations", "corpus_streaming_ingest",
-    "corpus_survivors_agg", "leakage_safe_split",
-    # --- new in round 5: analytics + LM-prep additions ---
-    "lm_perplexity_pruned", "user_paths", "event_entropy",
-    "decile_lift", "pareto_customers", "time_weighted_avg",
-    # --- regression rotation (all driver-green in rounds 1-4) ---
-    "gold_fact_lineitem", "tpch_q1", "tpch_q21", "window_dedup",
-    "order_totals", "gold_dim_customers", "gold_dim_date",
-    "streaming_running_totals", "streaming_stream_join",
-    "csv_ingest_roundtrip", "cdc_apply", "merge_upsert",
-    "scd2_customers", "dedup_components", "dedup_survivors",
-    "pagerank_trade", "bfs_reach",
-    "profile_table_approx", "weighted_median_approx",
-    "ann_topk_np",
+    # Round-6 budget (50 slots), per the round-5 verdict's rotation rule:
+    # no query's newest green driver row should age past r3.
+    #   slots 1-30  — the 30 queries whose newest green row is still r01
+    #                 (all re-value-matched locally every round since; a
+    #                 hard r06 row refreshes the oldest third of the
+    #                 cumulative record).
+    #   next        — queries NEW or ORACLE-CHANGED in round 6
+    #                 (sessionize_batch_split, bpe_merges; semantic_prune
+    #                 and copurchase_lift had their DuckDB oracles marked
+    #                 MATERIALIZED for the sf1 sweep — semantically
+    #                 identical, but re-sample them hard).
+    #   remainder   — the highest-value r02-stale rows: the streaming
+    #                 family, TPC-H anchors, and skew-twin shapes.
+    # --- refresh: newest green row is r01 ---
+    "typed_projection", "predicates", "scalar_matrix", "semi_join",
+    "global_minmax", "topk_orders", "silver_customer", "silver_orders",
+    "silver_events", "gold_dim_orders", "gold_dim_parts",
+    "gold_dim_suppliers", "date_expr_join", "dedup_exact",
+    "dedup_fingerprint", "dedup_jaccard", "embedding_dup_pairs",
+    "ann_topk", "text_analysis", "multimodal_decode", "multimodal_frames",
+    "multimodal_resize", "asof_join", "rollup_sales", "pivot_status",
+    "set_ops", "ntile_window", "stat_aggregates", "array_functions",
+    "window_frames",
+    # --- new / oracle-changed in round 6 ---
+    "sessionize_batch_split", "bpe_merges",
+    "semantic_prune", "copurchase_lift",
+    # --- refresh: newest green row is r02 (highest-value subset) ---
+    "streaming_window_agg", "streaming_sliding_agg", "streaming_sessionize",
+    "streaming_dedup", "streaming_incremental_mv",
+    "tpch_q3", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q18",
+    "window_dedup_agg", "grouped_median", "range_join", "segment_dedup",
+    "multimodal_features", "quality_rank",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -8320,10 +8315,13 @@ ORACLES: dict[str, str] = {
       GROUP BY 1, 2
     """,
     "copurchase_lift": """
-      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
-      pc AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY 1),
-      pairs AS (
+      WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      -- MATERIALIZED: DuckDB's default CTE inlining re-expands op into n,
+      -- pc, and both pair sides; combined with the CROSS JOIN the optimizer
+      -- goes pathological at sf1 (>300 s). Materialized: 3.2 s.
+      n AS MATERIALIZED (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+      pc AS MATERIALIZED (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY 1),
+      pairs AS MATERIALIZED (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                COUNT(*) AS pair_orders
         FROM op a JOIN op b
@@ -8560,10 +8558,13 @@ ORACLES: dict[str, str] = {
       FROM ranked GROUP BY doc_id
     """,
     "semantic_prune": """
-      WITH RECURSIVE t AS (
+      -- t/pairs/edges MATERIALIZED: DuckDB's default CTE inlining re-expands
+      -- the all-pairs cosine into every consumer; materialized, the sf1
+      -- evaluation is 108 s instead of hours (sweep-exclusion fix, round 6).
+      WITH RECURSIVE t AS MATERIALIZED (
         SELECT vec_id, label, embedding AS e FROM embeddings
       ),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_sum(list_transform(range(1, 65), i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE))
@@ -8571,7 +8572,7 @@ ORACLES: dict[str, str] = {
                * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE)))), 6)
               >= 0.3
       ),
-      edges AS (
+      edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION ALL
         SELECT id_b, id_a FROM pairs

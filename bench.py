@@ -103,7 +103,11 @@ HEADLINE = [
     "triangle_count",
     "bfs_reach",
     "ols_trend",
-    "profile_table",
+    # "profile_table" (exact COUNT DISTINCT via the Expand rewrite) is
+    # deliberately NOT a headline: it was the slowest headline (3.6 s at
+    # sf0.1) purely from the exact-distinct proof it exists to give. It
+    # stays in the catalog with its oracle; the HLL production twin below
+    # is the benchmarked path (round-5 verdict ask #7).
     "profile_table_approx",
     "attribution_last_touch",
     "skew_profile",
