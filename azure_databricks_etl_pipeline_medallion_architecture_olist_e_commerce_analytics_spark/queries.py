@@ -344,6 +344,50 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: greedily keep the highest-quality
+    documents until a token budget (¼ of the corpus's BPE tokens) is
+    spent — the standard "best data under a compute budget" curation step
+    of an LLM training pipeline.
+
+    The greedy order is a TOTAL order (quality_score DESC, doc_id ASC;
+    quality is rounded to 6 dp so ties are real and the doc_id break
+    matters), and the decision for each doc is `tokens_before < budget`
+    where tokens_before is the EXCLUSIVE running token total in that
+    order — the last selected doc may overrun the budget, matching the
+    usual "stop after crossing" contract.
+
+    Scale shape (100 TB): the running total is the two-phase distributed
+    prefix scan (operators/prefix.py — per-partition partials to the
+    driver, O(partitions) rows, broadcast offsets back), NOT a
+    single-partition global window; the budget is a one-row aggregate
+    broadcast-cross-joined. NULL quality (null text) orders first in BOTH
+    engines (Spark ASC on the negated key = NULLS FIRST; oracle pins
+    DESC NULLS FIRST)."""
+    from .operators.prefix import with_running_total
+    from .plans.corpus import corpus_dataframe
+
+    tune_session(spark)
+    silver = corpus_dataframe(spark, sf_dir, "silver.corpus_docs").select(
+        "doc_id", "quality_score", F.col("bpe_tokens").alias("n_tokens")
+    )
+    ordered = silver.withColumn("__neg_q", -F.col("quality_score"))
+    ranked = with_running_total(
+        ordered, ["__neg_q", "doc_id"], "n_tokens", out="tokens_before"
+    )
+    budget = silver.agg(
+        F.floor(F.sum(F.col("n_tokens").cast("long")) / 4).cast("long").alias("budget")
+    )
+    return ranked.crossJoin(F.broadcast(budget)).select(
+        "doc_id",
+        "quality_score",
+        "n_tokens",
+        "tokens_before",
+        "budget",
+        (F.col("tokens_before") < F.col("budget")).alias("selected"),
+    )
+
+
 def q_corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus pipeline's warn-level expectation metrics as a
     driver-checkable query: one row per REGISTRY-registered expectation on
@@ -6628,6 +6672,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_streaming_ingest": q_corpus_streaming_ingest,
     "corpus_survivors_agg": q_corpus_survivors_agg,
     "leakage_safe_split": q_leakage_safe_split,
+    "budget_select": q_budget_select,
     # operator-level
     "typed_projection": q_typed_projection,
     "predicates": q_predicates,
@@ -6698,14 +6743,14 @@ _DRIVER_PRIORITY = [
     "set_ops", "ntile_window", "stat_aggregates", "array_functions",
     "window_frames",
     # --- new / oracle-changed in round 6 ---
-    "sessionize_batch_split", "bpe_merges",
+    "sessionize_batch_split", "bpe_merges", "budget_select",
     "semantic_prune", "copurchase_lift",
     # --- refresh: newest green row is r02 (highest-value subset) ---
     "streaming_window_agg", "streaming_sliding_agg", "streaming_sessionize",
     "streaming_dedup", "streaming_incremental_mv",
     "tpch_q3", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q18",
     "window_dedup_agg", "grouped_median", "range_join", "segment_dedup",
-    "multimodal_features", "quality_rank",
+    "multimodal_features",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -10134,4 +10179,23 @@ ORACLES["leakage_safe_split"] = f"""
               WHEN substring(md5(fingerprint), 1, 2) < 'f3' THEN 'val'
               ELSE 'test' END AS split
   FROM silver
+"""
+
+# DESC NULLS FIRST pins DuckDB to the Spark side's ordering (the prefix
+# scan sorts ASC on the NEGATED quality key, and Spark ASC = NULLS FIRST).
+ORACLES["budget_select"] = f"""
+  WITH silver AS MATERIALIZED ({_CORPUS_SILVER_SQL}),
+  o AS (
+    SELECT doc_id, quality_score, CAST(bpe_tokens AS INTEGER) AS n_tokens,
+           COALESCE(CAST(SUM(CAST(bpe_tokens AS BIGINT)) OVER (
+             ORDER BY quality_score DESC NULLS FIRST, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS tokens_before
+    FROM silver
+  ),
+  b AS (SELECT CAST(SUM(CAST(bpe_tokens AS BIGINT)) // 4 AS BIGINT) AS budget
+        FROM silver)
+  SELECT doc_id, quality_score, n_tokens, tokens_before, budget,
+         tokens_before < budget AS selected
+  FROM o CROSS JOIN b
 """

@@ -63,6 +63,7 @@ TEXT_QUERIES = [
     "corpus_gold_mix",
     "corpus_survivors_agg",
     "leakage_safe_split",
+    "budget_select",
     "bpe_pairs",
     "bpe_merges",
     "doc_chunking",
