@@ -4441,6 +4441,83 @@ def _bpe_merges_oracle(k: int = _BPE_ROUNDS) -> str:
     return "".join(sql)
 
 
+_BM25_TERMS = ["hash", "join", "vector", "filter", "scan", "merge"]
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document ranking for a fixed query-term set, top 50 —
+    the retrieval scorer a data-curation pipeline uses for query-targeted
+    corpus selection.
+
+    Engine-exactness: every per-(doc, term) contribution is floored to
+    integer micro-units BEFORE summing (the catalog's standard LN idiom),
+    so the per-doc score is an order-independent BIGINT sum; both engines
+    build the identical expression tree (idf and the length-normalized
+    denominator computed as named intermediates, left-associative final
+    product) from identical integer inputs.
+
+    Scale shape: term frequencies come from a lambda filter over the
+    token array (no explode of all tokens — only |terms| rows per doc);
+    N/avgdl is a one-row broadcast; df is a |terms|-row broadcast; the
+    final top-50 is TakeOrderedAndProject, never a global sort.
+    """
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    k1, b = 1.2, 0.75
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim("text")), r"\s+").alias("toks"),
+        )
+        .select("doc_id", "toks", F.size("toks").alias("dl"))
+    )
+    per_term = base.select(
+        "doc_id",
+        "dl",
+        F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term"),
+        "toks",
+    ).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+    ).filter(F.col("tf") > 0)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("long")).alias("sum_dl"),
+    )
+    dfreq = per_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_docs
+    idf = F.log(
+        (n_docs - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0 - b) + (F.lit(b) * F.col("dl").cast("double")) / avgdl
+    )
+    c_micro = F.floor(
+        F.lit(1000000.0) * idf * (tfd * F.lit(k1 + 1.0)) / denom
+    ).cast("long")
+    scored = (
+        per_term.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", c_micro.alias("c_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("c_micro").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy string self-match over part names: candidate pairs
     share a head-noun block, verified at levenshtein <= 2 (entity
@@ -6554,6 +6631,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash": q_multimodal_phash,
     "bpe_pairs": q_bpe_pairs,
     "bpe_merges": q_bpe_merges,
+    "bm25_rank": q_bm25_rank,
     "fuzzy_join": q_fuzzy_join,
     "cdc_apply": q_cdc_apply,
     "streaming_incremental_mv": q_streaming_incremental_mv,
@@ -6743,14 +6821,13 @@ _DRIVER_PRIORITY = [
     "set_ops", "ntile_window", "stat_aggregates", "array_functions",
     "window_frames",
     # --- new / oracle-changed in round 6 ---
-    "sessionize_batch_split", "bpe_merges", "budget_select",
+    "sessionize_batch_split", "bpe_merges", "budget_select", "bm25_rank",
     "semantic_prune", "copurchase_lift",
     # --- refresh: newest green row is r02 (highest-value subset) ---
     "streaming_window_agg", "streaming_sliding_agg", "streaming_sessionize",
     "streaming_dedup", "streaming_incremental_mv",
     "tpch_q3", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q18",
     "window_dedup_agg", "grouped_median", "range_join", "segment_dedup",
-    "multimodal_features",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -9199,6 +9276,51 @@ ORACLES["sessionize_batch"] = """
 ORACLES["sessionize_batch_split"] = ORACLES["sessionize_batch"]
 
 ORACLES["bpe_merges"] = _bpe_merges_oracle()
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+ORACLES["bm25_rank"] = f"""
+  WITH base AS MATERIALIZED (
+    SELECT doc_id,
+           regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS toks
+    FROM documents WHERE text IS NOT NULL
+  ),
+  sized AS MATERIALIZED (SELECT doc_id, toks, len(toks) AS dl FROM base),
+  q(term) AS (VALUES {_BM25_TERMS_SQL}),
+  per_term AS MATERIALIZED (
+    SELECT doc_id, dl, term,
+           len(list_filter(toks, x -> x = term)) AS tf
+    FROM sized CROSS JOIN q
+  ),
+  hits AS MATERIALIZED (SELECT * FROM per_term WHERE tf > 0),
+  stats AS MATERIALIZED (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS sum_dl
+    FROM sized
+  ),
+  dfreq AS MATERIALIZED (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term
+  ),
+  contrib AS (
+    SELECT h.doc_id,
+           CAST(FLOOR(
+             1000000.0
+             * LN((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(h.tf AS DOUBLE) * 2.2)
+             / (CAST(h.tf AS DOUBLE)
+                + 1.2 * (0.25 + (0.75 * CAST(h.dl AS DOUBLE))
+                                / (CAST(s.sum_dl AS DOUBLE)
+                                   / CAST(s.n_docs AS DOUBLE))))
+           ) AS BIGINT) AS c_micro
+    FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s
+  )
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+         CAST(SUM(c_micro) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY doc_id
+  ORDER BY score_micro DESC, doc_id ASC
+  LIMIT 50
+"""
 
 ORACLES["gap_fill_ffill"] = """
     WITH daily AS (

@@ -66,6 +66,7 @@ TEXT_QUERIES = [
     "budget_select",
     "bpe_pairs",
     "bpe_merges",
+    "bm25_rank",
     "doc_chunking",
     "token_drift",
     "kl_divergence_sources",
