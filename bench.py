@@ -193,6 +193,11 @@ HEADLINE = [
     "corpus_streaming_ingest",
     "corpus_survivors_agg",
     "leakage_safe_split",
+    # round-6 additions (same after-TPC-H placement rule)
+    "sessionize_batch_split",
+    "bpe_merges",
+    "bm25_rank",
+    "budget_select",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
