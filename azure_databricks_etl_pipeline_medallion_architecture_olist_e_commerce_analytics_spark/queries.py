@@ -4472,17 +4472,25 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "toks", F.size("toks").alias("dl"))
     )
-    per_term = base.select(
-        "doc_id",
-        "dl",
-        F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term"),
-        "toks",
-    ).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
-    ).filter(F.col("tf") > 0)
+    # All term frequencies in ONE projection over the token array, then
+    # explode only (term, tf) structs — exploding the terms first would
+    # materialize the token array |terms|× per doc before the tf filter.
+    def _tf(term: str):
+        # closure, not a default arg: a 2-parameter lambda would make
+        # F.filter pass (element, index) and bind the index to `t`
+        return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+    tf_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("term"), _tf(t).alias("tf"))
+            for t in _BM25_TERMS
+        ]
+    )
+    per_term = (
+        base.select("doc_id", "dl", F.explode(tf_structs).alias("p"))
+        .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("dl").cast("long")).alias("sum_dl"),
