@@ -4486,12 +4486,18 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _BM25_TERMS
         ]
     )
+    # One corpus scan total: the per-doc (dl, tf-vector) row is tiny, and
+    # stats / df / scoring all derive from it — without the checkpoint the
+    # three consumer branches would each re-tokenize the corpus.
+    doc_tf = base.select(
+        "doc_id", "dl", tf_structs.alias("tfs")
+    ).localCheckpoint()
     per_term = (
-        base.select("doc_id", "dl", F.explode(tf_structs).alias("p"))
+        doc_tf.select("doc_id", "dl", F.explode("tfs").alias("p"))
         .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
         .filter(F.col("tf") > 0)
     )
-    stats = base.agg(
+    stats = doc_tf.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("dl").cast("long")).alias("sum_dl"),
     )

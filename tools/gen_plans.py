@@ -262,6 +262,14 @@ ANNOTATIONS = {
         "O(partitions) driver rows, broadcast offsets) — not a one-task "
         "global window; the budget scalar broadcast-cross-joins."
     ),
+    "bm25_rank": (
+        "Okapi BM25 top-50: ONE corpus tokenization total — the per-doc "
+        "(dl, tf-vector) row is localCheckpointed and stats/df/scoring all "
+        "derive from it (un-checkpointed, the three branches each re-scan "
+        "the corpus); the terms explode carries only (term, tf) structs, "
+        "token arrays never duplicate or shuffle; df and N/avgdl "
+        "broadcast; final ranking is TakeOrderedAndProject."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "
