@@ -576,3 +576,124 @@ def semantic_prune(
             F.col("is_canonical").alias("is_kept"),
         )
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 3,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (asymmetric distance, ADC) —
+    the MEMORY-bounded ANN scale path: the corpus is represented by
+    ``m_subspaces`` one-byte codes per vector (8 bytes here vs 256 bytes of
+    float32), the standard trade when 100 TB of embeddings must fit an
+    index tier.
+
+    Codebooks are seeded deterministically (the first ``n_codes`` vectors
+    by id — the same seed-free convention as the IVF oracle family) and
+    shipped as one constant-folded LITERAL, so corpus encoding is a pure
+    projection: per subspace, argmin_c L2²(subvector, code_c) with a
+    smallest-code tie-break — zero shuffles. The argmin/LUT arithmetic is
+    expressed as higher-order folds over the literal (NOT an unrolled
+    m×codes×dim expression tree — the unrolled form cost ~20 s of Catalyst
+    analysis/codegen per run at ANY data size).
+
+    Query scoring is true ADC: each query precomputes its n_codes-entry
+    distance LUT per subspace ONCE (on the bounded query side, before the
+    broadcast), and a (query, corpus-vector) pair costs m_subspaces array
+    lookups — never a recomputation against raw corpus floats. Per-subspace
+    terms are floored to integer micro-units BEFORE summation so the ADC
+    total is an order-independent BIGINT (the catalog's engine-exactness
+    idiom); final per-query top-k is a WindowGroupLimit rank, never a
+    global sort.
+
+    Returns (query_id, nbr_id, adc_micro, rank<=k). Approximate by
+    construction (quantization error), but fully value-oracled: DuckDB
+    re-derives codebooks, codes, LUT terms, and ranks from the same
+    deterministic recipe.
+    """
+    d_sub = dim // m_subspaces
+    # NULL vectors cannot be coded or queried — drop them up front (the
+    # null-injection probe feeds 10%-null columns; unguarded, the seed
+    # collect crashes on row[vec][...] of None). The oracle filters the
+    # same way.
+    df = df.filter(F.col(vec_col).isNotNull())
+    seeds = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    if not seeds:
+        # empty corpus: no codebook to build — an F.array() of zero seed
+        # arrays would be an untyped empty literal (analysis error)
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, nbr_id long, adc_micro long, rank int"
+        )
+    # fewer vectors than codes: the codebook is just smaller (the oracle's
+    # LIMIT n_codes picks up the same truncation)
+    n_codes = min(n_codes, len(seeds))
+    codebook = [
+        [
+            [float(x) for x in row[vec_col][m * d_sub : (m + 1) * d_sub]]
+            for row in seeds
+        ]
+        for m in range(m_subspaces)
+    ]
+    # one Literal after constant folding: array<array<array<double>>>
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in code]) for code in codebook[m]])
+            for m in range(m_subspaces)
+        ]
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    # L2² between v's m-th subvector and codebook[m][c]; 0-based m, 1-based
+    # c/i (element_at). Fold order matches the oracle's list_sum exactly.
+    _dist = (
+        "aggregate(sequence(1, {d}), CAST(0.0 AS DOUBLE), (s, i) -> s"
+        " + (element_at(v, m * {d} + i)"
+        "    - element_at(element_at(element_at(cbl, m + 1), c), i))"
+        " * (element_at(v, m * {d} + i)"
+        "    - element_at(element_at(element_at(cbl, m + 1), c), i)))"
+    ).format(d=d_sub)
+    # bind the per-subspace distance array once via the single-element
+    # transform trick, then argmin = first position of the min (= smallest
+    # code id on ties)
+    codes_sql = (
+        "transform(sequence(0, {M} - 1), m -> element_at("
+        "  transform(array(transform(sequence(1, {K}), c -> {dist})),"
+        "            ds -> array_position(ds, array_min(ds))), 1))"
+    ).format(M=m_subspaces, K=n_codes, dist=_dist)
+    luts_sql = (
+        "transform(sequence(0, {M} - 1), m ->"
+        "  transform(sequence(1, {K}), c -> {dist}))"
+    ).format(M=m_subspaces, K=n_codes, dist=_dist)
+
+    encoded = spread_partitions(df).select(
+        F.col(id_col).alias("nbr_id"), vec_d.alias("v"), cb_lit.alias("cbl")
+    ).select("nbr_id", F.expr(codes_sql).alias("codes"))
+
+    queries = df.filter(query_filter) if query_filter is not None else df
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vec_d.alias("v"), cb_lit.alias("cbl")
+    ).select("query_id", F.expr(luts_sql).alias("luts"))
+
+    adc = F.expr(
+        "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
+        " + CAST(FLOOR(1000000.0 * element_at(element_at(luts, m),"
+        "                                     CAST(element_at(codes, m) AS INT)))"
+        "        AS BIGINT))".format(M=m_subspaces)
+    )
+    pairs = encoded.join(
+        F.broadcast(q), F.col("nbr_id") != F.col("query_id")
+    ).select("query_id", "nbr_id", adc.alias("adc_micro"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("nbr_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

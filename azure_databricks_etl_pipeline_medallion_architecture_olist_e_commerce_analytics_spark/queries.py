@@ -714,6 +714,20 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (ADC): 8 one-byte codes per corpus
+    vector instead of 256 bytes of floats — the memory-bounded index tier
+    for 100-TB embedding stores. Deterministic first-16 codebook seeding,
+    literal-codebook projection encode (zero shuffles), per-query distance
+    LUTs built once on the broadcast side, micro-integer ADC sums
+    (order-independent), WindowGroupLimit top-k. Fully value-oracled."""
+    from .operators.similarity import pq_topk
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, k=3, query_filter=F.col("vec_id") < 100)
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
     corpus — random vectors top out near 0.44 cosine)."""
@@ -6785,6 +6799,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_topk_np": q_ann_topk_np,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "pq_topk": q_pq_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "multimodal_decode": q_multimodal_decode,
@@ -6836,12 +6851,12 @@ _DRIVER_PRIORITY = [
     "window_frames",
     # --- new / oracle-changed in round 6 ---
     "sessionize_batch_split", "bpe_merges", "budget_select", "bm25_rank",
-    "semantic_prune", "copurchase_lift",
+    "pq_topk", "semantic_prune", "copurchase_lift",
     # --- refresh: newest green row is r02 (highest-value subset) ---
     "streaming_window_agg", "streaming_sliding_agg", "streaming_sessionize",
     "streaming_dedup", "streaming_incremental_mv",
     "tpch_q3", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q18",
-    "window_dedup_agg", "grouped_median", "range_join", "segment_dedup",
+    "window_dedup_agg", "grouped_median", "segment_dedup",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -9999,6 +10014,52 @@ ORACLES["embedding_dup_pairs_lsh"] = """
 # (centroids = the 16 lowest-id vectors, zero Lloyd iterations): nearest
 # centroid by unrounded cosine (ties -> lowest centroid id), candidates
 # restricted to the query's own cell, exact cosine at 6dp, top-3 per query.
+# PQ/ADC twin: codebooks = the first-16 seed vectors (the IVF oracle's
+# seed-free convention), encode = per-(vector, subspace) argmin with cid
+# tie-break, ADC terms floored to micro-units per subspace BEFORE the sum
+# (order-independent BIGINT totals, same as the Spark side).
+ORACLES["pq_topk"] = """
+    WITH t AS MATERIALIZED (
+      SELECT vec_id, embedding AS e FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    seeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
+      FROM (SELECT * FROM t ORDER BY vec_id LIMIT 16)
+    ),
+    ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m),
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT x.vec_id, ms.m, s.cid,
+               row_number() OVER (PARTITION BY x.vec_id, ms.m ORDER BY
+                 list_sum(list_transform(range(1, 9),
+                   i -> (x.e[ms.m*8+i]::DOUBLE - s.e[ms.m*8+i]::DOUBLE)
+                      * (x.e[ms.m*8+i]::DOUBLE - s.e[ms.m*8+i]::DOUBLE))) ASC,
+                 s.cid ASC) AS rn
+        FROM t x CROSS JOIN ms CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < 100),
+    terms AS (
+      SELECT q.query_id, enc.vec_id AS nbr_id,
+             CAST(FLOOR(1000000.0 * list_sum(list_transform(range(1, 9),
+               i -> (q.qe[enc.m*8+i]::DOUBLE - s.e[enc.m*8+i]::DOUBLE)
+                  * (q.qe[enc.m*8+i]::DOUBLE - s.e[enc.m*8+i]::DOUBLE))))
+               AS BIGINT) AS t_micro
+      FROM q CROSS JOIN enc JOIN seeds s ON s.cid = enc.code
+      WHERE q.query_id != enc.vec_id
+    ),
+    adc AS (
+      SELECT query_id, nbr_id, CAST(SUM(t_micro) AS BIGINT) AS adc_micro
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT query_id, nbr_id, adc_micro, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_micro ASC, nbr_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 3
+"""
+
 ORACLES["ann_topk_ivf"] = """
     WITH t AS (SELECT vec_id, embedding AS e FROM embeddings),
     cent AS (

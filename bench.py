@@ -198,6 +198,7 @@ HEADLINE = [
     "bpe_merges",
     "bm25_rank",
     "budget_select",
+    "pq_topk",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -1315,3 +1315,34 @@ def test_bpe_merges_empty_and_short_corpus(spark):
     assert out.columns == ["round", "sym_a", "sym_b", "pair_count"]
     shorts = spark.createDataFrame([("a b c",)], ["text"])
     assert _bpe_merges_frame(shorts, rounds=2).count() == 0
+
+
+def test_pq_topk_recall_and_contract(spark):
+    """PQ/ADC top-3 vs exact cosine top-3: quantized distances must find a
+    non-trivial fraction of true neighbors on random vectors, every query
+    gets exactly k ranked rows (rank 1..k, adc ascending), and the corpus
+    never pairs a query with itself."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    flt = F.col("vec_id") < 50
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in brute_force_topk(emb, k=3, query_filter=flt).collect()
+    }
+    rows = pq_topk(emb, k=3, query_filter=flt).collect()
+    approx = {(r.query_id, r.nbr_id) for r in rows}
+    per_q = {}
+    for r in rows:
+        assert r.query_id != r.nbr_id
+        per_q.setdefault(r.query_id, []).append((r.rank, r.adc_micro))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == [1, 2, 3]
+        assert [d for _, d in rs] == sorted(d for _, d in rs)
+    # 8-byte codes on 64-dim random vectors: recall is modest by design,
+    # but must beat noise (random top-3 of ~200 would match ~1.5%)
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.05, f"PQ recall suspiciously low: {recall:.2f}"

@@ -270,6 +270,15 @@ ANNOTATIONS = {
         "token arrays never duplicate or shuffle; df and N/avgdl "
         "broadcast; final ranking is TakeOrderedAndProject."
     ),
+    "pq_topk": (
+        "Product-quantization ADC top-k: corpus encode is a zero-shuffle "
+        "projection against a constant-folded literal codebook (8 one-byte "
+        "codes replace 256 bytes of floats — the memory-bounded index "
+        "tier); per-query LUTs are built once on the broadcast side and a "
+        "pair costs 8 array lookups; per-subspace terms floor to micro "
+        "ints before the order-independent BIGINT sum; top-k is a "
+        "WindowGroupLimit rank."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "
