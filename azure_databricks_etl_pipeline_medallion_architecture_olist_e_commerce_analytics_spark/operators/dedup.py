@@ -135,6 +135,82 @@ def minhash_signature(shingles, num_hashes: int = 64, family: str = "murmur3"):
     )
 
 
+def banded_bucket_pairs(buckets: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Stream each LSH bucket's member pairs, giant buckets capped.
+
+    Input: one row per (band_id, band_hash) with ``ms`` = the SORTED array
+    of member structs. Output: (band_id, a, b) with a before b in array
+    order — each unordered pair exactly once per bucket.
+
+    Giant-bucket cap (shared by the MinHash token path and the SRP
+    embedding path): a band hash owned by m members costs O(m²) streamed
+    pair evaluations, and without a cap they all stream inside ONE task —
+    a boilerplate-heavy crawl (or an embedding mega-cluster) makes m huge.
+    Triangle-block decomposition fixes the distribution without changing
+    the output: slice the sorted array into ⌈m/cap⌉ chunks and emit each
+    chunk-pair (ci ≤ cj) as its own work unit — diagonal blocks generate
+    their i<j triangle, off-diagonal blocks the full cross product. Every
+    unordered pair appears in exactly one block (the chunks partition the
+    sorted array), so the exactly-once first-matching-band rule downstream
+    is untouched. Buckets at or under the cap keep the original
+    single-explode path — the common case pays only a size filter.
+    """
+    small = buckets if bucket_cap is None else buckets.filter(
+        F.size("ms") <= bucket_cap
+    )
+    e1 = small.select("band_id", "ms", F.posexplode("ms").alias("i", "a"))
+    e2 = e1.select(
+        "band_id",
+        "a",
+        F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"),
+    )
+    if bucket_cap is None:
+        return e2
+    cap = int(bucket_cap)
+    big = buckets.filter(F.size("ms") > cap)
+    nch = F.ceil(F.size("ms") / F.lit(cap)).cast("int")
+    chunked = big.select(
+        "band_id",
+        "band_hash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.slice("ms", i * cap + 1, cap),
+            )
+        ).alias("ci", "chunk"),
+    )
+    cx = chunked.select(
+        "band_id",
+        "band_hash",
+        F.col("ci").alias("cxi"),
+        F.col("chunk").alias("mx"),
+    )
+    cy = chunked.select(
+        "band_id",
+        "band_hash",
+        F.col("ci").alias("cyi"),
+        F.col("chunk").alias("my"),
+    )
+    blocks = cx.join(cy, ["band_id", "band_hash"]).filter(
+        F.col("cxi") <= F.col("cyi")
+    )
+    diag = (
+        blocks.filter(F.col("cxi") == F.col("cyi"))
+        .select("band_id", "mx", F.posexplode("mx").alias("i", "a"))
+        .select(
+            "band_id",
+            "a",
+            F.explode(F.slice("mx", F.col("i") + 2, F.size("mx"))).alias("b"),
+        )
+    )
+    off = (
+        blocks.filter(F.col("cxi") < F.col("cyi"))
+        .select("band_id", "my", F.explode("mx").alias("a"))
+        .select("band_id", "a", F.explode("my").alias("b"))
+    )
+    return e2.unionByName(diag).unionByName(off)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -336,71 +412,7 @@ def minhash_lsh_pairs(
     buckets = buckets.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
-    # Giant-bucket cap: a band hash owned by m reps costs O(m²) streamed
-    # pair evaluations, and without a cap they all stream inside ONE task
-    # (a boilerplate-heavy crawl makes m huge — the one remaining funnel in
-    # the banded plan). Triangle-block decomposition fixes the distribution
-    # without changing the output: sort the member array once, slice it
-    # into ⌈m/cap⌉ chunks, and emit each chunk-pair (ci ≤ cj) as its own
-    # work unit — diagonal blocks generate their i<j triangle, off-diagonal
-    # blocks the full cross product. Every unordered pair appears in
-    # exactly one block (the chunks partition the sorted array), so the
-    # exactly-once first-matching-band rule downstream is untouched.
-    # Buckets at or under the cap keep the original single-explode path —
-    # the common case pays only a size filter.
-    small = buckets if bucket_cap is None else buckets.filter(
-        F.size("ms") <= bucket_cap
-    )
-    e1 = small.select("band_id", "ms", F.posexplode("ms").alias("i", "a"))
-    e2 = e1.select(
-        "band_id",
-        "a",
-        F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"),
-    )
-    if bucket_cap is not None:
-        cap = int(bucket_cap)
-        big = buckets.filter(F.size("ms") > cap)
-        nch = F.ceil(F.size("ms") / F.lit(cap)).cast("int")
-        chunked = big.select(
-            "band_id",
-            "band_hash",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), nch - 1),
-                    lambda i: F.slice("ms", i * cap + 1, cap),
-                )
-            ).alias("ci", "chunk"),
-        )
-        cx = chunked.select(
-            "band_id",
-            "band_hash",
-            F.col("ci").alias("cxi"),
-            F.col("chunk").alias("mx"),
-        )
-        cy = chunked.select(
-            "band_id",
-            "band_hash",
-            F.col("ci").alias("cyi"),
-            F.col("chunk").alias("my"),
-        )
-        blocks = cx.join(cy, ["band_id", "band_hash"]).filter(
-            F.col("cxi") <= F.col("cyi")
-        )
-        diag = (
-            blocks.filter(F.col("cxi") == F.col("cyi"))
-            .select("band_id", "mx", F.posexplode("mx").alias("i", "a"))
-            .select(
-                "band_id",
-                "a",
-                F.explode(F.slice("mx", F.col("i") + 2, F.size("mx"))).alias("b"),
-            )
-        )
-        off = (
-            blocks.filter(F.col("cxi") < F.col("cyi"))
-            .select("band_id", "my", F.explode("mx").alias("a"))
-            .select("band_id", "a", F.explode("my").alias("b"))
-        )
-        e2 = e2.unionByName(diag).unionByName(off)
+    e2 = banded_bucket_pairs(buckets, bucket_cap)
     matched_earlier = F.lit(False)
     for k in range(bands - 1):
         matched_earlier = matched_earlier | (

@@ -408,6 +408,7 @@ def srp_lsh_dup_pairs(
     seed: int = 42,
     query_filter=None,
     plane_family: str = "gaussian",
+    bucket_cap: int | None = 8192,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via SRP-LSH buckets + exact verify.
 
@@ -425,8 +426,10 @@ def srp_lsh_dup_pairs(
     Scale notes (100 TB / billions of vectors): signature computation is
     map-side BLAS; the bucket shuffle carries nb int64s per vector, not the
     vector; the verify join re-attaches vectors by id (narrow equi-joins);
-    giant buckets stream through the pairwise explode without materializing
-    a cross product on the driver.
+    giant buckets (an embedding mega-cluster sharing a band key) distribute
+    through the shared triangle-block decomposition
+    (``dedup.banded_bucket_pairs``, ``bucket_cap`` default 8192) instead of
+    streaming O(m²) pairs in one task — identical output.
     """
     t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if query_filter is not None:
@@ -444,12 +447,9 @@ def srp_lsh_dup_pairs(
         .agg(F.sort_array(F.collect_list("mb")).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
-    e1 = buckets.select("band_id", "ms", F.posexplode("ms").alias("i", "a"))
-    e2 = e1.select(
-        "band_id",
-        "a",
-        F.explode(F.slice("ms", F.col("i") + 2, F.size("ms"))).alias("b"),
-    )
+    from .dedup import banded_bucket_pairs
+
+    e2 = banded_bucket_pairs(buckets, bucket_cap)
     matched_earlier = F.lit(False)
     for k in range(num_bands - 1):
         matched_earlier = matched_earlier | (

@@ -1346,3 +1346,35 @@ def test_pq_topk_recall_and_contract(spark):
     # but must beat noise (random top-3 of ~200 would match ~1.5%)
     recall = len(exact & approx) / len(exact)
     assert recall > 0.05, f"PQ recall suspiciously low: {recall:.2f}"
+
+
+def test_srp_bucket_cap_output_identical_on_planted_megacluster(spark):
+    """300 near-identical embeddings share every SRP band key (one
+    mega-bucket per band); the shared triangle-block cap must emit EXACTLY
+    the uncapped pair set."""
+    import math
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        srp_lsh_dup_pairs,
+    )
+
+    base = [math.sin(d + 1) + 1.5 for d in range(64)]
+    rows = []
+    for i in range(300):
+        v = list(base)
+        v[i % 64] += 0.001 * ((i // 64) + 1)
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(cap):
+        return sorted(
+            (r.id_a, r.id_b, r.cosine)
+            for r in srp_lsh_dup_pairs(
+                emb, threshold=0.99, bucket_cap=cap
+            ).collect()
+        )
+
+    baseline = pairs(None)
+    assert len(baseline) == 300 * 299 // 2  # all near-identical: every pair
+    for cap in (16, 77, 4096):
+        assert pairs(cap) == baseline, f"cap={cap} diverged"
