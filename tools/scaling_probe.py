@@ -45,6 +45,7 @@ PROBE = [
     "window_dedup",
     "date_expr_join",
     "sessionize_batch",
+    "sessionize_batch_split",  # skew-safe twin: one (user, time-bucket) exchange
     "asof_join",
     "range_join",
     "grouped_median",
@@ -61,14 +62,18 @@ PROBE = [
     "tf_idf",
     "segment_dedup",
     "bpe_pairs",
+    "bpe_merges",       # K merge rounds, vocab-bounded per round
+    "bm25_rank",        # one checkpointed tokenization, broadcast df/stats
     "mix_temperature",
     "incremental_dedup",
+    "budget_select",    # two-phase prefix scan under a token budget
     "multimodal_phash",
     # dedup composition with bounded output
     "dedup_survivors",
     # vector ops
     "ann_topk_np",
     "embedding_quantize",
+    "pq_topk",          # PQ/ADC: literal-codebook encode + query LUTs
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
     "streaming_running_totals",
