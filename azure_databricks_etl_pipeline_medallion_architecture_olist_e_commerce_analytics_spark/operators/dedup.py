@@ -155,6 +155,12 @@ def banded_bucket_pairs(buckets: DataFrame, bucket_cap: int | None) -> DataFrame
     is untouched. Buckets at or under the cap keep the original
     single-explode path — the common case pays only a size filter.
     """
+    if bucket_cap is not None and bucket_cap < 2:
+        # a non-positive cap would silently emit ZERO pairs (every bucket
+        # fails size<=cap and ceil(size/0) yields NULL chunk counts); cap 1
+        # technically works (cross blocks only) but is never what a caller
+        # means — hard-floor at 2 like sessionize_split's split_micros guard
+        raise ValueError(f"bucket_cap must be >= 2 or None, got {bucket_cap}")
     small = buckets if bucket_cap is None else buckets.filter(
         F.size("ms") <= bucket_cap
     )

@@ -618,11 +618,19 @@ def pq_topk(
     deterministic recipe.
     """
     d_sub = dim // m_subspaces
-    # NULL vectors cannot be coded or queried — drop them up front (the
-    # null-injection probe feeds 10%-null columns; unguarded, the seed
-    # collect crashes on row[vec][...] of None). The oracle filters the
-    # same way.
-    df = df.filter(F.col(vec_col).isNotNull())
+    # NULL vectors, short vectors, and vectors with NULL ELEMENTS cannot be
+    # coded or queried — drop them up front (the null-injection probe feeds
+    # 10%-null columns; unguarded, a NULL element in a seed vector crashes
+    # the driver-side float(None), and a NULL element in a corpus/query row
+    # propagates NULL through element_at into codes/LUTs, silently dropping
+    # the row). The oracle filters identically.
+    df = df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.array_contains(
+            F.transform(F.col(vec_col), lambda x: x.isNull()), F.lit(True)
+        )
+    )
     seeds = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
     if not seeds:
         # empty corpus: no codebook to build — an F.array() of zero seed

@@ -375,8 +375,11 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_running_total(
         ordered, ["__neg_q", "doc_id"], "n_tokens", out="tokens_before"
     )
+    # exact BIGINT division (div), not double-floor: past 2^53 total tokens
+    # a double /4 rounds and the two engines could disagree on the budget —
+    # the precision trap prefix.py's own comment warns about
     budget = silver.agg(
-        F.floor(F.sum(F.col("n_tokens").cast("long")) / 4).cast("long").alias("budget")
+        F.expr("sum(cast(n_tokens as bigint)) div 4").cast("long").alias("budget")
     )
     return ranked.crossJoin(F.broadcast(budget)).select(
         "doc_id",
@@ -10021,7 +10024,8 @@ ORACLES["embedding_dup_pairs_lsh"] = """
 ORACLES["pq_topk"] = """
     WITH t AS MATERIALIZED (
       SELECT vec_id, embedding AS e FROM embeddings
-      WHERE embedding IS NOT NULL
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
     ),
     seeds AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) AS cid, e

@@ -1236,6 +1236,48 @@ def test_bellman_ford_max_frontier_hint_paths_agree(spark):
         assert got == expect, f"max_frontier={bound}"
 
 
+def test_lsh_bucket_cap_rejects_degenerate_values(spark):
+    """bucket_cap < 2 must raise, not silently emit zero pairs (cap 0 made
+    every bucket fail the small-path filter AND NULL'd the big path's chunk
+    counts — empty output with no error)."""
+    import pytest
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import banded_bucket_pairs
+
+    empty = spark.createDataFrame(
+        [], "band_id int, band_hash string, ms array<struct<id:long>>"
+    )
+    for bad in (0, -1, 1):
+        with pytest.raises(ValueError):
+            banded_bucket_pairs(empty, bucket_cap=bad)
+    banded_bucket_pairs(empty, bucket_cap=None)
+    banded_bucket_pairs(empty, bucket_cap=2)
+
+
+def test_pq_topk_ignores_element_nulls_and_short_vectors(spark):
+    """A NULL element inside a seed vector must not crash the driver-side
+    codebook build, and NULL-element / short corpus vectors are excluded
+    (not silently NULL'd through element_at)."""
+    import random
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import pq_topk
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [float(rng.randint(0, 9)) for _ in range(64)]
+        if i == 0:
+            v[3] = None  # poisoned seed candidate
+        if i == 5:
+            v = v[:10]  # short vector
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(df, k=3, query_filter=None).collect()
+    bad = {0, 5}
+    assert out, "non-empty corpus must produce neighbours"
+    assert not any(r.query_id in bad or r.nbr_id in bad for r in out)
+
+
 def test_lsh_bucket_cap_output_identical_on_planted_megabucket(spark):
     """300 near-identical docs (50 shared tokens + 1 unique each) collapse
     into one mega-bucket per band; the capped triangle-block decomposition

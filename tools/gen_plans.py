@@ -26,6 +26,12 @@ from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analy
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # query -> why this plan is the one you'd want at 100 TB
+# Queries whose per-round work runs EAGERLY at plan-build time (driver
+# loops of collect/localCheckpoint); their PLANS.md stats describe only the
+# final returned frame, so a "shuffles: 0" must not be read as the query's
+# scale shape — the emit loop appends an explicit caveat for these.
+DRIVER_LOOP = {"bpe_merges", "bpe_encode", "pq_topk", "pq_topk_trained"}
+
 ANNOTATIONS = {
     "gold_fact_lineitem": (
         "Star fact build, join order chosen so each of the fact's two hash "
@@ -374,6 +380,14 @@ def main() -> None:
             )
         )
         print()
+        if name in DRIVER_LOOP:
+            print(
+                "NOTE: plan stats above cover the RETURNED frame only — "
+                "this query's per-round work (collect/localCheckpoint "
+                "driver loop) executes eagerly at build time, so its real "
+                "exchange activity is not visible in the final plan."
+            )
+            print()
         print(note)
         print()
 
