@@ -208,16 +208,45 @@ HEADLINE = [
 WARMUP = True
 
 
-def time_noop(spark, fn, sf_dir: str, runs: int = 2) -> float:
-    """Warm once, then min-of-N timed noop-sink executions — the shared
-    measurement primitive for bench.py and the scaling/skew probes."""
+def time_noop_raw(spark, fn, sf_dir: str, runs: int = 2) -> list[float]:
+    """Warm once, then N timed noop-sink executions; returns the raw pass
+    times (seconds, in run order) so callers can keep the min AND audit
+    pass-to-pass spread."""
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    best = float("inf")
+    raw = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        raw.append(time.perf_counter() - t0)
+    return raw
+
+
+def time_noop(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    """Warm once, then min-of-N timed noop-sink executions — the shared
+    measurement primitive for bench.py and the scaling/skew probes."""
+    return min(time_noop_raw(spark, fn, sf_dir, runs=runs))
+
+
+# Fixed warm-up prologue (round-6 verdict ask #2): the r6 gate bench ran
+# uniformly ~12.6% hotter than a same-code run an hour earlier — session
+# state (JIT compile queue depth, heap sizing, OS page cache for the
+# parquet inputs), not any plan, moved. Running a fixed, DIVERSE set of
+# queries untimed before the first measurement drives the JVM to the
+# steady state every timed query then sees, independent of what ran in the
+# session before bench started. The set spans the cost families (star
+# join, window, hash agg, text explode, ANN arithmetic, streaming) so the
+# compiler/ allocator paths the headline exercises are all hot.
+PROLOGUE = [
+    "gold_fact_lineitem",
+    "window_dedup",
+    "order_totals",
+    "text_analysis",
+    "ann_topk",
+    "dedup_minhash_lsh",
+    "streaming_window_agg",
+    "tpch_q1",
+    "tpch_q9",
+]
 
 
 def release_cached_state(spark) -> None:
@@ -250,6 +279,22 @@ def main() -> None:
     names = [n for n in HEADLINE if n in SPARK_QUERIES]
     warmup = WARMUP and os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
 
+    # Fixed warm-up prologue before ANY timing (see PROLOGUE above). Its
+    # wall time is reported in the summary but never counted in `value`.
+    prologue_sec = 0.0
+    if warmup:
+        t0 = time.perf_counter()
+        for name in PROLOGUE:
+            fn = SPARK_QUERIES.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # prologue is best-effort; the timed loop reports errors
+            release_cached_state(spark)
+        prologue_sec = round(time.perf_counter() - t0, 3)
+
     # Per query: one untimed warmup run immediately followed by two timed
     # runs, keeping the minimum. Warm-then-time back-to-back (rather than a
     # separate full warmup pass) keeps the query's generated classes hot —
@@ -258,6 +303,7 @@ def main() -> None:
     # The min of two absorbs one-off noise (GC pause, OS scheduling). The
     # result is the steady-state plan cost a long-running cluster sees.
     timings: dict[str, float] = {}
+    raw_passes: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in names:
         fn = SPARK_QUERIES[name]
@@ -267,7 +313,9 @@ def main() -> None:
         runs = 3 if name.startswith("tpch_") else 2
         try:
             if warmup:
-                timings[name] = round(time_noop(spark, fn, sf_dir, runs=runs), 3)
+                raw = time_noop_raw(spark, fn, sf_dir, runs=runs)
+                raw_passes[name] = [round(x, 3) for x in raw]
+                timings[name] = round(min(raw), 3)
             else:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -299,6 +347,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "prologue_sec": prologue_sec,
         "sf": sf_num,
     }
     try:
@@ -306,7 +355,17 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"),
             "w",
         ) as fh:
-            json.dump({**summary, "queries": timings, **({"errors": errors} if errors else {})}, fh)
+            json.dump(
+                {
+                    **summary,
+                    "queries": timings,
+                    # all raw pass times per query (run order): min is the
+                    # headline, the spread is the drift audit trail
+                    "raw_passes": raw_passes,
+                    **({"errors": errors} if errors else {}),
+                },
+                fh,
+            )
     except OSError as exc:  # a read-only checkout must not void the bench
         print(f"bench: could not write bench_summary.json: {exc}", file=sys.stderr)
     print(json.dumps(summary))
