@@ -578,6 +578,19 @@ def semantic_prune(
     )
 
 
+def _valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Keep only rows whose vector is non-NULL, exactly ``dim`` long, and
+    free of NULL elements — the shared precondition of every PQ path (and
+    of the DuckDB oracles, which filter identically)."""
+    return df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.array_contains(
+            F.transform(F.col(vec_col), lambda x: x.isNull()), F.lit(True)
+        )
+    )
+
+
 def pq_topk(
     df: DataFrame,
     k: int = 3,
@@ -624,13 +637,7 @@ def pq_topk(
     # the driver-side float(None), and a NULL element in a corpus/query row
     # propagates NULL through element_at into codes/LUTs, silently dropping
     # the row). The oracle filters identically.
-    df = df.filter(
-        F.col(vec_col).isNotNull()
-        & (F.size(vec_col) == dim)
-        & ~F.array_contains(
-            F.transform(F.col(vec_col), lambda x: x.isNull()), F.lit(True)
-        )
-    )
+    df = _valid_vectors(df, vec_col, dim)
     seeds = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
     if not seeds:
         # empty corpus: no codebook to build — an F.array() of zero seed
@@ -699,6 +706,164 @@ def pq_topk(
     ).select("query_id", "nbr_id", adc.alias("adc_micro"))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_micro"), F.asc("nbr_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division TRUNCATING toward zero — the semantics Spark's
+    ``div`` and DuckDB's ``//`` share (both: -7/2 = -3). Python's ``//``
+    floors, so the driver-side centroid update must not use it directly."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def pq_topk_trained(
+    df: DataFrame,
+    k: int = 3,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+):
+    """Product-quantization ADC top-k with Lloyd-TRAINED codebooks — the
+    production upgrade of ``pq_topk``'s first-``n_codes`` literal seeding
+    (round-6 verdict ask #3). Same memory-bounded index tier (8 one-byte
+    codes per vector), better codes: ``rounds`` fixed k-means iterations
+    per subspace move the centroids to the data's actual density.
+
+    **Engine-exact by construction** (the ``pagerank_integer`` fixed-round
+    idiom): every vector is quantized ONCE to integer micro-units
+    (``floor(1e6 * x)`` as BIGINT) and all distances, centroid sums, and
+    centroid updates happen in exact integer arithmetic — order-independent
+    sums, truncating integer division (Spark ``div`` == DuckDB ``//`` ==
+    ``_tdiv``) — so DuckDB replays the identical training trajectory and
+    the oracle value-matches code-for-code, not just rank-for-rank.
+
+    Scale shape (100 TB): per round, ONE pass over the corpus — the code
+    assignment is a zero-shuffle projection against the constant-folded
+    literal codebook (fold expressions, not an unrolled tree), and the
+    centroid update is a map-side-combined aggregate over exactly
+    ``m_subspaces * n_codes`` (= 128) groups whose result — O(codebook),
+    never O(corpus) — is collected to the driver. Empty clusters keep
+    their previous centroid. The quantized corpus is localCheckpointed so
+    round r never replays rounds 1..r-1's scan lineage. Final scoring is
+    the same integer-ADC / broadcast-LUT / WindowGroupLimit plan as
+    ``pq_topk``.
+    """
+    import math
+
+    d_sub = dim // m_subspaces
+    df = _valid_vectors(df, vec_col, dim)
+    seeds = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    if not seeds:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, nbr_id long, adc_micro2 long, rank int"
+        )
+    n_codes = min(n_codes, len(seeds))
+    # codebook[m][c][i]: integer micro-units, same quantization as vm below
+    codebook = [
+        [
+            [
+                int(math.floor(1_000_000.0 * float(x)))
+                for x in row[vec_col][m * d_sub : (m + 1) * d_sub]
+            ]
+            for row in seeds
+        ]
+        for m in range(m_subspaces)
+    ]
+
+    def cb_lit():
+        return F.array(
+            *[
+                F.array(
+                    *[F.array(*[F.lit(v) for v in code]) for code in codebook[m]]
+                )
+                for m in range(m_subspaces)
+            ]
+        )
+
+    vm_expr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(F.lit(1_000_000.0) * x.cast("double")).cast("long"),
+    )
+    # integer L2² between vm's m-th subvector and codebook[m][c] (0-based m,
+    # 1-based c/i); exact BIGINT fold — no floating point anywhere past the
+    # one-time quantization
+    _dist = (
+        "aggregate(sequence(1, {d}), CAST(0 AS BIGINT), (s, i) -> s"
+        " + (element_at(vm, m * {d} + i)"
+        "    - element_at(element_at(element_at(cbl, m + 1), c), i))"
+        " * (element_at(vm, m * {d} + i)"
+        "    - element_at(element_at(element_at(cbl, m + 1), c), i)))"
+    ).format(d=d_sub)
+    codes_sql = (
+        "transform(sequence(0, {M} - 1), m -> element_at("
+        "  transform(array(transform(sequence(1, {K}), c -> {dist})),"
+        "            ds -> array_position(ds, array_min(ds))), 1))"
+    ).format(M=m_subspaces, K=n_codes, dist=_dist)
+    luts_sql = (
+        "transform(sequence(0, {M} - 1), m ->"
+        "  transform(sequence(1, {K}), c -> {dist}))"
+    ).format(M=m_subspaces, K=n_codes, dist=_dist)
+    subs_sql = (
+        "transform(sequence(0, {M} - 1), m -> struct("
+        "  element_at(codes, m + 1) AS code, slice(vm, m * {d} + 1, {d}) AS sub))"
+    ).format(M=m_subspaces, d=d_sub)
+
+    base = spread_partitions(df).select(
+        F.col(id_col).alias("vid"), vm_expr.alias("vm")
+    ).localCheckpoint()
+
+    for _ in range(rounds):
+        assigned = base.select(
+            "vm", cb_lit().alias("cbl")
+        ).select("vm", F.expr(codes_sql).alias("codes"))
+        upd = (
+            assigned.select(F.posexplode(F.expr(subs_sql)).alias("m", "s"))
+            .select("m", F.col("s.code").alias("code"), F.col("s.sub").alias("sub"))
+            .groupBy("m", "code")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.element_at("sub", i)).alias(f"s{i}")
+                    for i in range(1, d_sub + 1)
+                ],
+            )
+            .collect()  # exactly m_subspaces*n_codes rows — O(codebook)
+        )
+        for row in upd:
+            m, c = int(row["m"]), int(row["code"]) - 1
+            cnt = int(row["cnt"])
+            codebook[m][c] = [
+                _tdiv(int(row[f"s{i}"]), cnt) for i in range(1, d_sub + 1)
+            ]
+
+    final_cbl = cb_lit()
+    encoded = base.select(
+        F.col("vid").alias("nbr_id"), "vm", final_cbl.alias("cbl")
+    ).select("nbr_id", F.expr(codes_sql).alias("codes"))
+    queries = df.filter(query_filter) if query_filter is not None else df
+    q = queries.select(
+        F.col(id_col).alias("query_id"), vm_expr.alias("vm"), final_cbl.alias("cbl")
+    ).select("query_id", F.expr(luts_sql).alias("luts"))
+    adc = F.expr(
+        "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
+        " + element_at(element_at(luts, m),"
+        "              CAST(element_at(codes, m) AS INT)))".format(M=m_subspaces)
+    )
+    pairs = encoded.join(
+        F.broadcast(q), F.col("nbr_id") != F.col("query_id")
+    ).select("query_id", "nbr_id", adc.alias("adc_micro2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro2"), F.asc("nbr_id")
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))

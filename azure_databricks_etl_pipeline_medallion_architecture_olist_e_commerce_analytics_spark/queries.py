@@ -731,6 +731,23 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, k=3, query_filter=F.col("vec_id") < 100)
 
 
+def q_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-3 with Lloyd-TRAINED codebooks (2 fixed k-means rounds per
+    subspace) — the production upgrade of `pq_topk`'s first-16 seeding.
+    Training is engine-exact: vectors quantize once to integer micro-units
+    and every distance/centroid-sum/centroid-division is exact integer
+    arithmetic (truncating div matches DuckDB `//` bit-for-bit), so the
+    oracle replays the identical training trajectory. Per round: one
+    zero-shuffle literal-codebook assignment pass + one map-side-combined
+    128-group aggregate collected to the driver (O(codebook), never
+    O(corpus))."""
+    from .operators.similarity import pq_topk_trained
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_trained(emb, k=3, rounds=2, query_filter=F.col("vec_id") < 100)
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
     corpus — random vectors top out near 0.44 cosine)."""
@@ -6803,6 +6820,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_np": q_ann_topk_np,
     "ann_topk_ivf": q_ann_topk_ivf,
     "pq_topk": q_pq_topk,
+    "pq_topk_trained": q_pq_topk_trained,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "multimodal_decode": q_multimodal_decode,
@@ -10063,6 +10081,94 @@ ORACLES["pq_topk"] = """
       FROM adc
     ) WHERE rank <= 3
 """
+
+def _pq_trained_oracle_sql(rounds: int = 2, d: int = 8) -> str:
+    """DuckDB replay of pq_topk_trained's integer-micro k-means: the round
+    blocks unroll (fixed `rounds`), each one an assignment (rn=1 over
+    integer L2², cid tie-break) + a truncating-`//` centroid update with
+    empty clusters inheriting the previous centroid. Pure integer
+    arithmetic end-to-end, so the trajectory matches Spark bit-for-bit."""
+    rng = f"range(1, {d + 1})"
+    sums = ", ".join(
+        f"CAST(SUM(sub[{j}]) // COUNT(*) AS BIGINT) AS s{j}"
+        for j in range(1, d + 1)
+    )
+    newc = ", ".join(f"u.s{j}" for j in range(1, d + 1))
+    dist = (
+        f"list_sum(list_transform({rng},"
+        f" i -> (x.vm[cb.m*{d}+i] - cb.c[i]) * (x.vm[cb.m*{d}+i] - cb.c[i])))"
+    )
+    blocks = []
+    prev = "cb0"
+    for r in range(1, rounds + 1):
+        blocks.append(f"""
+    asg{r} AS MATERIALIZED (
+      SELECT vec_id, m, cid AS code, sub FROM (
+        SELECT x.vec_id, cb.m, cb.cid,
+               list_transform({rng}, i -> x.vm[cb.m*{d}+i]) AS sub,
+               row_number() OVER (PARTITION BY x.vec_id, cb.m
+                 ORDER BY {dist} ASC, cb.cid ASC) AS rn
+        FROM t x CROSS JOIN {prev} cb
+      ) WHERE rn = 1
+    ),
+    upd{r} AS (
+      SELECT m, code AS cid, {sums}
+      FROM asg{r} GROUP BY m, code
+    ),
+    cb{r} AS MATERIALIZED (
+      SELECT p.cid, p.m,
+             CASE WHEN u.cid IS NULL THEN p.c ELSE [{newc}] END AS c
+      FROM {prev} p LEFT JOIN upd{r} u ON u.m = p.m AND u.cid = p.cid
+    )""")
+        prev = f"cb{r}"
+    round_sql = ",".join(blocks)
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(1000000.0 * x::DOUBLE) AS BIGINT)) AS vm
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT s.cid, ms.m, list_transform({rng}, i -> s.vm[ms.m*{d}+i]) AS c
+      FROM (SELECT row_number() OVER (ORDER BY vec_id) AS cid, vm
+            FROM (SELECT * FROM t ORDER BY vec_id LIMIT 16)) s
+      CROSS JOIN (SELECT CAST(unnest(range(0, {d})) AS INT) AS m) ms
+    ),{round_sql},
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT x.vec_id, cb.m, cb.cid,
+               row_number() OVER (PARTITION BY x.vec_id, cb.m
+                 ORDER BY {dist} ASC, cb.cid ASC) AS rn
+        FROM t x CROSS JOIN {prev} cb
+      ) WHERE rn = 1
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, vm AS qm FROM t WHERE vec_id < 100
+    ),
+    terms AS (
+      SELECT q.query_id, enc.vec_id AS nbr_id,
+             list_sum(list_transform({rng},
+               i -> (q.qm[enc.m*{d}+i] - cb.c[i])
+                  * (q.qm[enc.m*{d}+i] - cb.c[i]))) AS term
+      FROM q CROSS JOIN enc JOIN {prev} cb ON cb.cid = enc.code AND cb.m = enc.m
+      WHERE q.query_id != enc.vec_id
+    ),
+    adc AS (
+      SELECT query_id, nbr_id, CAST(SUM(term) AS BIGINT) AS adc_micro2
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT query_id, nbr_id, adc_micro2, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_micro2 ASC, nbr_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 3
+"""
+
+
+ORACLES["pq_topk_trained"] = _pq_trained_oracle_sql(rounds=2)
 
 ORACLES["ann_topk_ivf"] = """
     WITH t AS (SELECT vec_id, embedding AS e FROM embeddings),

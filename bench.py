@@ -199,6 +199,8 @@ HEADLINE = [
     "bm25_rank",
     "budget_select",
     "pq_topk",
+    # round-7 additions
+    "pq_topk_trained",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -413,6 +413,8 @@ def test_empty_path_fallbacks_match_nonempty_schema(spark, empty_sf):
         "cdc_apply",
         "streaming_incremental_mv",
         "jsonl_ingest_roundtrip",
+        "pq_topk",
+        "pq_topk_trained",
     ):
         s_empty = _ALL_QUERIES[name](spark, empty_sf).schema
         s_full = _ALL_QUERIES[name](spark, SF_SMALL).schema

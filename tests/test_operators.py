@@ -1390,6 +1390,51 @@ def test_pq_topk_recall_and_contract(spark):
     assert recall > 0.05, f"PQ recall suspiciously low: {recall:.2f}"
 
 
+def test_pq_topk_trained_beats_literal_seeding(spark):
+    """Lloyd-trained codebooks (round-7) must recall at least as many exact
+    L2 top-3 neighbors as pq_topk's first-16 literal seeding — the whole
+    point of training. Ground truth is exact squared-L2 via numpy; measured
+    margins at sf0.001: literal 0.110, trained(2 rounds) 0.173."""
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_trained,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    exact = set()
+    for qi in np.where(ids < 100)[0]:
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        for j in np.lexsort((ids, d))[:3]:
+            exact.add((int(ids[qi]), int(ids[j])))
+
+    flt = F.col("vec_id") < 100
+    lit = {
+        (r.query_id, r.nbr_id)
+        for r in pq_topk(emb, k=3, query_filter=flt).collect()
+    }
+    tr_rows = pq_topk_trained(emb, k=3, rounds=2, query_filter=flt).collect()
+    tr = {(r.query_id, r.nbr_id) for r in tr_rows}
+    r_lit = len(exact & lit) / len(exact)
+    r_tr = len(exact & tr) / len(exact)
+    assert r_tr >= r_lit, f"trained recall {r_tr:.3f} < literal {r_lit:.3f}"
+    # same output contract as pq_topk: exactly k ranked rows per query,
+    # ascending integer distance, no self-pairs
+    per_q = {}
+    for r in tr_rows:
+        assert r.query_id != r.nbr_id
+        per_q.setdefault(r.query_id, []).append((r.rank, r.adc_micro2))
+    for rs in per_q.values():
+        rs.sort()
+        assert [rk for rk, _ in rs] == [1, 2, 3]
+        assert [d for _, d in rs] == sorted(d for _, d in rs)
+
+
 def test_srp_bucket_cap_output_identical_on_planted_megacluster(spark):
     """300 near-identical embeddings share every SRP band key (one
     mega-bucket per band); the shared triangle-block cap must emit EXACTLY

@@ -285,6 +285,16 @@ ANNOTATIONS = {
         "ints before the order-independent BIGINT sum; top-k is a "
         "WindowGroupLimit rank."
     ),
+    "pq_topk_trained": (
+        "Lloyd-trained PQ: vectors quantize ONCE to integer micro-units "
+        "(localCheckpointed), then each of 2 k-means rounds is one "
+        "zero-shuffle literal-codebook assignment pass plus one "
+        "map-side-combined 128-group aggregate collected to the driver "
+        "(O(codebook), never O(corpus)); truncating integer division "
+        "makes the training trajectory engine-exact. Final scoring is "
+        "the same integer-ADC/broadcast-LUT/WindowGroupLimit plan as "
+        "pq_topk."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "

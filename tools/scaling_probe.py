@@ -74,6 +74,7 @@ PROBE = [
     "ann_topk_np",
     "embedding_quantize",
     "pq_topk",          # PQ/ADC: literal-codebook encode + query LUTs
+    "pq_topk_trained",  # + 2 integer k-means rounds (O(codebook) collects)
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
     "streaming_running_totals",
