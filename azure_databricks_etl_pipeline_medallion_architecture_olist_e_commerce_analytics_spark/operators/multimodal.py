@@ -2,10 +2,12 @@
 
 Images/audio/video are carried as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / frame-sample run as Arrow-batched
-``mapInPandas`` operators. The image/audio decode libraries are NOT in this
-container, so the actual byte decoding is STUBBED (clearly marked below) with
-a deterministic fake — but everything Spark-side is real and tested: schema,
-partitioning, the mapInPandas batch shape, and the metadata contract.
+``mapInPandas`` operators. Image decode is REAL in this container for BMP
+payloads via the vendored pure-numpy codec at the bottom of this file
+(headers, stride, padding, pixel sums — value-oracled); PIL remains the
+escape hatch for other formats (probed at import, below), and the
+deterministic stub kernel stays available for oracle-reproducible runs of
+the PIL-shaped path.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``maxPartitionBytes`` controls batch size; mapInPandas streams
@@ -266,3 +268,137 @@ def extract_byte_features(df: DataFrame, bins: int = 16) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode without PIL: a vendored pure-numpy 24-bit BMP codec
+# (round-7). The writer synthesizes genuine BMP byte streams into the binary
+# column (deterministic pixels, so a SQL oracle can recompute the decode
+# output in closed form WITHOUT parsing bytes); the parser reads the actual
+# BITMAPFILEHEADER/BITMAPINFOHEADER, walks the 4-byte-aligned bottom-up rows,
+# and sums real pixel bytes. This kills the "stub decode VALUES" placeholder
+# in THIS container: the Spark path round-trips true bytes, the oracle checks
+# the invariant formula the pixels were generated from.
+# ---------------------------------------------------------------------------
+
+BMP_DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, format string, width int, height int, "
+    "channels int, pixel_sum long"
+)
+
+
+def _bmp_dims(did: int) -> tuple[int, int]:
+    """Deterministic synthetic dimensions from a (non-negative) doc id."""
+    return did % 31 + 2, (did * 7) % 13 + 2
+
+
+def encode_bmp(did: int) -> bytes:
+    """Write a real 24-bit uncompressed BMP whose pixel (x, y) channel c
+    (RGB index) has value ``(did + 3x + 7y + 11c) % 256`` — position- and
+    channel-dependent so a parser that miscounts row padding, stride, or
+    vertical flip changes the pixel sum and fails the oracle."""
+    import struct
+
+    import numpy as np
+
+    w, h = _bmp_dims(did)
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)  # RGB
+    # (h, w, 3) in image orientation (row 0 = top), RGB channel order
+    px = (did + 3 * x[None, :, None] + 7 * y[:, None, None] + 11 * c[None, None, :]) % 256
+    bgr = px[:, :, ::-1].astype(np.uint8)  # BMP stores B,G,R
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pixel_data = rows[::-1].tobytes()  # bottom-up row order
+    file_size = 54 + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + pixel_data
+
+
+def parse_bmp(payload) -> tuple:
+    """VENDORED pure-numpy BMP parser: (width, height, channels, pixel_sum)
+    from a 24-bit uncompressed BMP byte stream; anything unparseable yields
+    all-None (NULL metadata, never a job abort — at corpus scale some
+    fraction of blobs is always corrupt). Handles both bottom-up (positive
+    biHeight) and top-down (negative) layouts and excludes the per-row
+    alignment padding from the pixel sum."""
+    import struct
+
+    import numpy as np
+
+    try:
+        buf = bytes(payload)
+        if len(buf) < 54 or buf[:2] != b"BM":
+            return (None, None, None, None)
+        data_offset = struct.unpack_from("<I", buf, 10)[0]
+        (
+            hdr_size,
+            w,
+            h_raw,
+            _planes,
+            bits,
+            compression,
+        ) = struct.unpack_from("<IiiHHI", buf, 14)
+        if hdr_size < 40 or bits != 24 or compression != 0 or w <= 0 or h_raw == 0:
+            return (None, None, None, None)
+        h = abs(h_raw)
+        stride = (w * 3 + 3) & ~3
+        end = data_offset + stride * h
+        if data_offset < 54 or end > len(buf):
+            return (None, None, None, None)
+        rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=data_offset)
+        rows = rows.reshape(h, stride)[:, : w * 3]  # drop alignment padding
+        return (w, h, 3, int(rows.astype(np.int64).sum()))
+    except Exception:
+        return (None, None, None, None)
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL BMP binary payload per row (mapInPandas, Arrow
+    batches) — the testdata stand-in for a landed image column. A NULL id
+    yields a NULL payload (the missing-blob case the decode contract must
+    survive)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                encode_bmp(abs(int(d))) if d is not None and not pd.isna(d) else None
+                for d in pdf[id_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def decode_bmp_meta(df: DataFrame) -> DataFrame:
+    """REAL image decode: parse each BMP payload's headers and pixel rows
+    (vendored numpy parser, no PIL) into typed metadata + an exact pixel
+    sum. Same mapInPandas/Arrow shape as the PIL path — swapping decoders
+    never changes the plan or schema."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                parse_bmp(p) if p is not None else (None, None, None, None)
+                for p in pdf["payload"]
+            ]
+            n_bytes = pdf["payload"].map(lambda p: len(p) if p is not None else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("Int32"),
+                    "format": [
+                        "image/bmp" if m[0] is not None else None for m in metas
+                    ],
+                    "width": pd.array([m[0] for m in metas], dtype="Int32"),
+                    "height": pd.array([m[1] for m in metas], dtype="Int32"),
+                    "channels": pd.array([m[2] for m in metas], dtype="Int32"),
+                    "pixel_sum": pd.array([m[3] for m in metas], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=BMP_DECODE_SCHEMA)

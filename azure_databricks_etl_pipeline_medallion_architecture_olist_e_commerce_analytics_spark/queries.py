@@ -777,15 +777,20 @@ def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + mapInPandas decode plumbing. Pinned to the
-    deterministic stub kernel (the DuckDB oracle reproduces it) even in a
-    container whose PIL probe enables the real path — operators/multimodal
-    decode_image_meta(use_real_decoder=None) auto-selects there."""
-    from .operators.multimodal import attach_binary_payload, decode_image_meta
+    """REAL image decode (round-7): synthesize a genuine 24-bit BMP byte
+    stream per document (deterministic position/channel-dependent pixels),
+    then parse it back with the vendored pure-numpy BMP parser — headers,
+    4-byte row alignment, bottom-up rows, exact pixel sum. No stub values:
+    the Spark path round-trips true bytes through mapInPandas Arrow
+    batches; the DuckDB oracle recomputes the decode output from the
+    closed-form pixel formula, so a parser that miscounts stride, padding,
+    or vertical flip fails the value match. (The PIL escape hatch for
+    other formats remains in operators/multimodal.decode_image_meta.)"""
+    from .operators.multimodal import attach_bmp_payload, decode_bmp_meta
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image_meta(attach_binary_payload(docs), use_real_decoder=False)
+    return decode_bmp_meta(attach_bmp_payload(docs))
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8978,13 +8983,25 @@ ORACLES: dict[str, str] = {
       SELECT * FROM pairs WHERE cosine >= 0.4
     """,
     "multimodal_decode": """
+      WITH d AS (
+        SELECT doc_id,
+               abs(doc_id) % 31 + 2 AS w,
+               (abs(doc_id) * 7) % 13 + 2 AS h
+        FROM documents
+      )
       SELECT doc_id,
-             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-             'fake/png' AS format,
-             CAST((octet_length(encode(text)) % 640) + 16 AS INTEGER) AS width,
-             CAST(((octet_length(encode(text)) // 7) % 480) + 16 AS INTEGER) AS height,
-             3 AS channels
-      FROM documents
+             CAST(CASE WHEN doc_id IS NULL THEN NULL
+                  ELSE 54 + ((w * 3 + 3) // 4 * 4) * h END AS INTEGER) AS n_bytes,
+             CASE WHEN doc_id IS NULL THEN NULL ELSE 'image/bmp' END AS format,
+             CAST(w AS INTEGER) AS width,
+             CAST(h AS INTEGER) AS height,
+             CAST(CASE WHEN doc_id IS NULL THEN NULL ELSE 3 END AS INTEGER) AS channels,
+             CAST(CASE WHEN doc_id IS NULL THEN NULL ELSE
+               list_sum(list_transform(range(0, w * h * 3), idx ->
+                 (abs(doc_id) + 3 * ((idx // 3) % w)
+                  + 7 * (idx // (3 * w)) + 11 * (idx % 3)) % 256))
+             END AS BIGINT) AS pixel_sum
+      FROM d
     """,
     "multimodal_resize": """
       WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),

@@ -90,6 +90,67 @@ def test_multimodal_decode_schema_and_determinism(spark):
     )
 
 
+def test_bmp_codec_roundtrip_and_rejection():
+    """The vendored numpy BMP codec (round-7): encode→parse round-trips the
+    exact dimensions and pixel sum (catching stride/padding/flip bugs),
+    top-down (negative height) files parse identically, and garbage or
+    truncated buffers yield all-None instead of raising."""
+    import struct
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        _bmp_dims,
+        encode_bmp,
+        parse_bmp,
+    )
+
+    for did in (0, 1, 5, 17, 123, 9999, 31 * 13):
+        buf = encode_bmp(did)
+        w, h, c, s = parse_bmp(buf)
+        ew, eh = _bmp_dims(did)
+        expect = sum(
+            (did + 3 * x + 7 * y + 11 * ch) % 256
+            for x in range(ew)
+            for y in range(eh)
+            for ch in range(3)
+        )
+        assert (w, h, c, s) == (ew, eh, 3, expect)
+        assert len(buf) == 54 + ((ew * 3 + 3) & ~3) * eh
+
+    # top-down variant: flip biHeight's sign and reverse the row block —
+    # same image, parser must agree on everything
+    buf = encode_bmp(17)
+    w, h, c, s = parse_bmp(buf)
+    stride = (w * 3 + 3) & ~3
+    import numpy as np
+
+    rows = np.frombuffer(buf[54:], dtype=np.uint8).reshape(h, stride)
+    topdown = (
+        buf[:14]
+        + struct.pack("<Iii", 40, w, -h)
+        + buf[14 + 12 : 54]
+        + rows[::-1].tobytes()
+    )
+    assert parse_bmp(topdown) == (w, h, c, s)
+
+    for bad in (b"", b"garbage", buf[:40], buf[:100], b"BM" + b"\x00" * 60):
+        assert parse_bmp(bad) == (None, None, None, None)
+
+
+def test_bmp_decode_null_ids_yield_null_metadata(spark):
+    """A NULL doc id (missing blob) flows through attach+decode as NULL
+    payload → NULL metadata, never an abort."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        attach_bmp_payload,
+        decode_bmp_meta,
+    )
+
+    df = spark.createDataFrame([(1,), (None,), (7,)], "doc_id long")
+    out = {r.doc_id: r for r in decode_bmp_meta(attach_bmp_payload(df)).collect()}
+    assert out[1].format == "image/bmp" and out[1].pixel_sum is not None
+    nulls = [r for r in out.values() if r.doc_id is None]
+    assert len(nulls) == 1 and nulls[0].width is None and nulls[0].pixel_sum is None
+
+
 def test_multimodal_real_decoder_escape_hatch(spark):
     """The real-path contract (round-4 verdict ask #5): PIL is probed at
     import; `use_real_decoder=None` auto-selects, `True` raises when no
