@@ -4371,7 +4371,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_merges_frame(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> DataFrame:
     """BPE merge training over an arbitrary documents frame (shared by the
     catalog query and the merge-scan semantics tests)."""
-    spark = docs.sparkSession
+    return docs.sparkSession.createDataFrame(
+        _bpe_train(docs, rounds),
+        "round int, sym_a string, sym_b string, pair_count bigint",
+    )
+
+
+def _bpe_train(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple]:
+    """The K-round BPE training loop; returns the learned merge table as
+    driver-held rows (round, sym_a, sym_b, pair_count) — shared by
+    bpe_merges (which just tabulates it) and bpe_encode (which applies it
+    to re-tokenize the corpus)."""
     words = (
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
         .filter(F.length("w") >= 2)
@@ -4428,15 +4438,63 @@ def _bpe_merges_frame(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> DataFrame:
             ).alias("w"),
             "freq",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "round int, sym_a string, sym_b string, pair_count bigint"
+    return merges
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (round-7): train the merge table (the same K rounds as
+    `bpe_merges`), then apply it to re-tokenize the whole corpus — the
+    train→encode loop of a real tokenizer. Returns one row per document:
+    (doc_id, n_words, n_tokens) where n_tokens counts the BPE symbols of
+    every word after all learned merges; with an empty merge table this
+    degrades to the per-character base vocabulary (unit-pinned).
+
+    Merge application is the same engine-portable scan: each word wraps
+    every char in its own separator pair, each merge is one literal
+    left-to-right `replace` — K chained JVM string expressions, no Python
+    row path. Scale shape: the encode pass is ONE projection over word
+    occurrences (the merge table is ≤K driver-held literals baked into the
+    expression — nothing joins, nothing broadcasts) followed by ONE
+    map-side-combined groupBy(doc_id); cost is K linear scans per word,
+    the same O(corpus) a production tokenizer pays."""
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return _bpe_encode_frame(docs)
+
+
+def _bpe_encode_frame(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> DataFrame:
+    """Encode over an arbitrary documents frame (shared by the catalog
+    query and the rounds=0 base-case unit: zero merges ⇒ n_tokens equals
+    the per-character base vocabulary)."""
+    merges = _bpe_train(docs, rounds) if rounds else []
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    sym = F.regexp_replace("w", "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+    for _rnd, a, b, _cnt in merges:
+        sym = F.call_function(
+            "replace",
+            sym,
+            F.lit(f"{_BPE_SEP}{a}{_BPE_SEP}{_BPE_SEP}{b}{_BPE_SEP}"),
+            F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
+        )
+    n_syms = F.size(F.filter(F.split(sym, _BPE_SEP), lambda x: x != ""))
+    return (
+        words.select("doc_id", n_syms.alias("n_syms"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_tokens"),
+        )
     )
 
 
-def _bpe_merges_oracle(k: int = _BPE_ROUNDS) -> str:
-    """Unrolled K-round DuckDB twin of :func:`q_bpe_merges` (generated —
-    each round is mechanical: pair counts over v{i-1}, 1-row argmax m{i},
-    merged vocabulary v{i})."""
+def _bpe_train_ctes(k: int = _BPE_ROUNDS) -> str:
+    """The shared unrolled K-round training CTE block (words, v0, then per
+    round: pair counts p{i}, 1-row argmax m{i}, merged vocabulary v{i}) —
+    the common prefix of the bpe_merges and bpe_encode oracles."""
     sql = [
         r"""
   WITH words AS MATERIALIZED (
@@ -4472,12 +4530,50 @@ def _bpe_merges_oracle(k: int = _BPE_ROUNDS) -> str:
     FROM v{i - 1}
   )"""
         )
+    return "".join(sql)
+
+
+def _bpe_merges_oracle(k: int = _BPE_ROUNDS) -> str:
+    """Unrolled K-round DuckDB twin of :func:`q_bpe_merges`."""
     rows = "\n  UNION ALL ".join(
         f"SELECT {i} AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m{i}"
         for i in range(1, k + 1)
     )
-    sql.append(f"\n  {rows}")
-    return "".join(sql)
+    return f"{_bpe_train_ctes(k)}\n  {rows}"
+
+
+def _bpe_encode_oracle(k: int = _BPE_ROUNDS) -> str:
+    """DuckDB twin of :func:`q_bpe_encode`: the shared training CTEs, then
+    the corpus re-tokenization — per word occurrence, wrap chars in
+    separator pairs and apply each learned merge as the same literal
+    left-to-right replace (guarded per round: an empty m{i} — training
+    exhausted — leaves words untouched, mirroring Spark's loop break)."""
+    steps = ["""
+  , e0 AS (
+    SELECT doc_id, regexp_replace(w, '(.)', e'\\x01\\\\1\\x01', 'g') AS w FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text, ' '), '\\s+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ) WHERE w <> ''
+  )"""]
+    for i in range(1, k + 1):
+        steps.append(f"""
+  , e{i} AS (
+    SELECT doc_id,
+           CASE WHEN (SELECT a FROM m{i}) IS NULL THEN w
+                ELSE replace(w,
+                  e'\\x01' || (SELECT a FROM m{i}) || e'\\x01\\x01'
+                           || (SELECT b FROM m{i}) || e'\\x01',
+                  e'\\x01' || (SELECT a FROM m{i}) || (SELECT b FROM m{i}) || e'\\x01')
+           END AS w
+    FROM e{i - 1}
+  )""")
+    final = (
+        f"\n  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,"
+        f"\n         CAST(SUM(len(list_filter(string_split(w, e'\\x01'),"
+        f" x -> x <> ''))) AS BIGINT) AS n_tokens"
+        f"\n  FROM e{k} GROUP BY doc_id"
+    )
+    return _bpe_train_ctes(k) + "".join(steps) + final
 
 
 _BM25_TERMS = ["hash", "join", "vector", "filter", "scan", "merge"]
@@ -6684,6 +6780,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash": q_multimodal_phash,
     "bpe_pairs": q_bpe_pairs,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "bm25_rank": q_bm25_rank,
     "fuzzy_join": q_fuzzy_join,
     "cdc_apply": q_cdc_apply,
@@ -9343,6 +9440,7 @@ ORACLES["sessionize_batch"] = """
 ORACLES["sessionize_batch_split"] = ORACLES["sessionize_batch"]
 
 ORACLES["bpe_merges"] = _bpe_merges_oracle()
+ORACLES["bpe_encode"] = _bpe_encode_oracle()
 
 _BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
 ORACLES["bm25_rank"] = f"""

@@ -201,6 +201,7 @@ HEADLINE = [
     "pq_topk",
     # round-7 additions
     "pq_topk_trained",
+    "bpe_encode",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -1405,6 +1405,37 @@ def test_bpe_merges_sennrich_scan_semantics(spark):
     assert out[2] == (3, "aa", "a", 3)
 
 
+def test_bpe_encode_base_case_and_trained(spark):
+    """bpe_encode (round-7): with rounds=0 (no merges) every word encodes
+    to its per-character base vocabulary; with trained merges the counts
+    follow the Sennrich scan — and single-char words, skipped by TRAINING,
+    are still ENCODED (1 symbol)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        _bpe_encode_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa"), (2, "ab"), (3, "a xyz")],
+        "doc_id long, text string",
+    )
+    base = {r.doc_id: (r.n_words, r.n_tokens) for r in
+            _bpe_encode_frame(docs, rounds=0).collect()}
+    # zero merges: n_tokens == summed word lengths (chars)
+    assert base == {1: (2, 7), 2: (1, 2), 3: (2, 4)}
+
+    # rounds=2 on this corpus: round 1 merges (a,a) [count 5], round 2's
+    # pairs all tie at 1 so the ASC tie-break picks (a,b)
+    enc = {r.doc_id: (r.n_words, r.n_tokens) for r in
+           _bpe_encode_frame(docs, rounds=2).collect()}
+    # doc1: 'aaaa'→[aa,aa] (2), 'aaa'→[aa,a] (2); doc2: 'ab'→[ab] (1);
+    # doc3: 'a' (1, untouched single char), 'xyz' (3, no learned merges)
+    assert enc == {1: (2, 4), 2: (1, 1), 3: (2, 4)}
+
+    # null text and empty corpus: no abort, empty/absent rows
+    nulls = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert _bpe_encode_frame(nulls, rounds=2).count() == 0
+
+
 def test_bpe_merges_empty_and_short_corpus(spark):
     """Empty corpus and single-char words (no pairs) stop the loop early
     with the correct schema and zero rows."""

@@ -262,6 +262,14 @@ ANNOTATIONS = {
         "literal-replace map, localCheckpointed so round k never replays "
         "rounds 1..k-1."
     ),
+    "bpe_encode": (
+        "BPE train→encode loop: training is bpe_merges' K vocab-bounded "
+        "rounds; the encode pass bakes the learned merge table into ONE "
+        "projection of K chained literal replaces over word occurrences "
+        "(driver-held literals — nothing joins or broadcasts), then one "
+        "map-side-combined groupBy(doc_id). O(corpus) with K linear "
+        "string scans per word — the cost a production tokenizer pays."
+    ),
     "budget_select": (
         "Token-budget curation: the greedy order's running total is the "
         "two-phase distributed prefix scan (range-partitioned partials, "

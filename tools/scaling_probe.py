@@ -63,6 +63,7 @@ PROBE = [
     "segment_dedup",
     "bpe_pairs",
     "bpe_merges",       # K merge rounds, vocab-bounded per round
+    "bpe_encode",       # train + one K-replace projection + doc groupBy
     "bm25_rank",        # one checkpointed tokenization, broadcast df/stats
     "mix_temperature",
     "incremental_dedup",

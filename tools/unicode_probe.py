@@ -66,6 +66,7 @@ TEXT_QUERIES = [
     "budget_select",
     "bpe_pairs",
     "bpe_merges",
+    "bpe_encode",
     "bm25_rank",
     "doc_chunking",
     "token_drift",
