@@ -251,6 +251,58 @@ def probe_lsh_megabucket(spark) -> None:
         )
 
 
+def probe_round7_hostiles(spark) -> None:
+    """Fifth section (round-7 verdict ask #7): the two newest join-shaped
+    queries under their worst realistic inputs.
+
+    - bm25_rank under a 50%-hot query term: half the corpus gains repeated
+      occurrences of 'hash' (a probed term). The df aggregate must absorb
+      the hot term via map-side combine and the per-doc scoring stays
+      doc-keyed, so the plan should stay ~flat.
+    - budget_select under a single-quality-value corpus (every text
+      identical ⇒ every quality_score identical): the two-phase prefix
+      scan range-partitions on (__neg_q, doc_id) — under TOTAL first-key
+      ties the doc_id component must still spread rows evenly."""
+    docs = load_table(spark, SRC, "documents")
+
+    hot_dir = "/tmp/spark_graft_scale/bm25_hot"
+    if not os.path.exists(os.path.join(hot_dir, "documents.parquet")):
+        os.makedirs(hot_dir, exist_ok=True)
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")),
+                         F.lit(" hash hash hash hash hash hash hash hash")),
+            ).otherwise(F.col("text")),
+        ).write.mode("overwrite").parquet(
+            os.path.join(hot_dir, "documents.parquet")
+        )
+
+    tied_dir = "/tmp/spark_graft_scale/quality_tied"
+    if not os.path.exists(os.path.join(tied_dir, "documents.parquet")):
+        os.makedirs(tied_dir, exist_ok=True)
+        fixed = (
+            "the quick brown fox jumps over the lazy dog and then walks "
+            "slowly back across the quiet field while the morning light "
+            "settles on the grass"
+        )
+        docs.withColumn("text", F.lit(fixed)).write.mode("overwrite").parquet(
+            os.path.join(tied_dir, "documents.parquet")
+        )
+
+    print()
+    print("## Round-7 join-shaped hostiles (bm25 hot term / budget total ties)")
+    print()
+    print("| query | uniform sf1 (s) | hostile sf1 (s) | ratio |")
+    print("|---|---|---|---|")
+    for name, h_dir in (("bm25_rank", hot_dir), ("budget_select", tied_dir)):
+        fn = SPARK_QUERIES[name]
+        t_u = time_noop(spark, fn, SRC)
+        t_s = time_noop(spark, fn, h_dir)
+        print(f"| {name} | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |", flush=True)
+
+
 if __name__ == "__main__":
     if not os.path.exists(os.path.join(OUT, "events.parquet")):
         build()
@@ -268,3 +320,4 @@ if __name__ == "__main__":
     probe_graph_hub(spark)
     probe_corpus_hot_fingerprint(spark)
     probe_lsh_megabucket(spark)
+    probe_round7_hostiles(spark)
