@@ -436,3 +436,112 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk"),
         F.size(chunk).cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction (round-7): the compliance pass every LLM training
+# pipeline runs before a corpus ships. Pure JVM regexp expressions — the
+# patterns are deliberately engine-portable (work identically under Java
+# regex and RE2, no lookarounds/backrefs) so a SQL oracle can re-run them.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# Redaction order is part of the contract (email first: an email can embed
+# digit runs the narrower patterns would otherwise nibble at).
+PII_REDACTION_ORDER = ("email", "phone", "ipv4")
+
+
+def scan_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document PII scan: match counts per pattern family plus the
+    redacted text length. One projection — every pattern evaluates in the
+    same codegen stage over the same row; NULL text yields NULL counts
+    (missing ≠ clean). Linearly partition-parallel, no shuffle, no Python.
+    ``keep_cols`` pass through untouched (e.g. the grouping key of a
+    downstream compliance rollup)."""
+    counts = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    redacted = F.col(text_col)
+    for name in PII_REDACTION_ORDER:
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[name], f"[{name.upper()}]"
+        )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        *counts,
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    threshold_ppm: int = 600_000,
+    max_df: int = 256,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Directional near-containment pairs (doc A mostly inside doc B) via
+    the winnowing fingerprint index — the superset/subset dedup pass
+    (boilerplate wrappers, quote-and-extend posts) that symmetric Jaccard
+    misses: a short doc fully quoted inside a long one has low Jaccard but
+    containment ≈ 1.
+
+    containment(A→B) = |fp(A) ∩ fp(B)| / |fp(A)| over the winnow-selected
+    fingerprints, emitted as exact integer ppm (shared * 1e6 div |fp(A)| —
+    the catalog's engine-exactness idiom).
+
+    Scale shape (100 TB): the fingerprint table IS the inverted index —
+    the self-join is an equi-shuffle on a bigint fingerprint, never an
+    all-pairs product; stop-fingerprints (df > ``max_df``) are dropped
+    BEFORE the join (a fingerprint shared by m docs fans out m² pair rows
+    and carries no containment signal — the same reasoning as the LSH
+    bucket cap and the inverted index's df cap), and containment is
+    measured over the PRUNED sets on both sides of the ratio, so the cap
+    never biases the ratio, only recall on boilerplate. The shared-count
+    aggregate map-side combines on (id_a, id_b).
+    """
+    fps = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w, hash_family=hash_family
+    )
+    df_counts = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("fp_df"))
+    pruned = fps.join(
+        df_counts.filter(F.col("fp_df") <= max_df).select("fingerprint"),
+        "fingerprint",
+    )
+    sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a = pruned.select("fingerprint", F.col(id_col).alias("id_a"))
+    b = pruned.select("fingerprint", F.col(id_col).alias("id_b"))
+    shared = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp")), "id_a"
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("shared_fp * 1000000 div n_fp").cast("long"),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .select("id_a", "id_b", "shared_fp", "n_fp", "containment_ppm")
+    )

@@ -860,6 +860,86 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=5, w=4, hash_family="md5")
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction rollup (round-7): the compliance pass a corpus
+    runs before training. The testdata text is PII-free, so deterministic
+    synthetic PII is injected first (doc_id % 4 picks an email / phone /
+    IPv4 built from doc_id — the same synthesize-then-verify pattern as the
+    BMP decode), then `operators/textops.scan_pii` counts matches per
+    pattern family and measures the redacted text, and one hash aggregate
+    rolls it up per source.
+
+    Scale shape: injection + scan are ONE projection (all three regexes in
+    the same codegen stage, no Python), the rollup is a map-side-combined
+    groupBy over O(sources) keys. Engine parity: the patterns avoid
+    lookarounds/backrefs so Java regex and RE2 agree; NULL text yields
+    NULL counts (missing ≠ clean) and SUM skips them in both engines."""
+    from .operators.textops import scan_pii
+
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), did.cast("string"),
+                F.lit("@example"), (did % 7).cast("string"), F.lit(".com"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.col("text"), F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.col("text"), F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit("."), ((did * 7) % 256).cast("string"),
+                F.lit("."), ((did * 13) % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scanned = scan_pii(injected, keep_cols=("source",))
+    has_pii = (
+        F.coalesce(F.col("n_email"), F.lit(0))
+        + F.coalesce(F.col("n_phone"), F.lit(0))
+        + F.coalesce(F.col("n_ipv4"), F.lit(0))
+    ) > 0
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(has_pii, 1).otherwise(0)).cast("long").alias("docs_with_pii"),
+        F.sum("n_email").cast("long").alias("n_emails"),
+        F.sum("n_phone").cast("long").alias("n_phones"),
+        F.sum("n_ipv4").cast("long").alias("n_ipv4s"),
+        F.sum("redacted_len").cast("long").alias("redacted_chars"),
+    )
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-containment dedup (round-7): doc A mostly-inside
+    doc B via the winnowing fingerprint inverted index — the superset/
+    subset pass symmetric Jaccard misses (a short doc quoted inside a long
+    one has low Jaccard but containment ≈ 1). md5 hash family so the
+    fingerprints are value-oracle-able; containment emitted as exact
+    integer ppm. Stop-fingerprints (df > 256) are dropped BEFORE the
+    self-join (the inverted-index twin of the LSH bucket cap)."""
+    from .operators.textops import containment_pairs
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, k=5, w=4, threshold_ppm=600_000, max_df=256, hash_family="md5"
+    )
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1: global ORDER BY + LIMIT top-k (deterministic tie-break on key).
 
@@ -6929,6 +7009,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "pii_scan": q_pii_scan,
+    "containment_dedup": q_containment_dedup,
     # structured streaming (availableNow incremental)
     "streaming_running_totals": q_streaming_running_totals,
     "running_totals_window": q_running_totals_window,
@@ -10115,6 +10197,91 @@ ORACLES["winnow_fingerprints"] = """
     )
     SELECT doc_id, unnest(list_sort(list_distinct(fps))) AS fingerprint
     FROM sel
+"""
+
+ORACLES["pii_scan"] = r"""
+    WITH injected AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 4 = 0 THEN text || ' contact user' || doc_id::VARCHAR
+                  || '@example' || (doc_id % 7)::VARCHAR || '.com'
+             WHEN doc_id % 4 = 1 THEN text || ' call 555-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             WHEN doc_id % 4 = 2 THEN text || ' from 10.'
+                  || (doc_id % 256)::VARCHAR || '.'
+                  || ((doc_id * 7) % 256)::VARCHAR || '.'
+                  || ((doc_id * 13) % 256)::VARCHAR
+             ELSE text END AS text
+      FROM documents
+    ),
+    scanned AS (
+      SELECT doc_id, source,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS n_phone,
+        len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        length(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{3}-\d{4}\b', '[PHONE]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'))
+          AS redacted_len
+      FROM injected
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(n_email, 0) + COALESCE(n_phone, 0)
+                              + COALESCE(n_ipv4, 0) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4s,
+           CAST(SUM(redacted_len) AS BIGINT) AS redacted_chars
+    FROM scanned GROUP BY source
+"""
+
+ORACLES["containment_dedup"] = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_transform(range(1, len(toks) - 3), i ->
+            ('0x' || substr(md5(array_to_string(toks[i : i + 4], ' ')), 1, 15))::BIGINT)
+        ELSE [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT]
+        END AS gh
+      FROM t
+    ),
+    sel AS (
+      SELECT doc_id,
+        CASE WHEN len(gh) >= 4 THEN
+          list_transform(range(1, len(gh) - 2), j -> list_min(gh[j : j + 3]))
+        ELSE [list_min(gh)] END AS fps
+      FROM g
+    ),
+    fps AS MATERIALIZED (
+      SELECT doc_id, unnest(list_sort(list_distinct(fps))) AS fingerprint
+      FROM sel
+    ),
+    keepfp AS (
+      SELECT fingerprint FROM fps GROUP BY fingerprint HAVING COUNT(*) <= 256
+    ),
+    pruned AS MATERIALIZED (
+      SELECT f.doc_id, f.fingerprint FROM fps f JOIN keepfp USING (fingerprint)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM pruned GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fp
+      FROM pruned a JOIN pruned b
+        ON a.fingerprint = b.fingerprint AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared_fp, CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(shared_fp * 1000000 // n_fp AS BIGINT) AS containment_ppm
+    FROM shared JOIN sizes ON sizes.doc_id = shared.id_a
+    WHERE shared_fp * 1000000 // n_fp >= 600000
 """
 
 # Value oracle for SRP-LSH near-dup pairs: Rademacher planes from md5 of the

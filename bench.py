@@ -202,6 +202,8 @@ HEADLINE = [
     # round-7 additions
     "pq_topk_trained",
     "bpe_encode",
+    "pii_scan",
+    "containment_dedup",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

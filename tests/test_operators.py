@@ -1436,6 +1436,59 @@ def test_bpe_encode_base_case_and_trained(spark):
     assert _bpe_encode_frame(nulls, rounds=2).count() == 0
 
 
+def test_scan_pii_counts_and_redaction(spark):
+    """scan_pii (round-7): multiple PII families in one text are each
+    counted and redacted; NULL text yields NULL counts (missing ≠ clean);
+    clean text counts zero and redacts to itself."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.textops import scan_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io or c.d+x@e-f.org, call 555-0199, from 10.0.0.1 and 192.168.1.255"),
+            (2, "perfectly clean text"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scan_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 1, 2)
+    redacted = (
+        "mail [EMAIL] or [EMAIL], call [PHONE], from [IPV4] and [IPV4]"
+    )
+    assert out[1].redacted_len == len(redacted)
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 0)
+    assert out[2].redacted_len == len("perfectly clean text")
+    assert out[3].n_email is None and out[3].redacted_len is None
+
+
+def test_containment_pairs_planted_quote(spark):
+    """containment_pairs (round-7): a short doc quoted verbatim inside a
+    long doc has containment 1.0 short→long (every winnow fingerprint of
+    the short doc appears in the long one) but well under the threshold
+    long→short; two unrelated docs emit nothing."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.textops import (
+        containment_pairs,
+    )
+
+    short = " ".join(f"quote{i}" for i in range(12))
+    long_doc = (
+        " ".join(f"pre{i}" for i in range(40))
+        + " " + short + " "
+        + " ".join(f"post{i}" for i in range(40))
+    )
+    other = " ".join(f"noise{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    rows = {
+        (r.id_a, r.id_b): r.containment_ppm
+        for r in containment_pairs(df, threshold_ppm=600_000).collect()
+    }
+    assert rows.get((1, 2)) == 1_000_000
+    assert (2, 1) not in rows  # directional: long is NOT inside short
+    assert all(3 not in pair for pair in rows)
+
+
 def test_bpe_merges_empty_and_short_corpus(spark):
     """Empty corpus and single-char words (no pairs) stop the loop early
     with the correct schema and zero rows."""

@@ -303,6 +303,20 @@ ANNOTATIONS = {
         "the same integer-ADC/broadcast-LUT/WindowGroupLimit plan as "
         "pq_topk."
     ),
+    "pii_scan": (
+        "Compliance scan: PII injection + three regex families + redaction "
+        "all in ONE codegen projection (no Python row path), rolled up by "
+        "a map-side-combined groupBy over O(sources) keys. The regexes "
+        "avoid lookarounds/backrefs so Java regex and RE2 agree."
+    ),
+    "containment_dedup": (
+        "Directional near-containment via the winnow fingerprint inverted "
+        "index: stop-fingerprints (df > 256) drop BEFORE the self-join "
+        "(the inverted-index twin of the LSH bucket cap), the join is an "
+        "equi-shuffle on a bigint fingerprint — never all-pairs — and the "
+        "shared-count aggregate map-side combines on (id_a, id_b). "
+        "Containment is exact integer ppm over the pruned sets."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "

@@ -69,6 +69,9 @@ PROBE = [
     "incremental_dedup",
     "budget_select",    # two-phase prefix scan under a token budget
     "multimodal_phash",
+    "multimodal_decode",  # real BMP encode->parse roundtrip (mapInPandas)
+    "pii_scan",         # 3-regex scan+redact projection, O(sources) rollup
+    "containment_dedup",  # winnow inverted-index self-join, df-capped
     # dedup composition with bounded output
     "dedup_survivors",
     # vector ops

@@ -69,6 +69,9 @@ TEXT_QUERIES = [
     "bpe_encode",
     "bm25_rank",
     "doc_chunking",
+    "pii_scan",
+    "containment_dedup",
+    "winnow_fingerprints",
     "token_drift",
     "kl_divergence_sources",
     "mutual_information",
