@@ -7031,37 +7031,39 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # CORRECTNESS row lead, then queries new this round, then a regression
 # rotation over the highest-value already-green shapes.
 _DRIVER_PRIORITY = [
-    # Round-6 budget (50 slots), per the round-5 verdict's rotation rule:
-    # no query's newest green driver row should age past r3.
-    #   slots 1-30  — the 30 queries whose newest green row is still r01
-    #                 (all re-value-matched locally every round since; a
-    #                 hard r06 row refreshes the oldest third of the
-    #                 cumulative record).
-    #   next        — queries NEW or ORACLE-CHANGED in round 6
-    #                 (sessionize_batch_split, bpe_merges; semantic_prune
-    #                 and copurchase_lift had their DuckDB oracles marked
-    #                 MATERIALIZED for the sf1 sweep — semantically
-    #                 identical, but re-sample them hard).
-    #   remainder   — the highest-value r02-stale rows: the streaming
-    #                 family, TPC-H anchors, and skew-twin shapes.
-    # --- refresh: newest green row is r01 ---
-    "typed_projection", "predicates", "scalar_matrix", "semi_join",
-    "global_minmax", "topk_orders", "silver_customer", "silver_orders",
-    "silver_events", "gold_dim_orders", "gold_dim_parts",
-    "gold_dim_suppliers", "date_expr_join", "dedup_exact",
-    "dedup_fingerprint", "dedup_jaccard", "embedding_dup_pairs",
-    "ann_topk", "text_analysis", "multimodal_decode", "multimodal_frames",
-    "multimodal_resize", "asof_join", "rollup_sales", "pivot_status",
-    "set_ops", "ntile_window", "stat_aggregates", "array_functions",
-    "window_frames",
-    # --- new / oracle-changed in round 6 ---
-    "sessionize_batch_split", "bpe_merges", "budget_select", "bm25_rank",
-    "pq_topk", "semantic_prune", "copurchase_lift",
-    # --- refresh: newest green row is r02 (highest-value subset) ---
-    "streaming_window_agg", "streaming_sliding_agg", "streaming_sessionize",
-    "streaming_dedup", "streaming_incremental_mv",
-    "tpch_q3", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q18",
-    "window_dedup_agg", "grouped_median", "segment_dedup",
+    # Round-7 budget (50 slots), per the rotation rule: no query's newest
+    # green driver row should age past 2 rounds.
+    #   slots 1-32  — ALL 32 queries whose newest green row is r02 (the
+    #                 round-6 verdict's named refresh list; after this
+    #                 round nothing in the cumulative record is older
+    #                 than r04).
+    #   next        — queries NEW or CHANGED in round 7: pq_topk_trained /
+    #                 bpe_encode / pii_scan / containment_dedup are new;
+    #                 multimodal_decode switched to the real BMP roundtrip
+    #                 (new oracle); pq_topk gained the element-null/length
+    #                 guard (query+oracle); budget_select moved to exact
+    #                 BIGINT div; bpe_merges was refactored behind
+    #                 _bpe_train; dedup_minhash_lsh gained cap validation.
+    #   remainder   — high-value anchors (flagship fact, silver layer,
+    #                 streaming, skew twins).
+    # --- refresh: newest green row is r02 ---
+    "bigram_lm_counts", "bpe_pairs", "exact_quantiles", "fuzzy_join",
+    "geo_cell_join", "incremental_dedup", "jsonl_ingest_roundtrip",
+    "lateral_topk", "mix_temperature", "multimodal_features",
+    "multimodal_phash", "optimize_compact", "orc_roundtrip",
+    "quality_rank", "range_join", "recursive_chain", "right_join",
+    "semantic_decontaminate", "set_ops_all", "text_ingest",
+    "time_range_window", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q4", "tpch_q6", "tpch_q7", "udaf_sumsq",
+    "udtf_split", "variant_extract",
+    # --- new / changed in round 7 ---
+    "pq_topk_trained", "bpe_encode", "pii_scan", "containment_dedup",
+    "multimodal_decode", "pq_topk", "budget_select", "bpe_merges",
+    "dedup_minhash_lsh",
+    # --- anchors ---
+    "gold_fact_lineitem", "silver_orders", "order_totals",
+    "streaming_window_agg", "streaming_incremental_mv", "tpch_q1",
+    "tpch_q9", "window_dedup", "sessionize_batch_split",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
