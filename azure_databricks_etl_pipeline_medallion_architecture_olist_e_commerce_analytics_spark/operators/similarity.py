@@ -578,6 +578,33 @@ def semantic_prune(
     )
 
 
+def _pq_double_exprs(m_subspaces: int, n_codes: int, d_sub: int) -> tuple[str, str]:
+    """The shared PQ fold expressions (double arithmetic, input column
+    ``v``, literal codebook column ``cbl``): per-vector code array and
+    per-query LUT array. L2² between v's m-th subvector and codebook[m][c];
+    0-based m, 1-based c/i (element_at); fold order matches the DuckDB
+    oracles' list_sum exactly. The argmin binds the per-subspace distance
+    array once via the single-element transform trick — array_position of
+    the min = smallest code id on ties."""
+    dist = (
+        "aggregate(sequence(1, {d}), CAST(0.0 AS DOUBLE), (s, i) -> s"
+        " + (element_at(v, m * {d} + i)"
+        "    - element_at(element_at(element_at(cbl, m + 1), c), i))"
+        " * (element_at(v, m * {d} + i)"
+        "    - element_at(element_at(element_at(cbl, m + 1), c), i)))"
+    ).format(d=d_sub)
+    codes_sql = (
+        "transform(sequence(0, {M} - 1), m -> element_at("
+        "  transform(array(transform(sequence(1, {K}), c -> {dist})),"
+        "            ds -> array_position(ds, array_min(ds))), 1))"
+    ).format(M=m_subspaces, K=n_codes, dist=dist)
+    luts_sql = (
+        "transform(sequence(0, {M} - 1), m ->"
+        "  transform(sequence(1, {K}), c -> {dist}))"
+    ).format(M=m_subspaces, K=n_codes, dist=dist)
+    return codes_sql, luts_sql
+
+
 def _valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Keep only rows whose vector is non-NULL, exactly ``dim`` long, and
     free of NULL elements — the shared precondition of every PQ path (and
@@ -663,28 +690,7 @@ def pq_topk(
         ]
     )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-
-    # L2² between v's m-th subvector and codebook[m][c]; 0-based m, 1-based
-    # c/i (element_at). Fold order matches the oracle's list_sum exactly.
-    _dist = (
-        "aggregate(sequence(1, {d}), CAST(0.0 AS DOUBLE), (s, i) -> s"
-        " + (element_at(v, m * {d} + i)"
-        "    - element_at(element_at(element_at(cbl, m + 1), c), i))"
-        " * (element_at(v, m * {d} + i)"
-        "    - element_at(element_at(element_at(cbl, m + 1), c), i)))"
-    ).format(d=d_sub)
-    # bind the per-subspace distance array once via the single-element
-    # transform trick, then argmin = first position of the min (= smallest
-    # code id on ties)
-    codes_sql = (
-        "transform(sequence(0, {M} - 1), m -> element_at("
-        "  transform(array(transform(sequence(1, {K}), c -> {dist})),"
-        "            ds -> array_position(ds, array_min(ds))), 1))"
-    ).format(M=m_subspaces, K=n_codes, dist=_dist)
-    luts_sql = (
-        "transform(sequence(0, {M} - 1), m ->"
-        "  transform(sequence(1, {K}), c -> {dist}))"
-    ).format(M=m_subspaces, K=n_codes, dist=_dist)
+    codes_sql, luts_sql = _pq_double_exprs(m_subspaces, n_codes, d_sub)
 
     encoded = spread_partitions(df).select(
         F.col(id_col).alias("nbr_id"), vec_d.alias("v"), cb_lit.alias("cbl")
@@ -864,6 +870,96 @@ def pq_topk_trained(
     ).select("query_id", "nbr_id", adc.alias("adc_micro2"))
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_micro2"), F.asc("nbr_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    k: int = 3,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+):
+    """IVF + PQ composed: the full production ANN index tier (FAISS's
+    IVF-PQ shape). The coarse quantizer routes each vector to one of
+    ``n_centroids`` cells (broadcast assignment — ann_topk_ivf's plan);
+    within the probed cell, candidates are scored by PQ/ADC over 8
+    one-byte codes — so a query touches ~1/n_centroids of the corpus AND
+    never touches raw floats. Both approximations compose: recall(IVF-PQ)
+    ≈ recall(IVF) · recall(PQ), the classic memory/compute trade matrix
+    this catalog now covers end-to-end (brute → IVF-flat → PQ-exhaustive
+    → IVF-PQ).
+
+    Simplification vs FAISS, stated: codes quantize the VECTORS, not the
+    cell residuals — residual encoding needs per-cell codebooks (16× the
+    literal size) for a quality gain the value-oracle family doesn't need.
+
+    Scale shape (100 TB): assignment is a broadcast of n_centroids rows;
+    encode is the zero-shuffle literal-codebook projection; the candidate
+    join is an equi-join on ``centroid_id`` against the bounded broadcast
+    query side — never a cross join; ADC terms floor to micro ints before
+    the order-independent BIGINT sum; top-k is a WindowGroupLimit rank.
+    """
+    d_sub = dim // m_subspaces
+    df = _valid_vectors(df, vec_col, dim)
+    seeds = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    if not seeds:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, nbr_id long, adc_micro long, rank int"
+        )
+    n_codes = min(n_codes, len(seeds))
+    codebook = [
+        [
+            [float(x) for x in row[vec_col][m * d_sub : (m + 1) * d_sub]]
+            for row in seeds
+        ]
+        for m in range(m_subspaces)
+    ]
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in code]) for code in codebook[m]])
+            for m in range(m_subspaces)
+        ]
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes_sql, luts_sql = _pq_double_exprs(m_subspaces, n_codes, d_sub)
+
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids)
+    encoded = spread_partitions(assigned).select(
+        "centroid_id",
+        F.col(id_col).alias("nbr_id"),
+        vec_d.alias("v"),
+        cb_lit.alias("cbl"),
+    ).select("centroid_id", "nbr_id", F.expr(codes_sql).alias("codes"))
+    queries = assigned.filter(query_filter) if query_filter is not None else assigned
+    q = queries.select(
+        "centroid_id",
+        F.col(id_col).alias("query_id"),
+        vec_d.alias("v"),
+        cb_lit.alias("cbl"),
+    ).select("centroid_id", "query_id", F.expr(luts_sql).alias("luts"))
+    adc = F.expr(
+        "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
+        " + CAST(FLOOR(1000000.0 * element_at(element_at(luts, m),"
+        "                                     CAST(element_at(codes, m) AS INT)))"
+        "        AS BIGINT))".format(M=m_subspaces)
+    )
+    pairs = (
+        encoded.join(F.broadcast(q), on="centroid_id")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", adc.alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("nbr_id")
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))

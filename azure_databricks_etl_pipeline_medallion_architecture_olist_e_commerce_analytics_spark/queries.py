@@ -748,6 +748,22 @@ def q_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_trained(emb, k=3, rounds=2, query_filter=F.col("vec_id") < 100)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN top-3 (round-7): coarse cells route each query
+    to ~1/16 of the corpus, PQ/ADC scores the probed cell over 8 one-byte
+    codes — the full production index tier, completing the catalog's ANN
+    trade matrix (brute → IVF-flat → PQ-exhaustive → IVF-PQ). Broadcast
+    assignment, zero-shuffle literal-codebook encode, equi-join on
+    centroid_id against the bounded broadcast query side, micro-integer
+    order-independent ADC, WindowGroupLimit top-k. Fully value-oracled
+    (DuckDB replays assignment, codes, LUT terms, and ranks)."""
+    from .operators.similarity import ivfpq_topk
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, k=3, query_filter=F.col("vec_id") < 100)
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
     corpus — random vectors top out near 0.44 cosine)."""
@@ -7003,6 +7019,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "pq_topk": q_pq_topk,
     "pq_topk_trained": q_pq_topk_trained,
+    "ivfpq_topk": q_ivfpq_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "multimodal_decode": q_multimodal_decode,
@@ -7058,12 +7075,12 @@ _DRIVER_PRIORITY = [
     "udtf_split", "variant_extract",
     # --- new / changed in round 7 ---
     "pq_topk_trained", "bpe_encode", "pii_scan", "containment_dedup",
-    "multimodal_decode", "pq_topk", "budget_select", "bpe_merges",
-    "dedup_minhash_lsh",
+    "ivfpq_topk", "multimodal_decode", "pq_topk", "budget_select",
+    "bpe_merges", "dedup_minhash_lsh",
     # --- anchors ---
     "gold_fact_lineitem", "silver_orders", "order_totals",
     "streaming_window_agg", "streaming_incremental_mv", "tpch_q1",
-    "tpch_q9", "window_dedup", "sessionize_batch_split",
+    "window_dedup", "sessionize_batch_split",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -10453,6 +10470,66 @@ def _pq_trained_oracle_sql(rounds: int = 2, d: int = 8) -> str:
 
 
 ORACLES["pq_topk_trained"] = _pq_trained_oracle_sql(rounds=2)
+
+ORACLES["ivfpq_topk"] = """
+    WITH t AS MATERIALIZED (
+      SELECT vec_id, embedding AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
+    ),
+    seeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
+      FROM (SELECT * FROM t ORDER BY vec_id LIMIT 16)
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT t.vec_id, s.cid AS centroid_id,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 (list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * s.e[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * t.e[i]::DOUBLE)))
+                   * sqrt(list_sum(list_transform(range(1, 65), i -> s.e[i]::DOUBLE * s.e[i]::DOUBLE)))))
+                 DESC, s.cid) AS rn
+        FROM t CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m),
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT x.vec_id, ms.m, s.cid,
+               row_number() OVER (PARTITION BY x.vec_id, ms.m ORDER BY
+                 list_sum(list_transform(range(1, 9),
+                   i -> (x.e[ms.m*8+i]::DOUBLE - s.e[ms.m*8+i]::DOUBLE)
+                      * (x.e[ms.m*8+i]::DOUBLE - s.e[ms.m*8+i]::DOUBLE))) ASC,
+                 s.cid ASC) AS rn
+        FROM t x CROSS JOIN ms CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    q AS MATERIALIZED (
+      SELECT t.vec_id AS query_id, t.e AS qe, a.centroid_id
+      FROM t JOIN assigned a ON a.vec_id = t.vec_id
+      WHERE t.vec_id < 100
+    ),
+    terms AS (
+      SELECT q.query_id, enc.vec_id AS nbr_id,
+             CAST(FLOOR(1000000.0 * list_sum(list_transform(range(1, 9),
+               i -> (q.qe[enc.m*8+i]::DOUBLE - s.e[enc.m*8+i]::DOUBLE)
+                  * (q.qe[enc.m*8+i]::DOUBLE - s.e[enc.m*8+i]::DOUBLE))))
+               AS BIGINT) AS t_micro
+      FROM q
+      JOIN assigned nb ON nb.centroid_id = q.centroid_id AND nb.vec_id != q.query_id
+      JOIN enc ON enc.vec_id = nb.vec_id
+      JOIN seeds s ON s.cid = enc.code
+    ),
+    adc AS (
+      SELECT query_id, nbr_id, CAST(SUM(t_micro) AS BIGINT) AS adc_micro
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT query_id, nbr_id, adc_micro, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_micro ASC, nbr_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 3
+"""
 
 ORACLES["ann_topk_ivf"] = """
     WITH t AS (SELECT vec_id, embedding AS e FROM embeddings),

@@ -204,6 +204,7 @@ HEADLINE = [
     "bpe_encode",
     "pii_scan",
     "containment_dedup",
+    "ivfpq_topk",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

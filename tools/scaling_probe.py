@@ -79,6 +79,7 @@ PROBE = [
     "embedding_quantize",
     "pq_topk",          # PQ/ADC: literal-codebook encode + query LUTs
     "pq_topk_trained",  # + 2 integer k-means rounds (O(codebook) collects)
+    "ivfpq_topk",       # IVF cells x PQ codes: probe 1/16 corpus, ADC score
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
     "streaming_running_totals",
