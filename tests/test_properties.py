@@ -212,3 +212,28 @@ def test_mix_temperature_deterministic_and_bounded(spark, seed):
     kept = int(a["kept"].sum())
     # alpha=0.5 with uniform sources => target about half the corpus
     assert 0.3 * total < kept < 0.7 * total
+
+
+@settings(max_examples=200, deadline=None)
+@given(did=st.integers(min_value=0, max_value=10**12))
+def test_bmp_codec_roundtrip_property(did):
+    """Property (round-7): for ANY doc id, the vendored BMP writer+parser
+    round-trip exactly the synthetic dimensions and the closed-form pixel
+    sum — the invariant the multimodal_decode oracle relies on."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        _bmp_dims,
+        encode_bmp,
+        parse_bmp,
+    )
+
+    w, h, c, s = parse_bmp(encode_bmp(did))
+    ew, eh = _bmp_dims(did)
+    assert (w, h, c) == (ew, eh, 3)
+    # closed form: sum over x,y,ch of (did + 3x + 7y + 11ch) % 256
+    expect = sum(
+        (did + 3 * x + 7 * y + 11 * ch) % 256
+        for x in range(ew)
+        for y in range(eh)
+        for ch in range(3)
+    )
+    assert s == expect
