@@ -554,3 +554,86 @@ def bellman_ford(
         .agg(F.min("__dist").cast("bigint").alias(dist))
         .select(F.col("__node").alias(node), dist)
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+    num_nodes: int | None = None,
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (Raghavan, Albert &
+    Kumara 2007) — the near-linear community-detection primitive that
+    completes the graph family: components answer "connected at all?",
+    PageRank "how central?", LPA "which cluster?" (source/community
+    discovery for corpus curation, spam-farm detection, entity grouping).
+
+    Update rule, fully deterministic: every node starts labeled with its
+    own id; each round EVERY node simultaneously adopts the label with
+    the highest count among its in-neighbors' current labels, ties broken
+    by the SMALLEST label. Fixed ``rounds`` unrolls (no convergence
+    probe), so the oracle is the same rounds as chained SQL CTEs —
+    bitwise equality on integer labels, no float, no randomized tie
+    break (classic LPA breaks ties uniformly at random; min-label is the
+    standard derandomization and what makes a value oracle possible).
+
+    Requires a SYMMETRIC edge list in which every node appears as a
+    source (the bidirectional-union contract of ``_trade_edges`` /
+    ``pagerank_integer(symmetric=True)``): the initial label table is
+    then exactly the distinct sources, and every node receives ≥1
+    message per round, so no keep-own-label fallback join is needed.
+    ``rounds=0`` returns the identity labeling.
+
+    Scale: each round is ONE equi-join (edges × the O(V) label vector —
+    broadcast below ``BROADCAST_NODE_LIMIT``, shuffle path above it; a
+    100 TB label vector must never be broadcast) plus TWO map-side-
+    combined hash aggregates: (node, label) message counts, then the
+    per-node argmax as ``max(struct(count, -label))`` — an aggregate,
+    not a window, so a celebrity node's million incoming messages
+    combine map-side instead of funneling through one window task.
+    O(E) per round, no driver state beyond the round counter;
+    per-round localCheckpoint truncates lineage (the Pregel
+    periodic-checkpoint discipline). Callers pass ``edges`` already
+    materialized (every round re-scans it); ``num_nodes`` skips the one
+    gating count job when the caller knows the bound.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    labels = (
+        edges.select(F.col(src).alias("__node"))
+        .distinct()
+        .select("__node", F.col("__node").alias("__label"))
+        .localCheckpoint()
+    )
+    n = num_nodes if num_nodes is not None else labels.count()
+    small = n <= BROADCAST_NODE_LIMIT
+    for _ in range(rounds):
+        vec = F.broadcast(labels) if small else labels
+        labels = (
+            edges.join(vec, edges[src] == vec["__node"])
+            .select(edges[dst].alias("__node"), "__label")
+            .groupBy("__node", "__label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            # argmax by (count desc, label asc): labels are non-negative
+            # ids, so max over (count, -label) structs orders ties toward
+            # the smallest label — same rule the oracle's ROW_NUMBER pins
+            .groupBy("__node")
+            .agg(
+                F.max(
+                    F.struct(F.col("__c").alias("c"), (-F.col("__label")).alias("nl"))
+                ).alias("__m")
+            )
+            .select("__node", (-F.col("__m.nl")).alias("__label"))
+        )
+        if not small:
+            # big-graph path: truncate lineage so a late task failure
+            # recomputes one round, not the whole chain. The small path
+            # skips this — each round's broadcast subtree nests exactly
+            # once inside the next, so the loop executes as ONE linear
+            # query with no per-round job barrier or materialization
+            # (the pagerank_integer small-path discipline).
+            labels = labels.localCheckpoint()
+    return labels.select(F.col("__node").alias(node), F.col("__label").alias(label))

@@ -2657,6 +2657,79 @@ def q_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information: the
+    top-100 adjacent word pairs whose co-occurrence most exceeds the
+    independence expectation — lift = N·c(w1,w2) / (c(w1,·)·c(·,w2)),
+    pmi = ln(lift) — the classic corpus-linguistics collocation statistic
+    and the phrase-detection signal tokenizer-vocab curation uses
+    (word2vec-era phrase merging scores bigrams exactly this way).
+
+    Cross-engine exactness: every count is an exact integer; lift is ONE
+    IEEE division of two exactly-representable double products
+    (n12·N and n1·n2 both ≪ 2^53 at any realistic corpus), written as
+    the identical operation sequence on both sides → bitwise-equal
+    doubles; pmi_micro floors 1e6·LN(lift) the same way bm25_rank's
+    contribution does. Selection is deterministic: lift DESC with the
+    full (w1, w2) tie-break before LIMIT 100.
+
+    Scale: the corpus collapses to the bigram count table in one
+    explode + map-side-combined hash aggregate, localCheckpoint-ed so
+    the two vocab-bounded marginal re-aggregations and the candidate
+    scan read materialized blocks instead of re-tokenizing (the
+    bm25_rank one-tokenization discipline). Marginal joins are plain
+    equi-joins — the left marginal reuses the groupBy(w1) partitioning,
+    and AQE broadcasts vocab-sized sides when they fit (no unconditional
+    hint: a 100 TB corpus's vocabulary outgrows a broadcast). The grand
+    total attaches as a 1-row broadcast scalar; top-100 is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    # single-token/empty docs have no bigram — and sequence(1, 0) would
+    # run DESCENDING and index out of bounds, so the guard is load-bearing
+    toks = docs.select(F.split(F.trim("text"), r"\s+").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .localCheckpoint()
+    )
+    left = counts.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    right = counts.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    total = counts.agg(F.sum("n12").alias("n_total"))
+    scored = (
+        counts.filter(F.col("n12") >= 20)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            "n2",
+            (
+                (F.col("n12").cast("double") * F.col("n_total").cast("double"))
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("lift"),
+        )
+        .withColumn(
+            "pmi_micro",
+            F.floor(F.lit(1000000.0) * F.log("lift")).cast("long"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(100)
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-growth dedup: a NEW document batch deduplicated against the
     HISTORICAL corpus by fingerprint — the incremental form every
@@ -3348,6 +3421,40 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("node div 2").alias("entity_key"),
             F.col("hops").cast("int").alias("hops"),
         )
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the supplier↔customer trade graph via
+    fixed-round deterministic label propagation
+    (operators/graph.py::label_propagation): 3 synchronous rounds of
+    "adopt the most frequent neighbor label, ties to the smallest" from
+    an identity labeling. Completes the graph family's question set —
+    components (connectivity), PageRank (centrality), BFS (distance),
+    triangles (cohesion), LPA (community) — the curation primitive for
+    grouping sources/entities that trade in the same cluster.
+
+    Min-label tie-breaking derandomizes classic LPA, so the oracle is
+    the same 3 rounds unrolled as chained CTEs in DuckDB — bitwise
+    integer equality. Scale shape = pagerank_trade: O(E) join + two
+    map-side-combined aggregates per round against the
+    localCheckpoint-ed edge list; the O(V) label vector broadcasts only
+    under BROADCAST_NODE_LIMIT.
+    """
+    from .operators.graph import label_propagation
+
+    tune_session(spark)
+    edges = _trade_edges(spark, sf_dir)  # directed half checkpointed inside
+    labels = label_propagation(edges, rounds=3)
+    return labels.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("entity_type"),
+        F.expr("node div 2").alias("entity_key"),
+        F.when(F.col("label") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("community_type"),
+        F.expr("label div 2").alias("community_key"),
     )
 
 
@@ -6851,6 +6958,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_weighted": q_pagerank_weighted,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "bfs_reach": q_bfs_reach,
+    "label_propagation": q_label_propagation,
+    "collocation_pmi": q_collocation_pmi,
     "ols_trend": q_ols_trend,
     "profile_table": q_profile_table,
     "profile_table_approx": q_profile_table_approx,
@@ -7074,6 +7183,7 @@ _DRIVER_PRIORITY = [
     "tpch_q17", "tpch_q4", "tpch_q6", "tpch_q7", "udaf_sumsq",
     "udtf_split", "variant_extract",
     # --- new / changed in round 7 ---
+    "label_propagation", "collocation_pmi",
     "pq_topk_trained", "bpe_encode", "pii_scan", "containment_dedup",
     "ivfpq_topk", "multimodal_decode", "pq_topk", "budget_select",
     "bpe_merges", "dedup_minhash_lsh",
@@ -10866,4 +10976,77 @@ ORACLES["budget_select"] = f"""
   SELECT doc_id, quality_score, n_tokens, tokens_before, budget,
          tokens_before < budget AS selected
   FROM o CROSS JOIN b
+"""
+
+# Unrolled 3-round LPA: per round, message counts per (node, label) then
+# the deterministic argmax (count DESC, label ASC) — the same min-label
+# tie break the Spark side's max(struct(count, -label)) aggregate pins.
+ORACLES["label_propagation"] = """
+  WITH p AS MATERIALIZED (
+    SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src,
+                    CAST(o_custkey AS BIGINT)*2 + 1 AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  ),
+  e AS MATERIALIZED (
+    SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p
+  ),
+  l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+  c1 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+         FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+  l1 AS (SELECT node, label FROM (
+           SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label ASC) AS rn
+           FROM c1) WHERE rn = 1),
+  c2 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+         FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+  l2 AS (SELECT node, label FROM (
+           SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label ASC) AS rn
+           FROM c2) WHERE rn = 1),
+  c3 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+         FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+  l3 AS (SELECT node, label FROM (
+           SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node
+                                     ORDER BY c DESC, label ASC) AS rn
+           FROM c3) WHERE rn = 1)
+  SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+           AS entity_type,
+         node // 2 AS entity_key,
+         CASE WHEN label % 2 = 0 THEN 'supplier' ELSE 'customer' END
+           AS community_type,
+         label // 2 AS community_key
+  FROM l3
+"""
+
+# lift is one IEEE double division of exactly-representable integer
+# products (both engines run the identical op sequence → bitwise-equal),
+# pmi_micro the same FLOOR(1e6·LN(x)) shape bm25_rank already pins.
+ORACLES["collocation_pmi"] = r"""
+  WITH toks AS (
+    SELECT regexp_split_to_array(trim(text, ' '), '\s+') AS w FROM documents
+  ),
+  bigrams AS (
+    SELECT w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+    FROM toks, UNNEST(range(1, len(w))) AS t(i)
+  ),
+  counts AS MATERIALIZED (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bigrams GROUP BY 1, 2
+  ),
+  lm AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM counts GROUP BY w1),
+  rm AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM counts GROUP BY w2),
+  tot AS (SELECT CAST(SUM(n12) AS BIGINT) AS n_total FROM counts)
+  SELECT c.w1, c.w2, c.n12, l.n1, r.n2,
+         (CAST(c.n12 AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+           / (CAST(l.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)) AS lift,
+         CAST(FLOOR(1000000.0 * LN(
+           (CAST(c.n12 AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+             / (CAST(l.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)))) AS BIGINT)
+           AS pmi_micro
+  FROM counts c JOIN lm l USING (w1) JOIN rm r USING (w2) CROSS JOIN tot t
+  WHERE c.n12 >= 20
+  ORDER BY lift DESC, w1 ASC, w2 ASC
+  LIMIT 100
 """

@@ -205,6 +205,8 @@ HEADLINE = [
     "pii_scan",
     "containment_dedup",
     "ivfpq_topk",
+    "label_propagation",
+    "collocation_pmi",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -1642,3 +1642,77 @@ def test_srp_bucket_cap_output_identical_on_planted_megacluster(spark):
     assert len(baseline) == 300 * 299 // 2  # all near-identical: every pair
     for cap in (16, 77, 4096):
         assert pairs(cap) == baseline, f"cap={cap} diverged"
+
+def _lpa_reference(edges, rounds):
+    """Hand-rolled python replica of the deterministic LPA update rule:
+    adopt the most frequent in-neighbor label, ties to the smallest."""
+    nodes = sorted({s for s, _ in edges})
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        cnt = {}
+        for s, d in edges:
+            cnt.setdefault(d, {}).setdefault(lab[s], 0)
+            cnt[d][lab[s]] += 1
+        lab = {
+            v: min(l for l, c in cs.items() if c == max(cs.values()))
+            for v, cs in cnt.items()
+        }
+    return lab
+
+
+def test_label_propagation_two_planted_communities(spark):
+    """Two 4-cliques joined by a single bridge edge: after 3 rounds every
+    member of each clique must carry that clique's minimum node id, the
+    bridge notwithstanding — and the whole labeling must equal the
+    hand-rolled reference exactly (deterministic min-label tie rule)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        label_propagation,
+    )
+
+    a, b = [0, 1, 2, 3], [10, 11, 12, 13]
+    half = [(x, y) for grp in (a, b) for x in grp for y in grp if x < y]
+    half.append((3, 10))  # bridge
+    e = half + [(y, x) for x, y in half]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=3).collect()}
+    assert got == _lpa_reference(e, 3)
+    assert {got[v] for v in a} == {0}
+    assert {got[v] for v in b} == {10}
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    """Path 1-2-3 after one round: node 2 sees labels {1, 3} at equal
+    count and must adopt 1 (the smallest), never 3."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        label_propagation,
+    )
+
+    half = [(1, 2), (2, 3)]
+    e = half + [(y, x) for x, y in half]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
+    assert got[2] == 1
+    assert got == _lpa_reference(e, 1)
+
+
+def test_label_propagation_zero_rounds_is_identity(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        label_propagation,
+    )
+
+    e = [(1, 2), (2, 1)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=0).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_label_propagation_negative_rounds_raises(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        label_propagation(edges, rounds=-1)

@@ -325,6 +325,28 @@ ANNOTATIONS = {
         "codebook path — 8 array lookups per pair, micro-integer "
         "order-independent sums, WindowGroupLimit top-k."
     ),
+    "label_propagation": (
+        "Fixed-round deterministic LPA community detection: per round ONE "
+        "equi-join of the checkpointed edge list against the broadcast "
+        "O(V) label vector (shuffle path above BROADCAST_NODE_LIMIT), "
+        "then TWO map-side-combined hash aggregates — (node, label) "
+        "message counts, then the per-node argmax as max(struct(count, "
+        "-label)), an aggregate rather than a window so a celebrity "
+        "node's messages combine map-side instead of funneling one task. "
+        "The small path runs all rounds as one linear query (no per-round "
+        "checkpoint barrier); min-label tie-breaking keeps the fixpoint "
+        "bitwise-reproducible."
+    ),
+    "collocation_pmi": (
+        "PMI collocation mining: ONE tokenization collapses the corpus "
+        "to a localCheckpoint-ed bigram count table (map-side-combined "
+        "explode+agg); both marginals re-aggregate those vocab-bounded "
+        "blocks — the left marginal reuses the groupBy(w1) partitioning "
+        "— and join back (AQE broadcasts them when vocab fits; no "
+        "unconditional hint since a 100 TB vocabulary outgrows one); "
+        "the grand total attaches as a 1-row broadcast scalar and the "
+        "top-100 is TakeOrderedAndProject, never a global sort."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "

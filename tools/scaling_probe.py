@@ -72,6 +72,7 @@ PROBE = [
     "multimodal_decode",  # real BMP encode->parse roundtrip (mapInPandas)
     "pii_scan",         # 3-regex scan+redact projection, O(sources) rollup
     "containment_dedup",  # winnow inverted-index self-join, df-capped
+    "collocation_pmi",  # one tokenization -> checkpointed bigram counts
     # dedup composition with bounded output
     "dedup_survivors",
     # vector ops
@@ -99,6 +100,7 @@ PROBE = [
     "copurchase_lift",
     "triangle_count",
     "bfs_reach",
+    "label_propagation",  # O(E) join + 2 map-side aggs per round
     "ols_trend",
     "profile_table",
     "profile_table_approx",

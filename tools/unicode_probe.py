@@ -77,6 +77,7 @@ TEXT_QUERIES = [
     "mutual_information",
     "source_overlap",
     "bigram_lm_counts",
+    "collocation_pmi",
     "repetition_quality",
     "feature_hashing",
 ]
