@@ -51,25 +51,38 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 3,
     query_filter=None,
+    exclude_group_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     ``query_filter`` bounds the query side (e.g. ``F.col('vec_id') < 100``) —
     the corpus side stays full. Sim is rounded to 6dp before ranking so the
     id tie-break is deterministic across engines.
+
+    ``exclude_group_col`` turns the search into HARD-NEGATIVE MINING: only
+    neighbors whose group value DIFFERS from the query's qualify (the
+    contrastive-training pattern — for each anchor, the most similar
+    vectors of a different class are the highest-loss negatives). The
+    group inequality rides the same join predicate, so the plan shape is
+    unchanged; NULL groups pair with nothing (SQL NULL semantics — both
+    engines drop them identically). The output then carries both group
+    columns alongside the pair.
     """
     # Norms are per-vector, not per-pair: compute them once on each side so
     # the O(n·m) join evaluates one fold (the dot product) per pair, not three.
     df = spread_partitions(df)
+    grp = [F.col(exclude_group_col)] if exclude_group_col else []
     corpus = df.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
         norm_col(F.col(vec_col)).alias("nbr_norm"),
+        *[g.alias("nbr_group") for g in grp],
     )
     queries = df.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         norm_col(F.col(vec_col)).alias("query_norm"),
+        *[g.alias("query_group") for g in grp],
     )
     if query_filter is not None:
         queries = queries.filter(query_filter)
@@ -78,15 +91,18 @@ def brute_force_topk(
         / (F.col("query_norm") * F.col("nbr_norm")),
         6,
     )
-    pairs = (
-        queries.join(corpus, F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", sim.alias("cosine"))
+    cond = F.col("query_id") != F.col("nbr_id")
+    if exclude_group_col:
+        cond = cond & (F.col("query_group") != F.col("nbr_group"))
+    out_grp = ["query_group", "nbr_group"] if exclude_group_col else []
+    pairs = queries.join(corpus, cond).select(
+        "query_id", "nbr_id", sim.alias("cosine"), *out_grp
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
+        .select("query_id", "nbr_id", "cosine", "rank", *out_grp)
     )
 
 

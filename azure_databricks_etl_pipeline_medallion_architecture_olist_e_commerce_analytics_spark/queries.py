@@ -696,6 +696,38 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-3 most-similar corpus vectors of a DIFFERENT label —
+    the highest-loss negatives that make embedding models actually learn
+    (random negatives are trivially separable; the hard ones carry the
+    gradient). The label-inequality predicate rides the same bounded
+    query-batch × corpus join as ann_topk (operators/similarity.py::
+    brute_force_topk, ``exclude_group_col``), so the plan shape — and the
+    100 TB story (broadcast the bounded anchor batch, never self-join the
+    corpus) — is unchanged; NULL labels pair with nothing under SQL
+    inequality semantics, identically in both engines.
+    """
+    from .operators.similarity import brute_force_topk
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb,
+        k=3,
+        query_filter=F.col("vec_id") < 100,
+        exclude_group_col="label",
+    )
+    return out.select(
+        "query_id",
+        F.col("query_group").cast("int").alias("query_label"),
+        "nbr_id",
+        F.col("nbr_group").cast("int").alias("nbr_label"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_ann_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized brute-force top-k (BLAS matmul per corpus partition,
     per-partition top-k, O(k·q) merge) — same oracle as ann_topk."""
@@ -7124,6 +7156,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "text_analysis": q_text_analysis,
     "ann_topk": q_ann_topk,
+    "hard_negatives": q_hard_negatives,
     "ann_topk_np": q_ann_topk_np,
     "ann_topk_ivf": q_ann_topk_ivf,
     "pq_topk": q_pq_topk,
@@ -7183,7 +7216,7 @@ _DRIVER_PRIORITY = [
     "tpch_q17", "tpch_q4", "tpch_q6", "tpch_q7", "udaf_sumsq",
     "udtf_split", "variant_extract",
     # --- new / changed in round 7 ---
-    "label_propagation", "collocation_pmi",
+    "label_propagation", "collocation_pmi", "hard_negatives",
     "pq_topk_trained", "bpe_encode", "pii_scan", "containment_dedup",
     "ivfpq_topk", "multimodal_decode", "pq_topk", "budget_select",
     "bpe_merges", "dedup_minhash_lsh",
@@ -11049,4 +11082,26 @@ ORACLES["collocation_pmi"] = r"""
   WHERE c.n12 >= 20
   ORDER BY lift DESC, w1 ASC, w2 ASC
   LIMIT 100
+"""
+
+# Hard-negative mining: ann_topk's pair machinery with a label-inequality
+# predicate — NULL labels pair with nothing (SQL <> semantics, both engines).
+ORACLES["hard_negatives"] = """
+  WITH t AS (SELECT vec_id, embedding AS e, label FROM embeddings),
+  pairs AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS nbr_id, c.label AS nbr_label,
+           round(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * c.e[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * q.e[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))), 6) AS cosine
+    FROM t q JOIN t c ON q.vec_id != c.vec_id AND q.label <> c.label
+    WHERE q.vec_id < 100
+  )
+  SELECT query_id, CAST(query_label AS INTEGER) AS query_label,
+         nbr_id, CAST(nbr_label AS INTEGER) AS nbr_label,
+         cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, nbr_id) AS rank
+    FROM pairs
+  ) r WHERE rank <= 3
 """

@@ -207,6 +207,7 @@ HEADLINE = [
     "ivfpq_topk",
     "label_propagation",
     "collocation_pmi",
+    "hard_negatives",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -1716,3 +1716,32 @@ def test_label_propagation_negative_rounds_raises(spark):
 
     with _pytest.raises(ValueError):
         label_propagation(edges, rounds=-1)
+
+def test_brute_force_topk_exclude_group_mines_hard_negatives(spark):
+    """Anchor 0 (label A) sits next to a near-identical same-label vector 1
+    and a slightly-farther different-label vector 2: with
+    exclude_group_col the same-label twin must be invisible and the
+    different-label vector must rank first; without it the twin wins."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], "A"),
+        (1, [0.999, 0.01, 0.0], "A"),   # same-label twin
+        (2, [0.9, 0.1, 0.0], "B"),      # hard negative
+        (3, [0.0, 1.0, 0.0], "B"),      # easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    hard = brute_force_topk(
+        df, k=2, query_filter=F.col("vec_id") == 0,
+        exclude_group_col="label",
+    ).collect()
+    assert [r["nbr_id"] for r in hard] == [2, 3]
+    assert all(r["query_group"] == "A" and r["nbr_group"] == "B" for r in hard)
+    plain = brute_force_topk(
+        df, k=1, query_filter=F.col("vec_id") == 0,
+    ).collect()
+    assert plain[0]["nbr_id"] == 1

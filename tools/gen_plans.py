@@ -347,6 +347,15 @@ ANNOTATIONS = {
         "the grand total attaches as a 1-row broadcast scalar and the "
         "top-100 is TakeOrderedAndProject, never a global sort."
     ),
+    "hard_negatives": (
+        "Contrastive hard-negative mining: the bounded anchor batch "
+        "broadcasts into a nested-loop join against the corpus (the only "
+        "correct shape for a non-equi cosine scan — never a corpus "
+        "self-join); the label-inequality predicate rides the join "
+        "condition so excluded same-class pairs never rank; norms "
+        "compute once per side, one fold per pair; per-anchor top-3 is "
+        "WindowGroupLimit-bounded."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "
