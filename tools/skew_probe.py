@@ -132,6 +132,19 @@ def probe_graph_hub(spark) -> None:
         t0 = time.perf_counter()
         pagerank_integer(both, "a", "b", iterations=3).count()
         print(f"| pagerank 3 iters (hub in-degree {deg}) | {deg} | {time.perf_counter()-t0:.2f} |", flush=True)
+        # LPA at the hub: round-1 messages to the hub carry ``deg`` DISTINCT
+        # labels, so the (node, label) count agg hashes them across
+        # partitions (composite key spreads the hot node) and the per-node
+        # argmax partial-aggregates to one candidate per partition — both
+        # halves of the two-aggregate form must stay flat as the hub
+        # grows 100×.
+        from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+            label_propagation,
+        )
+
+        t0 = time.perf_counter()
+        label_propagation(both.localCheckpoint(), rounds=3, src="a", dst="b").count()
+        print(f"| label propagation 3 rounds (hub in-degree {deg}) | {deg} | {time.perf_counter()-t0:.2f} |", flush=True)
         # Bellman-Ford seeded AT the hub: round 1 relaxes all hub edges in
         # one join — the min-combine's map-side partial must absorb the
         # fan-out (flat as the hub grows 100×, like the pagerank in-sum)
