@@ -2268,6 +2268,74 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality outlier detection: the 20 vectors per label
+    farthest (squared L2) from their label's centroid — the standard
+    mislabeled-sample / noisy-embedding filter a training-data pipeline
+    runs before contrastive training (centroid-distance pruning).
+
+    Cross-engine exactness without a float in sight: vectors quantize
+    once to integer MILLI-units (floor(v·1000) on bitwise-identical
+    doubles), the centroid is the sign-safe integer floor-division
+    (s − ((s%n)+n)%n) div n — Spark's truncating `div` and DuckDB's
+    flooring `//` agree exactly because the adjusted numerator is an
+    exact multiple — and the distance is an exact int64 fold, so every
+    score is bitwise-reproducible in any summation order.
+
+    Scale: one explode feeds a map-side-combined (label, dim) aggregate
+    (the exchange carries O(partitions × labels × dims), never corpus
+    rows); the per-label centroid ARRAYS broadcast back (labels are a
+    bounded class vocabulary) and scoring is a single zip_with fold per
+    vector — no second explode, no per-vector shuffle beyond the final
+    per-label top-20 WindowGroupLimit.
+    """
+    tune_session(spark)
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, v -> cast(floor(cast(v as double) * 1000) as bigint))"
+        ).alias("vm"),
+    ).localCheckpoint()  # quantized vectors feed BOTH the centroid pass and scoring
+    ex = q.select("label", F.posexplode("vm").alias("dim", "v"))
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            F.expr("(s - (((s % n) + n) % n)) div n").alias("c"),
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), x -> x.c)"
+        ).alias("carr")
+    )
+    scored = q.join(F.broadcast(carr), "label").select(
+        "label",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(vm, carr, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (acc, t) -> acc + t)"
+        ).alias("d2_milli"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2_milli"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "vec_id",
+            "d2_milli",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens (frequency > n/60) over the document corpus via
     Misra-Gries sketch + exact candidates-only recount — same rows as a full
@@ -7157,6 +7225,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_analysis": q_text_analysis,
     "ann_topk": q_ann_topk,
     "hard_negatives": q_hard_negatives,
+    "embedding_outliers": q_embedding_outliers,
     "ann_topk_np": q_ann_topk_np,
     "ann_topk_ivf": q_ann_topk_ivf,
     "pq_topk": q_pq_topk,
@@ -7217,6 +7286,7 @@ _DRIVER_PRIORITY = [
     "udtf_split", "variant_extract",
     # --- new / changed in round 7 ---
     "label_propagation", "collocation_pmi", "hard_negatives",
+    "embedding_outliers",
     "pq_topk_trained", "bpe_encode", "pii_scan", "containment_dedup",
     "ivfpq_topk", "multimodal_decode", "pq_topk", "budget_select",
     "bpe_merges", "dedup_minhash_lsh",
@@ -11104,4 +11174,40 @@ ORACLES["hard_negatives"] = """
                                  ORDER BY cosine DESC, nbr_id) AS rank
     FROM pairs
   ) r WHERE rank <= 3
+"""
+
+# Centroid-distance outliers in exact integer milli-units: the sign-safe
+# floor division (s − ((s%n)+n)%n) // n matches Spark's `div` exactly
+# because the adjusted numerator is an exact multiple of n (both engines'
+# % follow the dividend sign), and every distance is an exact int64 sum.
+ORACLES["embedding_outliers"] = """
+  WITH t AS (
+    SELECT vec_id, label, embedding AS e FROM embeddings
+    WHERE embedding IS NOT NULL AND label IS NOT NULL
+  ),
+  ex AS MATERIALIZED (
+    SELECT vec_id, label, u.i AS dim,
+           CAST(FLOOR(e[CAST(u.i AS INT)]::DOUBLE * 1000) AS BIGINT) AS v
+    FROM t, UNNEST(range(1, 65)) AS u(i)
+  ),
+  cent AS (
+    SELECT label, dim, (s - (((s % n) + n) % n)) // n AS c
+    FROM (SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ex GROUP BY 1, 2)
+  ),
+  d AS (
+    SELECT ex.vec_id, ex.label,
+           CAST(SUM((ex.v - cent.c) * (ex.v - cent.c)) AS BIGINT) AS d2_milli
+    FROM ex JOIN cent USING (label, dim)
+    GROUP BY 1, 2
+  )
+  SELECT CAST(label AS INTEGER) AS label, vec_id, d2_milli,
+         CAST(rn AS INTEGER) AS rank
+  FROM (
+    SELECT label, vec_id, d2_milli,
+           ROW_NUMBER() OVER (PARTITION BY label
+                              ORDER BY d2_milli DESC, vec_id ASC) AS rn
+    FROM d
+  ) r WHERE rn <= 20
 """

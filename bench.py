@@ -208,6 +208,7 @@ HEADLINE = [
     "label_propagation",
     "collocation_pmi",
     "hard_negatives",
+    "embedding_outliers",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

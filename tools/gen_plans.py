@@ -356,6 +356,15 @@ ANNOTATIONS = {
         "compute once per side, one fold per pair; per-anchor top-3 is "
         "WindowGroupLimit-bounded."
     ),
+    "embedding_outliers": (
+        "Centroid-distance outlier filter: ONE explode feeds a map-side-"
+        "combined (label, dim) aggregate (exchange carries O(partitions × "
+        "labels × dims), never corpus rows); per-label centroid ARRAYS "
+        "broadcast back onto the checkpointed quantized vectors and the "
+        "distance is a single zip_with int64 fold per vector — no second "
+        "explode; the per-label top-20 is WindowGroupLimit-bounded. "
+        "Integer milli-units make every score bitwise-reproducible."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "

@@ -78,6 +78,7 @@ PROBE = [
     # vector ops
     "ann_topk_np",
     "hard_negatives",   # bounded anchor batch x corpus, label-inequality
+    "embedding_outliers",  # (label,dim) combine + broadcast centroid fold
     "embedding_quantize",
     "pq_topk",          # PQ/ADC: literal-codebook encode + query LUTs
     "pq_topk_trained",  # + 2 integer k-means rounds (O(codebook) collects)
