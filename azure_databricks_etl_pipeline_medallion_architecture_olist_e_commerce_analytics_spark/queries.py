@@ -3558,6 +3558,74 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity scoring of the LPA partition — the detect→score
+    composition every community pipeline runs (is the clustering better
+    than random?): per community c over the symmetric trade graph,
+    q_c = a_c/2m − (d_c/2m)² with a_c = intra-community directed edges,
+    d_c = community degree sum, 2m = total directed edges.
+
+    Exactness: NESTED integer ppm — q_ppm = (1e6·a_c) div 2m −
+    ((1e6·d_c) div 2m)² div 1e6. Every operand is non-negative so
+    Spark's truncating `div` and DuckDB's flooring `//` agree, and the
+    nesting keeps intermediates under 2^63 (a plain 1e6·d_c² overflows
+    at ~3M-edge communities). Deterministic, bitwise-reproducible.
+
+    Scale: the labeling localCheckpoints once; intra-edge counting is
+    two equi-joins of the edge list against the O(V) label vector
+    (broadcast under BROADCAST_NODE_LIMIT — the bfs/pagerank gate),
+    each aggregate map-side-combines to O(communities) rows, and 2m is
+    a driver-known count off the checkpointed half. Output is one row
+    per community.
+    """
+    from .operators.graph import BROADCAST_NODE_LIMIT, label_propagation
+
+    tune_session(spark)
+    edges = _trade_edges(spark, sf_dir)  # directed half checkpointed inside
+    labels = label_propagation(edges, rounds=3).localCheckpoint()
+    t2m = edges.count()
+    small = labels.count() <= BROADCAST_NODE_LIMIT
+    ls = labels.select(F.col("node").alias("src"), "label")
+    ld = labels.select(
+        F.col("node").alias("__dst_n"), F.col("label").alias("__label_d")
+    )
+    if small:
+        ls, ld = F.broadcast(ls), F.broadcast(ld)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    degs = (
+        edges.join(ls, "src")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("degree_sum"))
+    )
+    intra = (
+        edges.join(ls, "src")
+        .join(ld, F.col("dst") == F.col("__dst_n"))
+        .filter(F.col("label") == F.col("__label_d"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("intra_deg"))
+    )
+    out = (
+        sizes.join(degs, "label")
+        .join(intra, "label", "left")
+        .select(
+            F.when(F.col("label") % 2 == 0, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("community_type"),
+            F.expr("label div 2").alias("community_key"),
+            "n_nodes",
+            F.coalesce(F.col("intra_deg"), F.lit(0).cast("long")).alias("intra_deg"),
+            "degree_sum",
+            F.expr(
+                f"cast((1000000 * coalesce(intra_deg, 0L)) div {t2m}L"
+                f" - (((1000000 * degree_sum) div {t2m}L)"
+                f"    * ((1000000 * degree_sum) div {t2m}L)) div 1000000"
+                " as bigint)"
+            ).alias("q_ppm"),
+        )
+    )
+    return out
+
+
 def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand ordinary-least-squares fit of extended price on quantity
     (REGR_SLOPE / REGR_INTERCEPT analog) via the closed-form sufficient
@@ -7059,6 +7127,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "bfs_reach": q_bfs_reach,
     "label_propagation": q_label_propagation,
+    "community_modularity": q_community_modularity,
     "collocation_pmi": q_collocation_pmi,
     "ols_trend": q_ols_trend,
     "profile_table": q_profile_table,
@@ -7286,7 +7355,7 @@ _DRIVER_PRIORITY = [
     "udtf_split", "variant_extract",
     # --- new / changed in round 7 ---
     "label_propagation", "collocation_pmi", "hard_negatives",
-    "embedding_outliers",
+    "embedding_outliers", "community_modularity",
     "pq_topk_trained", "bpe_encode", "pii_scan", "containment_dedup",
     "ivfpq_topk", "multimodal_decode", "pq_topk", "budget_select",
     "bpe_merges", "dedup_minhash_lsh",
@@ -11084,7 +11153,9 @@ ORACLES["budget_select"] = f"""
 # Unrolled 3-round LPA: per round, message counts per (node, label) then
 # the deterministic argmax (count DESC, label ASC) — the same min-label
 # tie break the Spark side's max(struct(count, -label)) aggregate pins.
-ORACLES["label_propagation"] = """
+# Shared CTE prefix: label_propagation selects the assignment, while
+# community_modularity appends its scoring CTEs over the same l3.
+_LPA_CTES = """
   WITH p AS MATERIALIZED (
     SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src,
                     CAST(o_custkey AS BIGINT)*2 + 1 AS dst
@@ -11110,11 +11181,13 @@ ORACLES["label_propagation"] = """
            FROM c2) WHERE rn = 1),
   c3 AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
          FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
-  l3 AS (SELECT node, label FROM (
+  l3 AS MATERIALIZED (SELECT node, label FROM (
            SELECT node, label,
                   ROW_NUMBER() OVER (PARTITION BY node
                                      ORDER BY c DESC, label ASC) AS rn
-           FROM c3) WHERE rn = 1)
+           FROM c3) WHERE rn = 1)"""
+
+ORACLES["label_propagation"] = f"""{_LPA_CTES}
   SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
            AS entity_type,
          node // 2 AS entity_key,
@@ -11122,6 +11195,36 @@ ORACLES["label_propagation"] = """
            AS community_type,
          label // 2 AS community_key
   FROM l3
+"""
+
+# Modularity in nested integer ppm: q_ppm = (1e6·a_c) // 2m −
+# ((1e6·d_c) // 2m)² // 1e6 — every operand non-negative, so DuckDB's
+# flooring // and Spark's truncating div agree; the nesting keeps all
+# intermediates under 2^63 (1e6·a_c ≤ 1e6·2m).
+ORACLES["community_modularity"] = f"""{_LPA_CTES},
+  twom AS (SELECT CAST(COUNT(*) AS BIGINT) AS t2m FROM e),
+  sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM l3 GROUP BY 1),
+  degs AS (SELECT l3.label, CAST(COUNT(*) AS BIGINT) AS degree_sum
+           FROM e JOIN l3 ON e.src = l3.node GROUP BY 1),
+  intra AS (SELECT ls.label, CAST(COUNT(*) AS BIGINT) AS intra_deg
+            FROM e JOIN l3 ls ON e.src = ls.node
+                   JOIN l3 ld ON e.dst = ld.node
+            WHERE ls.label = ld.label GROUP BY 1)
+  SELECT CASE WHEN s.label % 2 = 0 THEN 'supplier' ELSE 'customer' END
+           AS community_type,
+         s.label // 2 AS community_key,
+         s.n_nodes,
+         COALESCE(i.intra_deg, 0) AS intra_deg,
+         d.degree_sum,
+         CAST((1000000 * COALESCE(i.intra_deg, 0)) // t.t2m
+              - (((1000000 * d.degree_sum) // t.t2m)
+                 * ((1000000 * d.degree_sum) // t.t2m)) // 1000000
+              AS BIGINT) AS q_ppm
+  FROM sizes s
+  JOIN degs d ON s.label = d.label
+  LEFT JOIN intra i ON s.label = i.label
+  CROSS JOIN twom t
 """
 
 # lift is one IEEE double division of exactly-representable integer

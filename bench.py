@@ -209,6 +209,7 @@ HEADLINE = [
     "collocation_pmi",
     "hard_negatives",
     "embedding_outliers",
+    "community_modularity",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -365,6 +365,15 @@ ANNOTATIONS = {
         "explode; the per-label top-20 is WindowGroupLimit-bounded. "
         "Integer milli-units make every score bitwise-reproducible."
     ),
+    "community_modularity": (
+        "Detect→score composition: the LPA labeling localCheckpoints "
+        "once; intra-edge counting is two equi-joins of the edge list "
+        "against the O(V) label vector (broadcast under the node-count "
+        "gate), each aggregate map-side-combines to O(communities) rows; "
+        "2m is a driver-known count off the checkpointed half. Nested "
+        "integer-ppm modularity keeps div/floor-div engine-agreement and "
+        "every intermediate under 2^63."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "

@@ -103,6 +103,7 @@ PROBE = [
     "triangle_count",
     "bfs_reach",
     "label_propagation",  # O(E) join + 2 map-side aggs per round
+    "community_modularity",  # LPA + 2 label joins, O(communities) aggs
     "ols_trend",
     "profile_table",
     "profile_table_approx",
