@@ -2830,6 +2830,50 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(100)
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (event_type, hour)
+    bucket, the open/high/low/close of ``value`` plus event count and
+    exact volume — the telemetry/market-data compaction every monitoring
+    pipeline runs before charting or long-horizon modeling (raw events
+    are unqueryable at 100 TB; bars are O(types × hours)).
+
+    Open/close are the classic "first/last by time" hazard: FIRST() is
+    partition-order-dependent and a window sort funnels hot buckets.
+    Here they are ONE aggregate each — min/max over (ts, event_id,
+    value) structs, lexicographic with the event_id tie-break — so the
+    result is deterministic and partial aggregation absorbs a hot
+    bucket map-side (the corpus_survivors_agg discipline). Volume
+    accumulates in DECIMAL (order-independent) before the double cast;
+    rows with NULL ts/event_id/value are filtered identically on both
+    engines (struct comparison with NULL fields is where engines
+    disagree, so they never reach the aggregate).
+
+    Scale: ONE map-side-combined hash aggregate over the event stream;
+    output is bounded by types × hours, never event rows.
+    """
+    tune_session(spark)
+    ev = spread_partitions(load_table(spark, sf_dir, "events")).filter(
+        F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar_start"),
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    return b.groupBy("event_type", "bar_start").agg(
+        F.expr("min(struct(ts, event_id, v)).v").alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.expr("max(struct(ts, event_id, v)).v").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("volume"),
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-growth dedup: a NEW document batch deduplicated against the
     HISTORICAL corpus by fingerprint — the incremental form every
@@ -7118,6 +7162,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "optimize_compact": q_optimize_compact,
     "exact_quantiles": q_exact_quantiles,
     "time_range_window": q_time_range_window,
+    "ohlc_bars": q_ohlc_bars,
     "variant_extract": q_variant_extract,
     "udtf_split": q_udtf_split,
     "recursive_chain": q_recursive_chain,
@@ -7355,7 +7400,7 @@ _DRIVER_PRIORITY = [
     "udtf_split", "variant_extract",
     # --- new / changed in round 7 ---
     "label_propagation", "collocation_pmi", "hard_negatives",
-    "embedding_outliers", "community_modularity",
+    "embedding_outliers", "community_modularity", "ohlc_bars",
     "pq_topk_trained", "bpe_encode", "pii_scan", "containment_dedup",
     "ivfpq_topk", "multimodal_decode", "pq_topk", "budget_select",
     "bpe_merges", "dedup_minhash_lsh",
@@ -11313,4 +11358,26 @@ ORACLES["embedding_outliers"] = """
                               ORDER BY d2_milli DESC, vec_id ASC) AS rn
     FROM d
   ) r WHERE rn <= 20
+"""
+
+# OHLC: open/close are min/max over named (ts, event_id, v) structs —
+# lexicographic with the event_id tie-break, aggregate not window, so a
+# hot bucket partial-aggregates map-side; NULL ts/event_id/value rows are
+# filtered on both sides (struct comparison with NULL fields is where
+# engines disagree). Volume sums in DECIMAL before the double cast.
+ORACLES["ohlc_bars"] = """
+  WITH e AS (
+    SELECT event_type, date_trunc('hour', ts) AS bar_start, ts, event_id,
+           CAST(value AS DOUBLE) AS v
+    FROM events
+    WHERE ts IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+  )
+  SELECT event_type, bar_start,
+         (min({'t': ts, 'i': event_id, 'v': v})).v AS open,
+         MAX(v) AS high,
+         MIN(v) AS low,
+         (max({'t': ts, 'i': event_id, 'v': v})).v AS close,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS volume
+  FROM e GROUP BY 1, 2
 """

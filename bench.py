@@ -210,6 +210,7 @@ HEADLINE = [
     "hard_negatives",
     "embedding_outliers",
     "community_modularity",
+    "ohlc_bars",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

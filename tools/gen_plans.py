@@ -374,6 +374,14 @@ ANNOTATIONS = {
         "integer-ppm modularity keeps div/floor-div engine-agreement and "
         "every intermediate under 2^63."
     ),
+    "ohlc_bars": (
+        "Telemetry downsampling to OHLC bars: ONE map-side-combined hash "
+        "aggregate over the event stream — open/close are min/max over "
+        "(ts, event_id, value) structs (deterministic tie-break, partial "
+        "aggregation absorbs hot buckets; never a FIRST()/window sort), "
+        "volume sums in DECIMAL before the double cast; output is "
+        "bounded by types × hours."
+    ),
     "corpus_survivors_agg": (
         "Skew-immune twin of the survivors MV: ONE max_by aggregate "
         "ordered by (quality, -doc_id) — partial aggregation collapses a "

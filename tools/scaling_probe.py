@@ -104,6 +104,7 @@ PROBE = [
     "bfs_reach",
     "label_propagation",  # O(E) join + 2 map-side aggs per round
     "community_modularity",  # LPA + 2 label joins, O(communities) aggs
+    "ohlc_bars",        # one map-side-combined agg, O(types x hours) out
     "ols_trend",
     "profile_table",
     "profile_table_approx",
