@@ -608,6 +608,10 @@ def label_propagation(
         .select("__node", F.col("__node").alias("__label"))
         .localCheckpoint()
     )
+    if rounds == 0:
+        return labels.select(
+            F.col("__node").alias(node), F.col("__label").alias(label)
+        )
     n = num_nodes if num_nodes is not None else labels.count()
     small = n <= BROADCAST_NODE_LIMIT
     for _ in range(rounds):

@@ -361,7 +361,9 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a REAL BMP binary payload per row (mapInPandas, Arrow
     batches) — the testdata stand-in for a landed image column. A NULL id
     yields a NULL payload (the missing-blob case the decode contract must
-    survive)."""
+    survive). The id column keeps its name in the output (callers joining
+    back on ``id_col`` rely on it); ``decode_bmp_meta`` takes the same
+    ``id_col`` for the round trip."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -369,16 +371,19 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 encode_bmp(abs(int(d))) if d is not None and not pd.isna(d) else None
                 for d in pdf[id_col]
             ]
-            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
 
 
-def decode_bmp_meta(df: DataFrame) -> DataFrame:
+def decode_bmp_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL image decode: parse each BMP payload's headers and pixel rows
     (vendored numpy parser, no PIL) into typed metadata + an exact pixel
     sum. Same mapInPandas/Arrow shape as the PIL path — swapping decoders
-    never changes the plan or schema."""
+    never changes the plan or schema. ``id_col`` names the id column of
+    the incoming (id, payload) frame — the `attach_bmp_payload` contract."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -389,7 +394,7 @@ def decode_bmp_meta(df: DataFrame) -> DataFrame:
             n_bytes = pdf["payload"].map(lambda p: len(p) if p is not None else None)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    id_col: pdf[id_col],
                     "n_bytes": n_bytes.astype("Int32"),
                     "format": [
                         "image/bmp" if m[0] is not None else None for m in metas
@@ -401,4 +406,5 @@ def decode_bmp_meta(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, schema=BMP_DECODE_SCHEMA)
+    schema = BMP_DECODE_SCHEMA.replace("doc_id", id_col, 1)
+    return df.mapInPandas(batches, schema=schema)

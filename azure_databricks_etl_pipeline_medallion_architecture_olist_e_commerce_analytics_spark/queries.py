@@ -2276,11 +2276,13 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness without a float in sight: vectors quantize
     once to integer MILLI-units (floor(v·1000) on bitwise-identical
-    doubles), the centroid is the sign-safe integer floor-division
-    (s − ((s%n)+n)%n) div n — Spark's truncating `div` and DuckDB's
-    flooring `//` agree exactly because the adjusted numerator is an
-    exact multiple — and the distance is an exact int64 fold, so every
-    score is bitwise-reproducible in any summation order.
+    doubles), the centroid is the explicit integer FLOOR-division
+    (s − ((s%n)+n)%n) div n — both engines' integer division truncates
+    toward zero identically (DuckDB `-7//2 = -3`, same as Spark `div`),
+    and the adjustment pins mathematical floor semantics for the
+    possibly-negative sum rather than either engine's truncation — and
+    the distance is an exact int64 fold, so every score is
+    bitwise-reproducible in any summation order.
 
     Scale: one explode feeds a map-side-combined (label, dim) aggregate
     (the exchange carries O(partitions × labels × dims), never corpus
@@ -2289,10 +2291,15 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector — no second explode, no per-vector shuffle beyond the final
     per-label top-20 WindowGroupLimit.
     """
+    from .operators.similarity import _valid_vectors
+
     tune_session(spark)
-    emb = spread_partitions(load_table(spark, sf_dir, "embeddings")).filter(
-        F.col("embedding").isNotNull() & F.col("label").isNotNull()
-    )
+    # the PQ family's validity guard (non-NULL, exactly 64-d, no NULL
+    # elements): a NULL element would NULL the whole Spark fold while the
+    # oracle's per-dim SUM skips it — they must never reach the aggregate
+    emb = _valid_vectors(
+        spread_partitions(load_table(spark, sf_dir, "embeddings")), "embedding", 64
+    ).filter(F.col("label").isNotNull())
     q = emb.select(
         "vec_id",
         "label",
@@ -3183,8 +3190,10 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("variant_get(v, '$.k', 'int')").alias("k"),
     )
-    # floor-div, not `div`: Spark's div truncates toward zero while the
-    # DuckDB oracle's // floors — they diverge on negative k
+    # explicit floor() on BOTH sides, not integer division: Spark's div
+    # AND DuckDB's integer // both truncate toward zero, which diverges
+    # from floor-bucketing on negative k — so the bucketing is pinned to
+    # FLOOR(k/10) written identically in both engines
     return v.groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_bucket")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("k").alias("min_k"),
@@ -3610,10 +3619,11 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_c = community degree sum, 2m = total directed edges.
 
     Exactness: NESTED integer ppm — q_ppm = (1e6·a_c) div 2m −
-    ((1e6·d_c) div 2m)² div 1e6. Every operand is non-negative so
-    Spark's truncating `div` and DuckDB's flooring `//` agree, and the
-    nesting keeps intermediates under 2^63 (a plain 1e6·d_c² overflows
-    at ~3M-edge communities). Deterministic, bitwise-reproducible.
+    ((1e6·d_c) div 2m)² div 1e6. Spark's `div` and DuckDB's integer `//`
+    both truncate toward zero (and every operand here is non-negative,
+    where truncation and floor coincide anyway); the nesting keeps
+    intermediates under 2^63 (a plain 1e6·d_c² overflows at ~3M-edge
+    communities). Deterministic, bitwise-reproducible.
 
     Scale: the labeling localCheckpoints once; intra-edge counting is
     two equi-joins of the edge list against the O(V) label vector
@@ -7639,7 +7649,7 @@ ORACLES: dict[str, str] = {
       )
     """,
     "variant_extract": """
-      SELECT CAST(CAST(props->>'k' AS INT) // 10 AS INT) AS k_bucket,
+      SELECT CAST(FLOOR(CAST(props->>'k' AS INT) / 10.0) AS INT) AS k_bucket,
              COUNT(*) AS n_events,
              MIN(CAST(props->>'k' AS INT)) AS min_k,
              MAX(CAST(props->>'k' AS INT)) AS max_k
@@ -11243,9 +11253,9 @@ ORACLES["label_propagation"] = f"""{_LPA_CTES}
 """
 
 # Modularity in nested integer ppm: q_ppm = (1e6·a_c) // 2m −
-# ((1e6·d_c) // 2m)² // 1e6 — every operand non-negative, so DuckDB's
-# flooring // and Spark's truncating div agree; the nesting keeps all
-# intermediates under 2^63 (1e6·a_c ≤ 1e6·2m).
+# ((1e6·d_c) // 2m)² // 1e6 — DuckDB's integer // truncates toward zero
+# exactly like Spark's div (and every operand here is non-negative);
+# the nesting keeps all intermediates under 2^63 (1e6·a_c ≤ 1e6·2m).
 ORACLES["community_modularity"] = f"""{_LPA_CTES},
   twom AS (SELECT CAST(COUNT(*) AS BIGINT) AS t2m FROM e),
   sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
@@ -11324,14 +11334,18 @@ ORACLES["hard_negatives"] = """
   ) r WHERE rank <= 3
 """
 
-# Centroid-distance outliers in exact integer milli-units: the sign-safe
-# floor division (s − ((s%n)+n)%n) // n matches Spark's `div` exactly
-# because the adjusted numerator is an exact multiple of n (both engines'
-# % follow the dividend sign), and every distance is an exact int64 sum.
+# Centroid-distance outliers in exact integer milli-units: DuckDB's
+# integer // truncates toward zero exactly like Spark's div, and the
+# (s − ((s%n)+n)%n) adjustment additionally pins mathematical FLOOR
+# semantics for the possibly-negative sum (the adjusted numerator is an
+# exact multiple of n; both engines' % follow the dividend sign). Every
+# distance is an exact int64 sum.
 ORACLES["embedding_outliers"] = """
   WITH t AS (
     SELECT vec_id, label, embedding AS e FROM embeddings
     WHERE embedding IS NOT NULL AND label IS NOT NULL
+      AND len(embedding) = 64
+      AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
   ),
   ex AS MATERIALIZED (
     SELECT vec_id, label, u.i AS dim,
