@@ -262,15 +262,22 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     kmeans_iterations: int = 0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest coarse centroid (broadcast join).
 
     ``kmeans_iterations=0`` uses the first ``n_centroids`` vectors by id as
     centroids — deterministic and cheap; ``> 0`` refines them with
     distributed Lloyd iterations (:func:`kmeans_centroids`) for better
-    bucket balance/recall, same plan shape either way.
+    bucket balance/recall, same plan shape either way. A caller who
+    already holds the seed rows (ivfpq_topk collects them for the PQ
+    codebook anyway) passes ``centroids`` — a
+    (centroid_id, centroid_vec) frame — to skip this function's own
+    top-k seed scan over the corpus.
     """
-    if kmeans_iterations > 0:
+    if centroids is not None:
+        pass
+    elif kmeans_iterations > 0:
         centroids = kmeans_centroids(
             df, vec_col, id_col, n_centroids, kmeans_iterations
         )
@@ -949,7 +956,24 @@ def ivfpq_topk(
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes_sql, luts_sql = _pq_double_exprs(m_subspaces, n_codes, d_sub)
 
-    assigned = ivf_assign(df, id_col, vec_col, n_centroids)
+    # One seed scan serves both tiers: the collected PQ seed rows ARE the
+    # first-n-by-id vectors ivf_assign would top-k-scan the corpus for
+    # again (seeds are id-ordered, centroid_id = 1-based list position —
+    # the exact row_number-over-id contract), so the coarse centroids
+    # rebuild driver-side whenever enough seeds exist. Values are bit-
+    # identical: the original float32 elements pass through Python float
+    # (double) and the assignment casts to double either way.
+    if n_centroids <= len(seeds):
+        cent = [
+            (i + 1, [float(x) for x in seeds[i][vec_col]])
+            for i in range(n_centroids)
+        ]
+        cent_df = df.sparkSession.createDataFrame(
+            cent, "centroid_id int, centroid_vec array<double>"
+        )
+        assigned = ivf_assign(df, id_col, vec_col, n_centroids, centroids=cent_df)
+    else:
+        assigned = ivf_assign(df, id_col, vec_col, n_centroids)
     encoded = spread_partitions(assigned).select(
         "centroid_id",
         F.col(id_col).alias("nbr_id"),
