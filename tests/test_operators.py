@@ -1745,3 +1745,27 @@ def test_brute_force_topk_exclude_group_mines_hard_negatives(spark):
         df, k=1, query_filter=F.col("vec_id") == 0,
     ).collect()
     assert plain[0]["nbr_id"] == 1
+
+def test_ivf_assign_shared_centroids_match_own_seeding(spark):
+    """ivfpq_topk rebuilds the coarse centroids from the collected PQ seed
+    rows instead of re-scanning the corpus; the cell assignment must be
+    IDENTICAL to ivf_assign's own first-n-by-id seeding (float32 values
+    round-trip bit-exactly through Python doubles)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    rows = [
+        (i, [float(((i * 37 + d * 11) % 97) - 48) / 7.0 for d in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    own = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, n_centroids=4).collect()}
+    seeds = df.orderBy("vec_id").limit(4).select("embedding").collect()
+    cent = [(i + 1, [float(x) for x in seeds[i]["embedding"]]) for i in range(4)]
+    cent_df = spark.createDataFrame(cent, "centroid_id int, centroid_vec array<double>")
+    shared = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(df, n_centroids=4, centroids=cent_df).collect()
+    }
+    assert shared == own
