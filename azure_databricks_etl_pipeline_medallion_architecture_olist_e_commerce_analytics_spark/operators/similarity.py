@@ -641,6 +641,50 @@ def _valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
+def _pq_seeds(df: DataFrame, id_col: str, vec_col: str, n_codes: int):
+    """Collect the deterministic first-``n_codes``-by-id seed rows shared
+    by every PQ path. Returns ``(seeds, n_codes)`` with ``n_codes``
+    clamped to the rows that exist, or ``(None, 0)`` on an empty corpus —
+    the caller returns its own empty frame (schemas differ: ``adc_micro``
+    vs ``adc_micro2``), because an ``F.array()`` of zero seed arrays
+    would be an untyped empty literal (analysis error)."""
+    seeds = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    if not seeds:
+        return None, 0
+    return seeds, min(n_codes, len(seeds))
+
+
+def _float_codebook_lit(seeds, vec_col: str, m_subspaces: int, d_sub: int):
+    """The literal-seeded DOUBLE codebook (pq_topk / ivfpq_topk): one
+    constant-folded array<array<array<double>>> Literal. The trained path
+    builds its own INTEGER-micro codebook instead — that difference is
+    the point of pq_topk_trained, not drift."""
+    codebook = [
+        [
+            [float(x) for x in row[vec_col][m * d_sub : (m + 1) * d_sub]]
+            for row in seeds
+        ]
+        for m in range(m_subspaces)
+    ]
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in code]) for code in codebook[m]])
+            for m in range(m_subspaces)
+        ]
+    )
+
+
+def _rank_topk(pairs: DataFrame, score_col: str, k: int) -> DataFrame:
+    """The shared ADC tail: per-query rank over (score ASC, nbr_id ASC) —
+    WindowGroupLimit-eligible, smallest-id tie-break — keep ``k``."""
+    w = Window.partitionBy("query_id").orderBy(F.asc(score_col), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
 def pq_topk(
     df: DataFrame,
     k: int = 3,
@@ -688,30 +732,13 @@ def pq_topk(
     # propagates NULL through element_at into codes/LUTs, silently dropping
     # the row). The oracle filters identically.
     df = _valid_vectors(df, vec_col, dim)
-    seeds = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
-    if not seeds:
-        # empty corpus: no codebook to build — an F.array() of zero seed
-        # arrays would be an untyped empty literal (analysis error)
+    seeds, n_codes = _pq_seeds(df, id_col, vec_col, n_codes)
+    if seeds is None:
         return df.sparkSession.createDataFrame(
             [], "query_id long, nbr_id long, adc_micro long, rank int"
         )
-    # fewer vectors than codes: the codebook is just smaller (the oracle's
-    # LIMIT n_codes picks up the same truncation)
-    n_codes = min(n_codes, len(seeds))
-    codebook = [
-        [
-            [float(x) for x in row[vec_col][m * d_sub : (m + 1) * d_sub]]
-            for row in seeds
-        ]
-        for m in range(m_subspaces)
-    ]
     # one Literal after constant folding: array<array<array<double>>>
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in code]) for code in codebook[m]])
-            for m in range(m_subspaces)
-        ]
-    )
+    cb_lit = _float_codebook_lit(seeds, vec_col, m_subspaces, d_sub)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes_sql, luts_sql = _pq_double_exprs(m_subspaces, n_codes, d_sub)
 
@@ -733,14 +760,7 @@ def pq_topk(
     pairs = encoded.join(
         F.broadcast(q), F.col("nbr_id") != F.col("query_id")
     ).select("query_id", "nbr_id", adc.alias("adc_micro"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_micro"), F.asc("nbr_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("rank", F.col("rank").cast("int"))
-    )
+    return _rank_topk(pairs, "adc_micro", k)
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -791,12 +811,11 @@ def pq_topk_trained(
 
     d_sub = dim // m_subspaces
     df = _valid_vectors(df, vec_col, dim)
-    seeds = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
-    if not seeds:
+    seeds, n_codes = _pq_seeds(df, id_col, vec_col, n_codes)
+    if seeds is None:
         return df.sparkSession.createDataFrame(
             [], "query_id long, nbr_id long, adc_micro2 long, rank int"
         )
-    n_codes = min(n_codes, len(seeds))
     # codebook[m][c][i]: integer micro-units, same quantization as vm below
     codebook = [
         [
@@ -891,14 +910,7 @@ def pq_topk_trained(
     pairs = encoded.join(
         F.broadcast(q), F.col("nbr_id") != F.col("query_id")
     ).select("query_id", "nbr_id", adc.alias("adc_micro2"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_micro2"), F.asc("nbr_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("rank", F.col("rank").cast("int"))
-    )
+    return _rank_topk(pairs, "adc_micro2", k)
 
 
 def ivfpq_topk(
@@ -934,25 +946,12 @@ def ivfpq_topk(
     """
     d_sub = dim // m_subspaces
     df = _valid_vectors(df, vec_col, dim)
-    seeds = df.orderBy(id_col).limit(n_codes).select(vec_col).collect()
-    if not seeds:
+    seeds, n_codes = _pq_seeds(df, id_col, vec_col, n_codes)
+    if seeds is None:
         return df.sparkSession.createDataFrame(
             [], "query_id long, nbr_id long, adc_micro long, rank int"
         )
-    n_codes = min(n_codes, len(seeds))
-    codebook = [
-        [
-            [float(x) for x in row[vec_col][m * d_sub : (m + 1) * d_sub]]
-            for row in seeds
-        ]
-        for m in range(m_subspaces)
-    ]
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in code]) for code in codebook[m]])
-            for m in range(m_subspaces)
-        ]
-    )
+    cb_lit = _float_codebook_lit(seeds, vec_col, m_subspaces, d_sub)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes_sql, luts_sql = _pq_double_exprs(m_subspaces, n_codes, d_sub)
 
@@ -998,11 +997,4 @@ def ivfpq_topk(
         .filter(F.col("nbr_id") != F.col("query_id"))
         .select("query_id", "nbr_id", adc.alias("adc_micro"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_micro"), F.asc("nbr_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("rank", F.col("rank").cast("int"))
-    )
+    return _rank_topk(pairs, "adc_micro", k)
