@@ -237,3 +237,30 @@ def test_bmp_codec_roundtrip_property(did):
         for ch in range(3)
     )
     assert s == expect
+
+
+@given(
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_integer_division_conventions_pin_the_documented_model(s, n):
+    """The catalog's integer-division exactness model, property-pinned:
+    (1) DuckDB's integer // TRUNCATES toward zero, exactly like
+    operators/similarity._tdiv (and Spark's div) — NOT Python's flooring
+    //; (2) the sign-safe adjustment (s - (((s%n)+n)%n)) // n yields the
+    mathematical FLOOR in DuckDB, matching Python's s // n. Both facts
+    are load-bearing for embedding_outliers / community_modularity /
+    pq_topk_trained oracles."""
+    import duckdb
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        _tdiv,
+    )
+
+    trunc, floored = duckdb.sql(
+        f"SELECT CAST({s} AS BIGINT) // {n},"
+        f" (CAST({s} AS BIGINT) - ((({s} % {n}) + {n}) % {n})) // {n}"
+    ).fetchone()
+    assert trunc == _tdiv(s, n)
+    assert floored == s // n
