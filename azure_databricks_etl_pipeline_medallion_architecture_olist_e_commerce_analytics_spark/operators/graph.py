@@ -602,6 +602,12 @@ def label_propagation(
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
+    # Contract (documented above, deliberately unenforced): edges must be
+    # symmetric so distinct(src) covers every node. Enforcement would cost
+    # a full anti-join pass per call; a non-symmetric caller instead sees
+    # sink-only nodes silently absent from the labeling — seed from
+    # distinct(src) ∪ distinct(dst) with a keep-own-label left join if you
+    # ever need the asymmetric form.
     labels = (
         edges.select(F.col(src).alias("__node"))
         .distinct()

@@ -281,10 +281,23 @@ def extract_byte_features(df: DataFrame, bins: int = 16) -> DataFrame:
 # the invariant formula the pixels were generated from.
 # ---------------------------------------------------------------------------
 
-BMP_DECODE_SCHEMA = (
-    "doc_id long, n_bytes int, format string, width int, height int, "
+_DECODE_FIXED_FIELDS = (
+    "n_bytes int, format string, width int, height int, "
     "channels int, pixel_sum long"
 )
+BMP_DECODE_SCHEMA = "doc_id long, " + _DECODE_FIXED_FIELDS
+
+
+def _decode_schema(id_col: str) -> str:
+    """The decode output schema with the caller's id column name. A name
+    that collides with a fixed field would yield silent duplicate columns,
+    so reject it outright."""
+    fixed = {f.split()[0] for f in _DECODE_FIXED_FIELDS.split(", ")}
+    if id_col in fixed:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a decode output field {sorted(fixed)}"
+        )
+    return f"{id_col} long, " + _DECODE_FIXED_FIELDS
 
 
 def _bmp_dims(did: int) -> tuple[int, int]:
@@ -406,5 +419,5 @@ def decode_bmp_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    schema = BMP_DECODE_SCHEMA.replace("doc_id", id_col, 1)
+    schema = _decode_schema(id_col)
     return df.mapInPandas(batches, schema=schema)

@@ -276,7 +276,12 @@ def ivf_assign(
     top-k seed scan over the corpus.
     """
     if centroids is not None:
-        pass
+        if kmeans_iterations > 0:
+            raise ValueError(
+                "pass either a pre-built `centroids` frame OR "
+                "kmeans_iterations>0, not both — refining caller-supplied "
+                "centroids here would silently retrain the caller's model"
+            )
     elif kmeans_iterations > 0:
         centroids = kmeans_centroids(
             df, vec_col, id_col, n_centroids, kmeans_iterations

@@ -2830,6 +2830,12 @@ def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
         .withColumn(
+            # FLOOR(1e6*ln) assumes JVM Math.log and DuckDB ln agree to the
+            # bit on these inputs (they do here and in bm25_rank — both call
+            # the platform libm on exactly-representable ratios); a 1-ulp
+            # divergence AT a floor boundary would fail value-match. Known,
+            # accepted: selection/order is by exact-integer lift components,
+            # so only the reported score is exposed to the assumption.
             "pmi_micro",
             F.floor(F.lit(1000000.0) * F.log("lift")).cast("long"),
         )

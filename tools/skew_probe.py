@@ -143,6 +143,8 @@ def probe_graph_hub(spark) -> None:
         )
 
         t0 = time.perf_counter()
+        # `both` = ed ∪ reversed(ed): symmetric, every node appears as a
+        # source — satisfies label_propagation's documented contract.
         label_propagation(both.localCheckpoint(), rounds=3, src="a", dst="b").count()
         print(f"| label propagation 3 rounds (hub in-degree {deg}) | {deg} | {time.perf_counter()-t0:.2f} |", flush=True)
         # Bellman-Ford seeded AT the hub: round 1 relaxes all hub edges in
