@@ -256,15 +256,24 @@ def kmeans_centroids(
     )
 
 
-def ivf_assign(
+def ivf_assign_ranked(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
     kmeans_iterations: int = 0,
     centroids: DataFrame | None = None,
+    max_rank: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest coarse centroid (broadcast join).
+    """Rank every vector's ``max_rank`` nearest coarse centroids.
+
+    The shared assignment kernel: centroids broadcast (n_centroids rows),
+    nearness ranked per vector by (cosine desc, centroid_id asc), rows kept
+    through rank ``max_rank`` with the rank exposed as ``probe_rank``.
+    ``max_rank=1`` is the classic cell assignment (:func:`ivf_assign`);
+    ``max_rank=nprobe`` is the multi-cell QUERY-side probe list — the
+    recall knob of a production IVF index (probe the nprobe nearest cells
+    instead of one; candidates grow ~linearly, recall climbs toward exact).
 
     ``kmeans_iterations=0`` uses the first ``n_centroids`` vectors by id as
     centroids — deterministic and cheap; ``> 0`` refines them with
@@ -300,10 +309,25 @@ def ivf_assign(
     return (
         df.crossJoin(F.broadcast(centroids))
         .withColumn("_csim", sim)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "centroid_vec", "_csim")
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= max_rank)
+        .drop("centroid_vec", "_csim")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    kmeans_iterations: int = 0,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign each vector to its single nearest coarse centroid (broadcast
+    join) — :func:`ivf_assign_ranked` at ``max_rank=1``."""
+    return ivf_assign_ranked(
+        df, id_col, vec_col, n_centroids, kmeans_iterations, centroids, max_rank=1
+    ).drop("probe_rank")
 
 
 def ivf_topk(
@@ -314,21 +338,33 @@ def ivf_topk(
     n_centroids: int = 16,
     query_filter=None,
     kmeans_iterations: int = 0,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's own IVF bucket.
+    """Approximate top-k: probe the query's ``nprobe`` nearest IVF cells.
 
-    Recall < 1 by design (single-probe); the candidate join is an equi-join
-    on ``centroid_id`` — the 100 TB-safe shape. Increase ``nprobe`` by
-    unioning neighboring buckets for higher recall at linear extra cost.
+    ``nprobe`` is the recall/latency knob of a production IVF index: the
+    corpus stays single-assigned (each vector lives in exactly ONE cell,
+    so a candidate pair can never duplicate), while each query probes its
+    ``nprobe`` nearest cells — candidates grow ~nprobe/n_centroids of the
+    corpus and recall climbs monotonically toward exact
+    (``nprobe == n_centroids`` probes every cell, which IS brute force:
+    the equivalence unit test pins that identity). One assignment pass
+    ranks both sides (the window computes all centroid ranks anyway); the
+    candidate join stays an equi-join on ``centroid_id`` — the
+    100 TB-safe shape at every nprobe.
     """
-    assigned = ivf_assign(df, id_col, vec_col, n_centroids, kmeans_iterations)
-    corpus = assigned.select(
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
+    ranked = ivf_assign_ranked(
+        df, id_col, vec_col, n_centroids, kmeans_iterations, max_rank=nprobe
+    )
+    corpus = ranked.filter(F.col("probe_rank") == 1).select(
         F.col("centroid_id"),
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
         norm_col(F.col(vec_col)).alias("nbr_norm"),
     )
-    queries = assigned.select(
+    queries = ranked.select(
         F.col("centroid_id"),
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
@@ -928,6 +964,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter=None,
+    nprobe: int = 1,
 ):
     """IVF + PQ composed: the full production ANN index tier (FAISS's
     IVF-PQ shape). The coarse quantizer routes each vector to one of
@@ -948,7 +985,16 @@ def ivfpq_topk(
     join is an equi-join on ``centroid_id`` against the bounded broadcast
     query side — never a cross join; ADC terms floor to micro ints before
     the order-independent BIGINT sum; top-k is a WindowGroupLimit rank.
+
+    ``nprobe`` (the recall knob, same semantics as :func:`ivf_topk`): each
+    query probes its ``nprobe`` nearest cells while the corpus stays
+    single-assigned, so candidate pairs never duplicate and recall climbs
+    monotonically; ``nprobe == n_centroids`` probes every cell, collapsing
+    the IVF tier entirely — the result must equal :func:`pq_topk` on the
+    same corpus (the composition's equivalence unit test).
     """
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
     d_sub = dim // m_subspaces
     df = _valid_vectors(df, vec_col, dim)
     seeds, n_codes = _pq_seeds(df, id_col, vec_col, n_codes)
@@ -975,16 +1021,21 @@ def ivfpq_topk(
         cent_df = df.sparkSession.createDataFrame(
             cent, "centroid_id int, centroid_vec array<double>"
         )
-        assigned = ivf_assign(df, id_col, vec_col, n_centroids, centroids=cent_df)
+        ranked = ivf_assign_ranked(
+            df, id_col, vec_col, n_centroids, centroids=cent_df, max_rank=nprobe
+        )
     else:
-        assigned = ivf_assign(df, id_col, vec_col, n_centroids)
+        ranked = ivf_assign_ranked(
+            df, id_col, vec_col, n_centroids, max_rank=nprobe
+        )
+    assigned = ranked.filter(F.col("probe_rank") == 1)
     encoded = spread_partitions(assigned).select(
         "centroid_id",
         F.col(id_col).alias("nbr_id"),
         vec_d.alias("v"),
         cb_lit.alias("cbl"),
     ).select("centroid_id", "nbr_id", F.expr(codes_sql).alias("codes"))
-    queries = assigned.filter(query_filter) if query_filter is not None else assigned
+    queries = ranked.filter(query_filter) if query_filter is not None else ranked
     q = queries.select(
         "centroid_id",
         F.col(id_col).alias("query_id"),

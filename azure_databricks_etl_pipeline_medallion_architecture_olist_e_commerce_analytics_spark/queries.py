@@ -796,6 +796,42 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, k=3, query_filter=F.col("vec_id") < 100)
 
 
+def q_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 with nprobe=4 multi-cell probing (round-8): the recall
+    knob a production IVF index turns — each query probes its 4 nearest
+    coarse cells instead of 1, candidates grow ~4/16 of the corpus, recall
+    climbs monotonically toward exact (nprobe=n_centroids IS brute force —
+    pinned bitwise by the equivalence unit). The corpus stays
+    single-assigned so a candidate pair can never duplicate; ONE ranked
+    assignment pass serves both sides; the candidate join stays an
+    equi-join on centroid_id. Fully value-oracled: DuckDB replays the
+    deterministic first-16 centroids, the per-query cell ranking, and the
+    4-cell probe list."""
+    from .operators.similarity import ivf_topk
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, k=3, n_centroids=16, nprobe=4, query_filter=F.col("vec_id") < 100
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def q_ivfpq_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-3 with nprobe=4 (round-8): the composed production index
+    with its recall knob turned — 4 probed cells × PQ/ADC integer scoring
+    over 8 one-byte codes. recall(IVF-PQ) ≈ recall(IVF@nprobe) ·
+    recall(PQ); nprobe=n_centroids collapses the IVF tier and must equal
+    plain pq_topk (unit-pinned). Same 100-TB shape as ivfpq_topk: broadcast
+    assignment, zero-shuffle literal-codebook encode, equi-join on
+    centroid_id, order-independent micro-integer ADC, WindowGroupLimit."""
+    from .operators.similarity import ivfpq_topk
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, k=3, nprobe=4, query_filter=F.col("vec_id") < 100)
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
     corpus — random vectors top out near 0.44 cosine)."""
@@ -7361,6 +7397,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "pq_topk_trained": q_pq_topk_trained,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivf_nprobe_topk": q_ivf_nprobe_topk,
+    "ivfpq_nprobe_topk": q_ivfpq_nprobe_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "multimodal_decode": q_multimodal_decode,
@@ -7389,41 +7427,41 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # CORRECTNESS row lead, then queries new this round, then a regression
 # rotation over the highest-value already-green shapes.
 _DRIVER_PRIORITY = [
-    # Round-7 budget (50 slots), per the rotation rule: no query's newest
-    # green driver row should age past 2 rounds.
-    #   slots 1-32  — ALL 32 queries whose newest green row is r02 (the
-    #                 round-6 verdict's named refresh list; after this
-    #                 round nothing in the cumulative record is older
-    #                 than r04).
-    #   next        — queries NEW or CHANGED in round 7: pq_topk_trained /
-    #                 bpe_encode / pii_scan / containment_dedup are new;
-    #                 multimodal_decode switched to the real BMP roundtrip
-    #                 (new oracle); pq_topk gained the element-null/length
-    #                 guard (query+oracle); budget_select moved to exact
-    #                 BIGINT div; bpe_merges was refactored behind
-    #                 _bpe_train; dedup_minhash_lsh gained cap validation.
-    #   remainder   — high-value anchors (flagship fact, silver layer,
-    #                 streaming, skew twins).
-    # --- refresh: newest green row is r02 ---
-    "bigram_lm_counts", "bpe_pairs", "exact_quantiles", "fuzzy_join",
-    "geo_cell_join", "incremental_dedup", "jsonl_ingest_roundtrip",
-    "lateral_topk", "mix_temperature", "multimodal_features",
-    "multimodal_phash", "optimize_compact", "orc_roundtrip",
-    "quality_rank", "range_join", "recursive_chain", "right_join",
-    "semantic_decontaminate", "set_ops_all", "text_ingest",
-    "time_range_window", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q4", "tpch_q6", "tpch_q7", "udaf_sumsq",
-    "udtf_split", "variant_extract",
-    # --- new / changed in round 7 ---
-    "label_propagation", "collocation_pmi", "hard_negatives",
-    "embedding_outliers", "community_modularity", "ohlc_bars",
-    "pq_topk_trained", "bpe_encode", "pii_scan", "containment_dedup",
-    "ivfpq_topk", "multimodal_decode", "pq_topk", "budget_select",
-    "bpe_merges", "dedup_minhash_lsh",
-    # --- anchors ---
-    "gold_fact_lineitem", "silver_orders", "order_totals",
-    "streaming_window_agg", "streaming_incremental_mv", "tpch_q1",
-    "window_dedup", "sessionize_batch_split",
+    # Round-8 budget (50 slots), per the OLDEST-FIRST rotation rule (the
+    # round-7 verdict's amendment: at 234+ queries / 50 slots the
+    # achievable freshness bound is "oldest <= ~4 rounds", so every round
+    # leads with the stalest cumulative rows rather than chasing a fixed
+    # age cap).
+    #   slots 1-43  — ALL 43 queries whose newest green row is r03 (the
+    #                 oldest block in the cumulative record; after this
+    #                 round nothing is older than r04).
+    #   next        — queries NEW or CHANGED in round 8: ivf_nprobe_topk /
+    #                 ivfpq_nprobe_topk are new (the nprobe recall knob);
+    #                 ann_topk_ivf + ivfpq_topk route through the new
+    #                 ranked-assignment kernel; multimodal_decode decodes
+    #                 mixed BMP+PNG payloads (new oracle). triangle_count
+    #                 (degree-orientation upgrade) is already in the r03
+    #                 block above.
+    #   remainder   — the head of the r04-stale block (next round leads
+    #                 with the rest of it).
+    # --- refresh: newest green row is r03 (oldest-first) ---
+    "anti_join", "approx_quantiles", "attribution_last_touch",
+    "bucketed_join", "corpus_rarity", "cross_join", "cube_sales",
+    "decontaminate", "dedup_sorted_neighborhood", "deterministic_sample",
+    "doc_chunking", "embedding_quantize", "expectation_metrics",
+    "explode_tokens", "funnel_conversion", "gap_fill_ffill",
+    "grouping_sets", "histogram_bins", "inverted_index", "json_extract",
+    "list_ranking", "not_in_subquery", "ols_trend", "pack_shards",
+    "profile_table", "quality_filter", "rank_matrix", "repetition_quality",
+    "scalar_subquery", "sessionize_batch", "sketch_distinct",
+    "skew_salted_join", "snapshot_diff", "source_rebalance",
+    "streaming_enrich", "string_funcs", "tf_idf", "top_ngrams",
+    "tpch_q19", "tpch_q22", "triangle_count", "union_by_name", "winsorize",
+    # --- new / changed in round 8 ---
+    "ivf_nprobe_topk", "ivfpq_nprobe_topk", "ann_topk_ivf", "ivfpq_topk",
+    "multimodal_decode",
+    # --- head of the r04 block ---
+    "ab_test_zscore", "benford_deviation",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -10850,6 +10888,104 @@ ORACLES["ivfpq_topk"] = """
     q AS MATERIALIZED (
       SELECT t.vec_id AS query_id, t.e AS qe, a.centroid_id
       FROM t JOIN assigned a ON a.vec_id = t.vec_id
+      WHERE t.vec_id < 100
+    ),
+    terms AS (
+      SELECT q.query_id, enc.vec_id AS nbr_id,
+             CAST(FLOOR(1000000.0 * list_sum(list_transform(range(1, 9),
+               i -> (q.qe[enc.m*8+i]::DOUBLE - s.e[enc.m*8+i]::DOUBLE)
+                  * (q.qe[enc.m*8+i]::DOUBLE - s.e[enc.m*8+i]::DOUBLE))))
+               AS BIGINT) AS t_micro
+      FROM q
+      JOIN assigned nb ON nb.centroid_id = q.centroid_id AND nb.vec_id != q.query_id
+      JOIN enc ON enc.vec_id = nb.vec_id
+      JOIN seeds s ON s.cid = enc.code
+    ),
+    adc AS (
+      SELECT query_id, nbr_id, CAST(SUM(t_micro) AS BIGINT) AS adc_micro
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT query_id, nbr_id, adc_micro, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_micro ASC, nbr_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 3
+"""
+
+ORACLES["ivf_nprobe_topk"] = """
+    WITH t AS (SELECT vec_id, embedding AS e FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
+      FROM t ORDER BY vec_id LIMIT 16
+    ),
+    sims AS (
+      SELECT t.vec_id, t.e, c.cid,
+             list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * c.e[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * t.e[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))) AS s
+      FROM t, cent c
+    ),
+    ranked AS (
+      SELECT vec_id, e, cid AS centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      FROM sims
+    ),
+    corpus AS (SELECT vec_id, e, centroid_id FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, e, centroid_id FROM ranked WHERE rn <= 4 AND vec_id < 100
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             round(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * c.e[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * q.e[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))), 6) AS cosine
+      FROM probes q JOIN corpus c
+        ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, nbr_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 3
+"""
+
+ORACLES["ivfpq_nprobe_topk"] = """
+    WITH t AS MATERIALIZED (
+      SELECT vec_id, embedding AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
+    ),
+    seeds AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
+      FROM (SELECT * FROM t ORDER BY vec_id LIMIT 16)
+    ),
+    ranked AS MATERIALIZED (
+      SELECT t.vec_id, s.cid AS centroid_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               (list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * s.e[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * t.e[i]::DOUBLE)))
+                 * sqrt(list_sum(list_transform(range(1, 65), i -> s.e[i]::DOUBLE * s.e[i]::DOUBLE)))))
+               DESC, s.cid) AS rn
+      FROM t CROSS JOIN seeds s
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+    ),
+    ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m),
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT x.vec_id, ms.m, s.cid,
+               row_number() OVER (PARTITION BY x.vec_id, ms.m ORDER BY
+                 list_sum(list_transform(range(1, 9),
+                   i -> (x.e[ms.m*8+i]::DOUBLE - s.e[ms.m*8+i]::DOUBLE)
+                      * (x.e[ms.m*8+i]::DOUBLE - s.e[ms.m*8+i]::DOUBLE))) ASC,
+                 s.cid ASC) AS rn
+        FROM t x CROSS JOIN ms CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    q AS MATERIALIZED (
+      SELECT t.vec_id AS query_id, t.e AS qe, r.centroid_id
+      FROM t JOIN ranked r ON r.vec_id = t.vec_id AND r.rn <= 4
       WHERE t.vec_id < 100
     ),
     terms AS (

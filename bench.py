@@ -211,6 +211,9 @@ HEADLINE = [
     "embedding_outliers",
     "community_modularity",
     "ohlc_bars",
+    # round-8 additions
+    "ivf_nprobe_topk",
+    "ivfpq_nprobe_topk",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -75,6 +75,52 @@ def test_ivf_topk_recall(spark):
     assert recall > 0.1, f"IVF recall suspiciously low: {recall:.2f}"
 
 
+def test_ivf_nprobe_recall_monotone_and_exact_at_full(spark):
+    """nprobe is the IVF recall knob: recall@3 must be non-decreasing in
+    nprobe (candidate cells only ever grow, and a true top-3 pair can only
+    be displaced from a candidate top-3 by another true top-3 pair), and
+    nprobe == n_centroids probes EVERY cell — bitwise-identical rows to
+    brute force, rank and rounded cosine included."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qf = F.col("vec_id") < 50
+    exact = brute_force_topk(emb, k=3, query_filter=qf)
+    e = {(r.query_id, r.nbr_id) for r in exact.collect()}
+    assert e
+    prev = -1.0
+    for nprobe in (1, 2, 4, 8):
+        approx = ivf_topk(emb, k=3, n_centroids=8, nprobe=nprobe, query_filter=qf)
+        a = {(r.query_id, r.nbr_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= prev - 1e-12, f"recall fell at nprobe={nprobe}"
+        prev = recall
+    full = ivf_topk(emb, k=3, n_centroids=8, nprobe=8, query_filter=qf)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_nprobe_rejects_out_of_range(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    for bad in (0, 9):
+        with pytest.raises(ValueError, match="nprobe"):
+            ivf_topk(emb, k=3, n_centroids=8, nprobe=bad)
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """nprobe == n_centroids collapses the IVF tier of IVF-PQ: every query
+    scores every coded vector, so the result must equal plain PQ ADC on
+    the same corpus — same codebook seeds, same integer micro scores,
+    same ranks."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qf = F.col("vec_id") < 50
+    a = sorted(map(tuple, ivfpq_topk(emb, k=3, nprobe=16, query_filter=qf).collect()))
+    b = sorted(map(tuple, pq_topk(emb, k=3, query_filter=qf).collect()))
+    assert a == b
+
+
 def test_multimodal_decode_schema_and_determinism(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(50)
     out = decode_image_meta(attach_binary_payload(docs), use_real_decoder=False)

@@ -325,6 +325,22 @@ ANNOTATIONS = {
         "codebook path — 8 array lookups per pair, micro-integer "
         "order-independent sums, WindowGroupLimit top-k."
     ),
+    "ivf_nprobe_topk": (
+        "IVF with the nprobe=4 recall knob: ONE ranked-assignment pass "
+        "(broadcast 16 centroids, per-vector rank window) serves both "
+        "sides — corpus keeps rank 1, queries keep ranks 1-4 — so the "
+        "candidate join stays an equi-join on centroid_id with ~4x the "
+        "single-probe candidates and zero pair duplication (each corpus "
+        "vector lives in exactly one cell). nprobe=n_centroids is "
+        "bitwise brute force (unit-pinned)."
+    ),
+    "ivfpq_nprobe_topk": (
+        "IVF-PQ with nprobe=4: the ranked coarse assignment fans each "
+        "query to its 4 nearest cells (bounded broadcast side grows 4x, "
+        "corpus encode unchanged); candidates equi-join on centroid_id "
+        "and score through the same literal-codebook integer ADC. "
+        "nprobe=n_centroids collapses to plain pq_topk (unit-pinned)."
+    ),
     "label_propagation": (
         "Fixed-round deterministic LPA community detection: per round ONE "
         "equi-join of the checkpointed edge list against the broadcast "

@@ -83,6 +83,8 @@ PROBE = [
     "pq_topk",          # PQ/ADC: literal-codebook encode + query LUTs
     "pq_topk_trained",  # + 2 integer k-means rounds (O(codebook) collects)
     "ivfpq_topk",       # IVF cells x PQ codes: probe 1/16 corpus, ADC score
+    "ivf_nprobe_topk",  # nprobe=4 recall knob: 4 probed cells per query
+    "ivfpq_nprobe_topk",  # composed index with the recall knob turned
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
     "streaming_running_totals",
