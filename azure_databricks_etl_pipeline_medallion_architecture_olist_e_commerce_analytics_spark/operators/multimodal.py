@@ -106,8 +106,10 @@ def decode_image_meta(df: DataFrame, use_real_decoder: bool | None = None) -> Da
         use_real_decoder = REAL_DECODERS_AVAILABLE
     if use_real_decoder and not REAL_DECODERS_AVAILABLE:
         raise NotImplementedError(
-            "real image decoding requires PIL/cv2, not present in this container; "
-            "run with use_real_decoder=False for the deterministic stub"
+            "real decoding of LOSSY formats (JPEG etc.) requires PIL/cv2, not "
+            "present in this container — BMP and PNG decode for real via the "
+            "vendored codecs (decode_bmp_meta routes by magic bytes); run "
+            "with use_real_decoder=False for the deterministic stub"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -370,6 +372,175 @@ def parse_bmp(payload) -> tuple:
         return (None, None, None, None)
 
 
+# ---------------------------------------------------------------------------
+# REAL PNG codec without PIL (round-8): stdlib zlib + critical-chunk parsing.
+# The writer emits 8-bit truecolor (color type 2), non-interlaced, filter-0
+# rows, STORED deflate blocks (zlib level 0) so the byte length is closed-form
+# (68 + h*(3w+1) for one stored block) and a SQL oracle can predict n_bytes
+# without compressing anything. The parser handles ANY 8-bit RGB
+# non-interlaced PNG — multi-IDAT streams and all five row filters (Sub/Up/
+# Average/Paeth unfiltering) — so real-world payloads decode too, not just
+# our writer's. With BMP (round-7) this makes the decode operator's
+# NotImplementedError guard "lossy formats only" (JPEG needs a DCT stack).
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(did: int) -> bytes:
+    """Write a real PNG (8-bit RGB, non-interlaced, filter-0 rows, stored
+    deflate) whose pixel (x, y) channel c has value
+    ``(did + 3x + 7y + 11c) % 256`` — the SAME pixel formula as
+    :func:`encode_bmp`, so the oracle's closed-form pixel sum is shared and
+    only the container length differs. ``zlib.compress(data, 0)`` emits
+    stored blocks: total length is ``68 + h*(3w+1)`` while the raw scanline
+    stream fits one 65535-byte block (always true at these dims — asserted
+    so a dims change can't silently break the oracle's length formula)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = _bmp_dims(did)  # shared synthetic dims with the BMP writer
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)
+    px = (did + 3 * x[None, :, None] + 7 * y[:, None, None] + 11 * c[None, None, :]) % 256
+    rgb = px.astype(np.uint8)  # PNG stores RGB directly, top-down
+    # one filter-type byte (0 = None) per scanline, then the raw RGB row
+    raw = b"".join(b"\x00" + rgb[j].tobytes() for j in range(h))
+    assert len(raw) <= 65535, "raw stream must fit one stored deflate block"
+    idat = zlib.compress(raw, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: bytes, w: int, h: int):
+    """Reverse PNG row filtering for an 8-bit RGB scanline stream →
+    (h, 3w) uint8 array, or None on a malformed stream. Filters 0/1/2 are
+    vectorized (None / channel-lane cumsum / previous-row add); 3/4
+    (Average/Paeth) fall back to a per-byte loop — our writer never emits
+    them, they exist so arbitrary real PNGs decode correctly."""
+    import numpy as np
+
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    pos = 0
+    for yy in range(h):
+        ft = int(arr[pos])
+        line = arr[pos + 1 : pos + 1 + stride].astype(np.int64)
+        pos += 1 + stride
+        prev = out[yy - 1].astype(np.int64) if yy else np.zeros(stride, np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: per channel lane, running sum along the row
+            cur = line.reshape(w, bpp).cumsum(axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: inherently sequential
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[i] = (int(line[i]) + pred) % 256
+        else:
+            return None
+        out[yy] = cur.astype(np.uint8)
+    return out
+
+
+def parse_png(payload) -> tuple:
+    """VENDORED pure-stdlib PNG parser: (width, height, channels, pixel_sum)
+    from an 8-bit truecolor non-interlaced PNG — signature check, chunk
+    walk (multi-IDAT concatenation), zlib inflate, full unfiltering.
+    Anything unparseable (wrong color type/bit depth, interlaced, bad
+    lengths, corrupt deflate) yields all-None — NULL metadata, never a job
+    abort, the same corrupt-blob contract as :func:`parse_bmp`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        buf = bytes(payload)
+        if len(buf) < 8 + 25 + 12 or buf[:8] != PNG_SIG:
+            return (None, None, None, None)
+        pos, w = 8, None
+        idat = bytearray()
+        h = None
+        while pos + 8 <= len(buf):
+            (length,) = struct.unpack_from(">I", buf, pos)
+            tag = buf[pos + 4 : pos + 8]
+            body_end = pos + 8 + length
+            if body_end + 4 > len(buf):
+                return (None, None, None, None)
+            body = buf[pos + 8 : body_end]
+            if tag == b"IHDR":
+                if length != 13:
+                    return (None, None, None, None)
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+                if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or inter != 0:
+                    return (None, None, None, None)
+                if w <= 0 or h <= 0:
+                    return (None, None, None, None)
+            elif tag == b"IDAT":
+                idat.extend(body)
+            elif tag == b"IEND":
+                break
+            pos = body_end + 4  # skip CRC (payload integrity, not structure)
+        if w is None or not idat:
+            return (None, None, None, None)
+        raw = zlib.decompress(bytes(idat))
+        rows = _png_unfilter(raw, w, h)
+        if rows is None:
+            return (None, None, None, None)
+        return (w, h, 3, int(rows.astype(np.int64).sum()))
+    except Exception:
+        return (None, None, None, None)
+
+
+def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL mixed-format image payload per row: even ids get a
+    24-bit BMP, odd ids an 8-bit RGB PNG — both carrying the SAME
+    deterministic pixel pattern, so the decode oracle shares one pixel-sum
+    formula and only the container metadata (n_bytes, format) splits on
+    parity. A NULL id yields a NULL payload (the missing-blob case)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                if d is None or pd.isna(d):
+                    payloads.append(None)
+                else:
+                    did = abs(int(d))
+                    payloads.append(encode_png(did) if did % 2 else encode_bmp(did))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
 def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a REAL BMP binary payload per row (mapInPandas, Arrow
     batches) — the testdata stand-in for a landed image column. A NULL id
@@ -391,33 +562,51 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _route_decode(payload) -> tuple:
+    """Magic-byte router over the vendored codecs: BMP ('BM'), PNG
+    (8-byte signature); anything else — including NULL — is
+    (format, w, h, c, sum) of all-None. A recognized container whose body
+    fails to parse also yields all-None (corrupt blob ≠ unknown format for
+    the caller; both are NULL metadata)."""
+    if payload is None:
+        return (None, None, None, None, None)
+    buf = bytes(payload)
+    if buf[:2] == b"BM":
+        w, h, c, s = parse_bmp(buf)
+        return ("image/bmp" if w is not None else None, w, h, c, s)
+    if buf[:8] == PNG_SIG:
+        w, h, c, s = parse_png(buf)
+        return ("image/png" if w is not None else None, w, h, c, s)
+    return (None, None, None, None, None)
+
+
 def decode_bmp_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL image decode: parse each BMP payload's headers and pixel rows
-    (vendored numpy parser, no PIL) into typed metadata + an exact pixel
+    """REAL image decode: route each payload by magic bytes to the vendored
+    BMP or PNG parser (no PIL) and emit typed metadata + an exact pixel
     sum. Same mapInPandas/Arrow shape as the PIL path — swapping decoders
     never changes the plan or schema. ``id_col`` names the id column of
-    the incoming (id, payload) frame — the `attach_bmp_payload` contract."""
+    the incoming (id, payload) frame — the `attach_bmp_payload` /
+    `attach_image_payload` contract. (The name predates the PNG route —
+    round-7 callers pass pure-BMP frames and decode identically.)"""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            metas = [
-                parse_bmp(p) if p is not None else (None, None, None, None)
-                for p in pdf["payload"]
-            ]
+            metas = [_route_decode(p) for p in pdf["payload"]]
             n_bytes = pdf["payload"].map(lambda p: len(p) if p is not None else None)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": n_bytes.astype("Int32"),
-                    "format": [
-                        "image/bmp" if m[0] is not None else None for m in metas
-                    ],
-                    "width": pd.array([m[0] for m in metas], dtype="Int32"),
-                    "height": pd.array([m[1] for m in metas], dtype="Int32"),
-                    "channels": pd.array([m[2] for m in metas], dtype="Int32"),
-                    "pixel_sum": pd.array([m[3] for m in metas], dtype="Int64"),
+                    "format": [m[0] for m in metas],
+                    "width": pd.array([m[1] for m in metas], dtype="Int32"),
+                    "height": pd.array([m[2] for m in metas], dtype="Int32"),
+                    "channels": pd.array([m[3] for m in metas], dtype="Int32"),
+                    "pixel_sum": pd.array([m[4] for m in metas], dtype="Int64"),
                 }
             )
 
     schema = _decode_schema(id_col)
     return df.mapInPandas(batches, schema=schema)
+
+
+decode_image_bytes_meta = decode_bmp_meta  # the format-routing name

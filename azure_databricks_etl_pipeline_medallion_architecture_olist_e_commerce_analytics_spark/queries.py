@@ -861,20 +861,24 @@ def q_embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (round-7): synthesize a genuine 24-bit BMP byte
-    stream per document (deterministic position/channel-dependent pixels),
-    then parse it back with the vendored pure-numpy BMP parser — headers,
-    4-byte row alignment, bottom-up rows, exact pixel sum. No stub values:
-    the Spark path round-trips true bytes through mapInPandas Arrow
-    batches; the DuckDB oracle recomputes the decode output from the
-    closed-form pixel formula, so a parser that miscounts stride, padding,
-    or vertical flip fails the value match. (The PIL escape hatch for
-    other formats remains in operators/multimodal.decode_image_meta.)"""
-    from .operators.multimodal import attach_bmp_payload, decode_bmp_meta
+    """REAL mixed-format image decode (round-7 BMP + round-8 PNG): even
+    doc ids get a genuine 24-bit BMP, odd ids a real 8-bit RGB PNG
+    (stdlib-zlib stored-deflate, filter-0 rows) — both carrying the same
+    deterministic position/channel-dependent pixels — then the decode
+    kernel routes each payload by MAGIC BYTES to the vendored numpy BMP
+    parser or the vendored PNG parser (chunk walk, inflate, full
+    unfiltering). No stub values and no PIL: the Spark path round-trips
+    true bytes through mapInPandas Arrow batches; the DuckDB oracle
+    recomputes both containers' output from closed form — the shared
+    pixel-sum formula plus per-format byte lengths (BMP stride/padding
+    vs PNG's 68 + h*(3w+1) stored-block size) — so a parser that
+    miscounts stride, padding, vertical flip, scanline filters, or chunk
+    framing fails the value match. (PIL remains only for lossy formats.)"""
+    from .operators.multimodal import attach_image_payload, decode_bmp_meta
 
     tune_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return decode_bmp_meta(attach_bmp_payload(docs))
+    return decode_bmp_meta(attach_image_payload(docs))
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9564,14 +9568,18 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": """
       WITH d AS (
         SELECT doc_id,
+               abs(doc_id) % 2 AS is_png,
                abs(doc_id) % 31 + 2 AS w,
                (abs(doc_id) * 7) % 13 + 2 AS h
         FROM documents
       )
       SELECT doc_id,
              CAST(CASE WHEN doc_id IS NULL THEN NULL
+                  WHEN is_png = 1 THEN 68 + h * (3 * w + 1)
                   ELSE 54 + ((w * 3 + 3) // 4 * 4) * h END AS INTEGER) AS n_bytes,
-             CASE WHEN doc_id IS NULL THEN NULL ELSE 'image/bmp' END AS format,
+             CASE WHEN doc_id IS NULL THEN NULL
+                  WHEN is_png = 1 THEN 'image/png'
+                  ELSE 'image/bmp' END AS format,
              CAST(w AS INTEGER) AS width,
              CAST(h AS INTEGER) AS height,
              CAST(CASE WHEN doc_id IS NULL THEN NULL ELSE 3 END AS INTEGER) AS channels,

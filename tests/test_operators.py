@@ -182,6 +182,132 @@ def test_bmp_codec_roundtrip_and_rejection():
         assert parse_bmp(bad) == (None, None, None, None)
 
 
+def test_png_codec_all_filters_and_rejection():
+    """The vendored PNG parser (round-8) must unfilter ALL five scanline
+    filter types — our writer emits only filter 0, but real PNGs use any —
+    so re-encode the same image with each filter applied per row and
+    assert the decode tuple is identical. Garbage, truncation, and
+    unsupported IHDR shapes yield all-None instead of raising."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        PNG_SIG,
+        _bmp_dims,
+        encode_png,
+        parse_png,
+    )
+
+    did = 17
+    ref = parse_png(encode_png(did))
+    w, h = _bmp_dims(did)
+    px = np.array(
+        [
+            [(did + 3 * x + 7 * y + 11 * c) % 256 for x in range(w) for c in range(3)]
+            for y in range(h)
+        ],
+        dtype=np.int64,
+    )  # (h, 3w) reconstructed scanlines
+    bpp, stride = 3, 3 * w
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def filt_row(ft, cur, prev):
+        out = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            cc = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[i] = (int(cur[i]) - pred) % 256
+        return out
+
+    for ft in (1, 2, 3, 4):
+        raw = b""
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            raw += bytes([ft]) + bytes(filt_row(ft, px[y], prev).astype(np.uint8))
+            prev = px[y]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        buf = (
+            PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
+        assert parse_png(buf) == ref, f"filter {ft} mismatch"
+
+    # multi-IDAT split must concatenate before inflating
+    raw0 = b"".join(
+        bytes([0]) + bytes(px[y].astype(np.uint8)) for y in range(h)
+    )
+    z = zlib.compress(raw0, 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    split = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", z[: len(z) // 2])
+        + chunk(b"IDAT", z[len(z) // 2 :])
+        + chunk(b"IEND", b"")
+    )
+    assert parse_png(split) == ref
+
+    good = encode_png(did)
+    for bad in (b"", b"garbage", good[:20], good[:60], PNG_SIG + b"\x00" * 30):
+        assert parse_png(bad) == (None, None, None, None)
+    # 16-bit depth and interlaced IHDRs are out of contract -> all-None
+    for depth, inter in ((16, 0), (8, 1)):
+        ih = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, inter)
+        buf = PNG_SIG + chunk(b"IHDR", ih) + chunk(b"IDAT", zlib.compress(raw0, 6)) + chunk(b"IEND", b"")
+        assert parse_png(buf) == (None, None, None, None)
+
+
+def test_mixed_format_payload_decode_routes_by_magic(spark):
+    """attach_image_payload synthesizes BMP for even ids and PNG for odd;
+    the decode kernel routes by magic bytes — format splits on parity,
+    the pixel sum follows the shared closed-form formula either way, and
+    NULL ids stay NULL metadata."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        attach_image_payload,
+        decode_bmp_meta,
+    )
+
+    df = spark.createDataFrame([(2,), (3,), (None,), (8,), (9,)], "doc_id long")
+    out = {r.doc_id: r for r in decode_bmp_meta(attach_image_payload(df)).collect()}
+    for did in (2, 3, 8, 9):
+        r = out[did]
+        assert r.format == ("image/png" if did % 2 else "image/bmp")
+        w, h = did % 31 + 2, (did * 7) % 13 + 2
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.pixel_sum == sum(
+            (did + 3 * x + 7 * y + 11 * c) % 256
+            for x in range(w)
+            for y in range(h)
+            for c in range(3)
+        )
+    nulls = [r for r in out.values() if r.doc_id is None]
+    assert len(nulls) == 1 and nulls[0].format is None and nulls[0].pixel_sum is None
+
+
 def test_bmp_decode_null_ids_yield_null_metadata(spark):
     """A NULL doc id (missing blob) flows through attach+decode as NULL
     payload → NULL metadata, never an abort."""

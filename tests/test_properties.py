@@ -239,6 +239,34 @@ def test_bmp_codec_roundtrip_property(did):
     assert s == expect
 
 
+@settings(max_examples=200, deadline=None)
+@given(did=st.integers(min_value=0, max_value=10**12))
+def test_png_codec_roundtrip_property(did):
+    """Property (round-8): for ANY doc id, the vendored PNG writer+parser
+    round-trip the same synthetic dimensions and closed-form pixel sum as
+    the BMP pair (shared pixel formula), and the stored-deflate container
+    length is exactly 68 + h*(3w+1) — the multimodal_decode oracle's PNG
+    branch in closed form."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        _bmp_dims,
+        encode_png,
+        parse_png,
+    )
+
+    buf = encode_png(did)
+    w, h, c, s = parse_png(buf)
+    ew, eh = _bmp_dims(did)
+    assert (w, h, c) == (ew, eh, 3)
+    assert len(buf) == 68 + eh * (3 * ew + 1)
+    expect = sum(
+        (did + 3 * x + 7 * y + 11 * ch) % 256
+        for x in range(ew)
+        for y in range(eh)
+        for ch in range(3)
+    )
+    assert s == expect
+
+
 @given(
     st.integers(min_value=-(10**15), max_value=10**15),
     st.integers(min_value=1, max_value=10**9),
