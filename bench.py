@@ -282,6 +282,41 @@ def release_cached_state(spark) -> None:
     # late-session mitigation is the enlarged code cache in session.py.
 
 
+def cpu_calibration() -> dict[str, float]:
+    """Fixed CPU microbenchmark recorded beside every gate bench so
+    cross-BOOT totals can be normalized (round-7 verdict ask #3: recorded
+    gate benches spanned 107→151 s across host reboots with uniform
+    per-query ratios — shared-VM steal, not code). Two probes, min-of-3
+    each: a BLAS matmul (the vectorized-throughput axis numpy/Arrow
+    kernels ride) and a pure-Python arithmetic loop (the interpreter/
+    steal axis driver-side code rides). Same machine+boot ⇒ stable to a
+    few %; a uniformly slower boot moves BOTH probes by the same factor
+    as the query totals."""
+    import numpy as np
+
+    a = np.full((1024, 1024), 1.000001, dtype=np.float64)
+    b = np.full((1024, 1024), 0.999999, dtype=np.float64)
+    for _ in range(2):
+        a @ b  # untimed warm-up (thread-pool spin-up, page faults)
+    blas = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(12):
+            a @ b
+        blas.append(time.perf_counter() - t0)
+    py = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(4_000_000):
+            acc += i * i % 7
+        py.append(time.perf_counter() - t0)
+    return {
+        "calibration_blas_sec": round(min(blas), 4),
+        "calibration_python_sec": round(min(py), 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -289,6 +324,8 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = None
+    # calibrate BEFORE the JVM exists (raw host CPU, no Spark interference)
+    calibration = cpu_calibration()
     spark = get_spark("bench")
 
     names = [n for n in HEADLINE if n in SPARK_QUERIES]
@@ -356,6 +393,9 @@ def main() -> None:
     # summary as the LAST line of stdout and persist it to
     # bench_summary.json next to this script — both machine-readable even
     # when only the tail survives.
+    # post-run calibration pair: steal that appeared MID-run shows as a
+    # pre/post divergence even when the pre-run probe looked clean
+    calibration_post = cpu_calibration()
     summary = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -364,6 +404,9 @@ def main() -> None:
         "n_errors": len(errors),
         "prologue_sec": prologue_sec,
         "sf": sf_num,
+        **calibration,
+        "calibration_post_blas_sec": calibration_post["calibration_blas_sec"],
+        "calibration_post_python_sec": calibration_post["calibration_python_sec"],
     }
     try:
         with open(
