@@ -832,6 +832,227 @@ def q_ivfpq_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, k=3, nprobe=4, query_filter=F.col("vec_id") < 100)
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation as a first-class operator (round-8):
+    recall@3 of the IVF index at nprobe ∈ {1, 2, 4} against the exact
+    brute-force ground truth — the tuning curve every production vector
+    index publishes (FAISS-style recall/latency sweep), computed
+    IN-ENGINE so index regressions surface in the data pipeline itself.
+
+    Output: one row per nprobe — (nprobe, n_exact, n_hits, recall_ppm),
+    recall in exact integer ppm (hits·1e6 div exact-pair count; both
+    engines truncate non-negative division identically). Monotone in
+    nprobe by construction (candidate cells only grow; the unit tests pin
+    the full-probe == exact identity).
+
+    Shape: the exact top-3 pair set is one bounded brute-force pass
+    (localCheckpointed — reused by the total and the hit join); each
+    nprobe tier is the ivf_topk equi-join plan; the hit check is a
+    broadcast-sized join on (query_id, nbr_id). An eval harness at 100 TB
+    runs exactly this on a sampled query set — the ground-truth side is
+    bounded by the sample, never the corpus."""
+    from .operators.similarity import brute_force_topk, ivf_topk
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 100
+    exact = (
+        brute_force_topk(emb, k=3, query_filter=qf)
+        .select("query_id", "nbr_id")
+        .localCheckpoint()
+    )
+    tot = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    parts = [
+        ivf_topk(emb, k=3, n_centroids=16, nprobe=np_, query_filter=qf).select(
+            F.lit(np_).cast("int").alias("nprobe"), "query_id", "nbr_id"
+        )
+        for np_ in (1, 2, 4)
+    ]
+    approx = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hit = exact.withColumn("hit", F.lit(1))
+    return (
+        approx.join(hit, ["query_id", "nbr_id"], "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nprobe", "n_exact")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits")
+        )
+        .select(
+            "nprobe",
+            "n_exact",
+            "n_hits",
+            F.expr("CAST((n_hits * 1000000) div n_exact AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    windowed form): per document, how many of its rolling 8-token windows
+    also occur ANYWHERE else in the corpus (including repeats inside one
+    doc). Corpora carry boilerplate and near-copies that fingerprint
+    dedup misses when the rest of the doc differs; span-level duplication
+    is the curation signal that catches it (docs above a dup-ppm
+    threshold get span-trimmed or dropped).
+
+    Shape: one tokenize pass → rolling-window explode (sequence/slice —
+    zero Python), ONE map-side-combined count per distinct window string,
+    one equi-join back on the window, one per-doc aggregate. At 100 TB
+    the window strings would hash to int64 (xxhash64) before the shuffle
+    to cut exchange bytes ~8×; the value-oracled form keeps the strings
+    so DuckDB can replay them (the md5-vs-xxhash trade the minhash family
+    documents). Output is O(docs); dup share in exact integer ppm."""
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).filter(F.size("w") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> array_join(slice(w, i, 8), ' '))"
+            )
+        ).alias("gram"),
+    ).localCheckpoint()
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("n_total") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr(
+                "CAST((n_dup_windows * 1000000) div n_windows AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    pick 5 corpus vectors that are RELEVANT to the query (vec_id 0's
+    embedding) yet mutually DIVERSE — the reranking step between retrieval
+    and context assembly in every RAG/eval pipeline, and the diversity
+    sampler for training-data curation. λ = 0.5, so the round-r objective
+    argmax(0.5·sim(q,d) − 0.5·max_{s∈S} sim(d,s)) reduces to
+    argmax(rel − redundancy) in integer micro-units.
+
+    Determinism/exactness: cosines floor to 1e-6 micro BIGINTs (the
+    bm25/PQ idiom — both engines run the identical IEEE sequence), the
+    per-round argmax is max(struct(score, -vec_id)) — ties to the
+    smallest id — and the oracle replays the same 5 unrolled rounds as
+    chained CTEs (the pagerank/LPA fixed-round discipline).
+
+    Scale shape: 5 fixed rounds; each is ONE map-side-combined argmax
+    aggregate over the corpus with the ≤4 already-selected vectors
+    shipped as literals (O(1) driver rows per round — the documented
+    bpe_merges driver-loop caveat applies). No pairwise corpus join
+    anywhere: redundancy is greatest() over ≤4 literal-vector folds, so
+    the pass stays O(corpus · k · d) with zero shuffles beyond the
+    argmax combine."""
+    from .operators.similarity import _valid_vectors, dot_col, norm_col
+
+    tune_session(spark)
+    emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"), "embedding", 64)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrow:
+        return spark.createDataFrame(
+            [],
+            "sel_rank int, vec_id long, relevance_micro bigint, "
+            "redundancy_micro bigint, score_micro bigint",
+        )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0][0]])
+    pool = spread_partitions(
+        emb.filter(F.col("vec_id") != 0).select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            norm_col(F.col("embedding")).alias("nv"),
+        )
+    ).localCheckpoint()
+    import math
+
+    # math.sqrt IS the IEEE sqrt (x ** 0.5 would be libm pow, not
+    # guaranteed identical); the left-to-right sum matches norm_col's
+    # fold order and DuckDB's list_sum
+    qn = math.sqrt(sum(float(x) * float(x) for x in qrow[0][0]))
+    rel = F.floor(
+        F.lit(1_000_000.0) * (dot_col(F.col("v"), qlit) / (F.col("nv") * F.lit(qn)))
+    ).cast("long")
+    scored = pool.select("vec_id", "v", "nv", rel.alias("rel_micro"))
+
+    selected: list[tuple[int, int, list[float], int, int]] = []
+    sel_ids: list[int] = []
+    sel_vec_lits: list = []
+    for rank in range(1, 6):
+        cand = scored.filter(~F.col("vec_id").isin(sel_ids) if sel_ids else F.lit(True))
+        if sel_vec_lits:
+            red = F.greatest(
+                *[
+                    F.floor(
+                        F.lit(1_000_000.0)
+                        * (dot_col(F.col("v"), sv) / (F.col("nv") * F.lit(sn)))
+                    ).cast("long")
+                    for sv, sn in sel_vec_lits
+                ]
+            ) if len(sel_vec_lits) > 1 else F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    dot_col(F.col("v"), sel_vec_lits[0][0])
+                    / (F.col("nv") * F.lit(sel_vec_lits[0][1]))
+                )
+            ).cast("long")
+        else:
+            red = F.lit(0).cast("long")
+        pick = (
+            cand.select(
+                "vec_id", "v", "rel_micro", red.alias("red_micro")
+            )
+            .agg(
+                F.max(
+                    F.struct(
+                        (F.col("rel_micro") - F.col("red_micro")).alias("score"),
+                        (-F.col("vec_id")).alias("nid"),
+                        F.col("rel_micro").alias("rel"),
+                        F.col("red_micro").alias("red"),
+                        F.col("v").alias("vec"),
+                    )
+                ).alias("m")
+            )
+            .select("m.*")
+            .collect()[0]
+        )
+        if pick["nid"] is None:  # pool exhausted before 5 picks
+            break
+        vid = -int(pick["nid"])
+        vec = [float(x) for x in pick["vec"]]
+        selected.append(
+            (rank, vid, int(pick["rel"]), int(pick["red"]), int(pick["score"]))
+        )
+        sel_ids.append(vid)
+        sel_vec_lits.append(
+            (F.array(*[F.lit(x) for x in vec]), math.sqrt(sum(x * x for x in vec)))
+        )
+    return spark.createDataFrame(
+        [(r, i, rl, rd, sc) for r, i, rl, rd, sc in selected],
+        "sel_rank int, vec_id long, relevance_micro bigint, "
+        "redundancy_micro bigint, score_micro bigint",
+    )
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
     corpus — random vectors top out near 0.44 cosine)."""
@@ -7403,6 +7624,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_topk": q_ivfpq_topk,
     "ivf_nprobe_topk": q_ivf_nprobe_topk,
     "ivfpq_nprobe_topk": q_ivfpq_nprobe_topk,
+    "ann_recall_eval": q_ann_recall_eval,
+    "mmr_select": q_mmr_select,
+    "substring_dedup": q_substring_dedup,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "multimodal_decode": q_multimodal_decode,
@@ -7461,11 +7685,12 @@ _DRIVER_PRIORITY = [
     "skew_salted_join", "snapshot_diff", "source_rebalance",
     "streaming_enrich", "string_funcs", "tf_idf", "top_ngrams",
     "tpch_q19", "tpch_q22", "triangle_count", "union_by_name", "winsorize",
-    # --- new / changed in round 8 ---
-    "ivf_nprobe_topk", "ivfpq_nprobe_topk", "ann_topk_ivf", "ivfpq_topk",
-    "multimodal_decode",
-    # --- head of the r04 block ---
-    "ab_test_zscore", "benford_deviation",
+    # --- new / changed in round 8 (slots 44-50; ann_topk_ivf rides past
+    #     the 50-slot prefix — its changed kernel is already exercised at
+    #     rank>1 by ivf_nprobe_topk and at rank=1 by ivfpq_topk) ---
+    "ivf_nprobe_topk", "ivfpq_nprobe_topk", "ann_recall_eval",
+    "mmr_select", "substring_dedup", "ivfpq_topk", "multimodal_decode",
+    "ann_topk_ivf",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -10860,6 +11085,96 @@ def _pq_trained_oracle_sql(rounds: int = 2, d: int = 8) -> str:
 
 ORACLES["pq_topk_trained"] = _pq_trained_oracle_sql(rounds=2)
 
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """DuckDB replay of q_mmr_select's k unrolled MMR rounds (chained
+    1-row CTEs — the fixed-round discipline). Each round r: candidates =
+    rel minus already-selected ids, redundancy = greatest floor-micro
+    cosine to the r-1 selected vectors (cross join of 1-row CTEs),
+    argmax(rel - red) with the smallest-vec_id tie break as
+    ORDER BY ... LIMIT 1."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))))"
+        )
+
+    ctes = [
+        """valid AS (
+      SELECT vec_id, embedding AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
+    )""",
+        "q AS (SELECT e FROM valid WHERE vec_id = 0)",
+        "pool AS (SELECT vec_id, e FROM valid WHERE vec_id != 0)",
+        f"""rel AS MATERIALIZED (
+      SELECT p.vec_id, p.e,
+             CAST(FLOOR(1000000.0 * {cos('p.e', 'q.e')}) AS BIGINT) AS rel_micro
+      FROM pool p, q
+    )""",
+        """s1 AS (
+      SELECT vec_id, e, rel_micro, CAST(0 AS BIGINT) AS red_micro
+      FROM rel ORDER BY rel_micro DESC, vec_id LIMIT 1
+    )""",
+    ]
+    for r in range(2, k + 1):
+        prev = range(1, r)
+        reds = [
+            f"CAST(FLOOR(1000000.0 * {cos('r.e', f's{j}.e')}) AS BIGINT)"
+            for j in prev
+        ]
+        red = reds[0] if len(reds) == 1 else "greatest(" + ", ".join(reds) + ")"
+        froms = "".join(f", s{j}" for j in prev)
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM s{j}" for j in prev)
+        ctes.append(
+            f"""s{r} AS (
+      SELECT vec_id, e, rel_micro, red_micro FROM (
+        SELECT r.vec_id, r.e, r.rel_micro, {red} AS red_micro
+        FROM rel r{froms}
+        WHERE r.vec_id NOT IN ({excl})
+      ) ORDER BY rel_micro - red_micro DESC, vec_id LIMIT 1
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS sel_rank, CAST(vec_id AS BIGINT) AS vec_id,"
+        f" rel_micro AS relevance_micro, red_micro AS redundancy_micro,"
+        f" rel_micro - red_micro AS score_micro FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+ORACLES["mmr_select"] = _mmr_oracle_sql(5)
+
+ORACLES["substring_dedup"] = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\\s+') AS w
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 8
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                            i -> array_to_string(w[i:i+7], ' '))) AS gram
+      FROM toks
+    ),
+    counts AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_total FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN c.n_total >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+      FROM grams g JOIN counts c ON c.gram = g.gram
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_windows, n_dup_windows,
+           CAST((n_dup_windows * 1000000) // n_windows AS BIGINT) AS dup_ppm
+    FROM per_doc
+"""
+
 ORACLES["ivfpq_topk"] = """
     WITH t AS MATERIALIZED (
       SELECT vec_id, embedding AS e FROM embeddings
@@ -11016,6 +11331,62 @@ ORACLES["ivfpq_nprobe_topk"] = """
         PARTITION BY query_id ORDER BY adc_micro ASC, nbr_id ASC) AS rank
       FROM adc
     ) WHERE rank <= 3
+"""
+
+ORACLES["ann_recall_eval"] = """
+    WITH t AS MATERIALIZED (SELECT vec_id, embedding AS e FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, e
+      FROM t ORDER BY vec_id LIMIT 16
+    ),
+    sims AS (
+      SELECT t.vec_id, t.e, c.cid,
+             list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * c.e[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * t.e[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))) AS s
+      FROM t, cent c
+    ),
+    ranked AS MATERIALIZED (
+      SELECT vec_id, e, cid AS centroid_id,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      FROM sims
+    ),
+    corpus AS (SELECT vec_id, e, centroid_id FROM ranked WHERE rn = 1),
+    exact AS MATERIALIZED (
+      SELECT query_id, nbr_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * c.e[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * q.e[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))), 6)
+                 DESC, c.vec_id) AS rank
+        FROM t q JOIN t c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 100
+      ) WHERE rank <= 3
+    ),
+    np AS (SELECT CAST(unnest([1, 2, 4]) AS INT) AS nprobe),
+    approx AS (
+      SELECT nprobe, query_id, nbr_id FROM (
+        SELECT np.nprobe, q.vec_id AS query_id, c.vec_id AS nbr_id,
+               row_number() OVER (PARTITION BY np.nprobe, q.vec_id ORDER BY
+                 round(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * c.e[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i]::DOUBLE * q.e[i]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))), 6)
+                 DESC, c.vec_id) AS rank
+        FROM np
+        JOIN ranked q ON q.rn <= np.nprobe AND q.vec_id < 100
+        JOIN corpus c ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
+      ) WHERE rank <= 3
+    ),
+    tot AS (SELECT COUNT(*) AS n_exact FROM exact)
+    SELECT CAST(a.nprobe AS INT) AS nprobe,
+           CAST(tot.n_exact AS BIGINT) AS n_exact,
+           CAST(COUNT(e.query_id) AS BIGINT) AS n_hits,
+           CAST((COUNT(e.query_id) * 1000000) // tot.n_exact AS BIGINT) AS recall_ppm
+    FROM approx a
+    LEFT JOIN exact e ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id
+    CROSS JOIN tot
+    GROUP BY a.nprobe, tot.n_exact
 """
 
 ORACLES["ann_topk_ivf"] = """

@@ -214,6 +214,9 @@ HEADLINE = [
     # round-8 additions
     "ivf_nprobe_topk",
     "ivfpq_nprobe_topk",
+    "ann_recall_eval",
+    "mmr_select",
+    "substring_dedup",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

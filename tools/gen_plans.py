@@ -341,6 +341,29 @@ ANNOTATIONS = {
         "and score through the same literal-codebook integer ADC. "
         "nprobe=n_centroids collapses to plain pq_topk (unit-pinned)."
     ),
+    "ann_recall_eval": (
+        "In-engine ANN quality evaluation: the exact brute-force top-3 "
+        "pair set computes once (bounded query batch, localCheckpointed "
+        "and reused by the total and the hit join); each nprobe tier is "
+        "the ivf_topk equi-join plan; hits resolve via a left join on "
+        "(query_id, nbr_id) and ONE map-side-combined aggregate per "
+        "tier. Recall in exact integer ppm — no float comparison."
+    ),
+    "mmr_select": (
+        "Maximal marginal relevance: 5 fixed driver rounds, each ONE "
+        "map-side-combined argmax aggregate (max over (score, -id) "
+        "structs) across the corpus with the <=4 selected vectors as "
+        "constant-folded literals — no pairwise corpus join, no window; "
+        "O(1) driver rows per round (the bpe_merges driver-loop caveat)."
+    ),
+    "substring_dedup": (
+        "Exact-substring (Lee et al.) duplication profile: rolling "
+        "8-token windows explode JVM-side (sequence/slice/array_join), "
+        "window counts map-side combine, one equi-join back on the "
+        "window string, one per-doc aggregate. At production scale the "
+        "window string hashes to int64 before the exchange; the oracle "
+        "form keeps strings so DuckDB replays them."
+    ),
     "label_propagation": (
         "Fixed-round deterministic LPA community detection: per round ONE "
         "equi-join of the checkpointed edge list against the broadcast "

@@ -80,6 +80,7 @@ TEXT_QUERIES = [
     "collocation_pmi",
     "repetition_quality",
     "feature_hashing",
+    "substring_dedup",
 ]
 
 
