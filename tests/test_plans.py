@@ -359,6 +359,37 @@ def test_profile_table_approx_hll_aggs_present(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ivf_nprobe_plan_shape(spark):
+    """The nprobe path must keep the IVF contract: the ONLY nested-loop
+    joins are the two bounded 16-row centroid broadcasts (one per derived
+    side of the ranked assignment — the audited IVF-family shape); the
+    candidate join is an equi-join on centroid_id (never cartesian), and
+    both the probe-rank filter and the final top-k compile to
+    WindowGroupLimit so no partition materializes more than nprobe cell
+    ranks / k result rows before its shuffle."""
+    import re as _re
+
+    plan = _formatted_plan(SPARK_QUERIES["ivf_nprobe_topk"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan[:800]
+    # count detail headers, not tree echoes (formatted output shows each
+    # node twice)
+    bnlj = _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) == 2, plan[:800]
+    assert "WindowGroupLimit" in plan, plan[:500]
+
+
+def test_substring_dedup_combines_map_side(spark):
+    """Both aggregates (window counts, per-doc rollup) must partial-
+    aggregate map-side — a 50%-hot boilerplate gram then combines inside
+    each task instead of funneling one reducer — and no join may degrade
+    to a nested loop."""
+    plan = _formatted_plan(SPARK_QUERIES["substring_dedup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # two aggregates x (partial + final) = at least 4 HashAggregate nodes
+    assert plan.count("HashAggregate") >= 4, plan.count("HashAggregate")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_zipf_head_uses_window_group_limit(spark):
     """The per-source top-100 pick must compile to WindowGroupLimit so each
     shuffle partition keeps at most 100 cells per source before the window

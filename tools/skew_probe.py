@@ -318,6 +318,41 @@ def probe_round7_hostiles(spark) -> None:
         print(f"| {name} | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |", flush=True)
 
 
+def probe_round8_hostiles(spark) -> None:
+    """Sixth section (round-8): substring_dedup under a 50%-hot
+    boilerplate gram — half the corpus ends with the SAME 12-token
+    boilerplate sentence, so one 8-gram window string carries ~half the
+    docs. The window-count aggregate must absorb it via map-side combine
+    and the count-back join stays gram-keyed with the hot gram's rows
+    spread by doc on the downstream per-doc aggregate — flat is the
+    pass."""
+    docs = load_table(spark, SRC, "documents")
+    hot_dir = "/tmp/spark_graft_scale/gram_hot"
+    if not os.path.exists(os.path.join(hot_dir, "documents.parquet")):
+        os.makedirs(hot_dir, exist_ok=True)
+        boiler = (
+            " subscribe to our newsletter for the latest updates and offers today"
+        )
+        docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(boiler)),
+            ).otherwise(F.col("text")),
+        ).write.mode("overwrite").parquet(
+            os.path.join(hot_dir, "documents.parquet")
+        )
+    print()
+    print("## Round-8 hostile (substring_dedup 50%-hot boilerplate gram)")
+    print()
+    print("| query | uniform sf1 (s) | hostile sf1 (s) | ratio |")
+    print("|---|---|---|---|")
+    fn = SPARK_QUERIES["substring_dedup"]
+    t_u = time_noop(spark, fn, SRC)
+    t_s = time_noop(spark, fn, hot_dir)
+    print(f"| substring_dedup | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |", flush=True)
+
+
 if __name__ == "__main__":
     if not os.path.exists(os.path.join(OUT, "events.parquet")):
         build()
@@ -336,3 +371,4 @@ if __name__ == "__main__":
     probe_corpus_hot_fingerprint(spark)
     probe_lsh_megabucket(spark)
     probe_round7_hostiles(spark)
+    probe_round8_hostiles(spark)
