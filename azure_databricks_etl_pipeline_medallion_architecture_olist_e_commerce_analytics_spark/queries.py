@@ -942,6 +942,68 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step of exact-substring dedup (Lee et al. 2022's actual
+    output): rebuild each document with every corpus-duplicated 8-token
+    span removed. A token is dropped when ANY of the rolling 8-gram
+    windows covering it occurs ≥2 times in the corpus; the trimmed text
+    is the surviving tokens re-joined — boilerplate and copied passages
+    vanish while unique prose stays.
+
+    Shape: reuses substring_dedup's window counts (one tokenize pass, one
+    map-side-combined count, one equi-join back); duplicated windows then
+    explode to their 8 covered token positions — output volume is
+    O(dup windows · 8), bounded by the dup share, not the corpus — and a
+    per-doc collect_set of positions drives a JVM-side filter-by-index
+    rebuild (no Python anywhere). Deterministic: position membership is
+    order-independent, the rebuild preserves original token order."""
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).filter(F.size("w") >= 8).localCheckpoint()
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> array_join(slice(w, i, 8), ' '))"
+            )
+        ).alias("win0", "gram"),
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    dup_pos = (
+        grams.join(counts.filter(F.col("n_total") >= 2), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(win0 + 1, win0 + 8)")).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("dup_pos"))
+    )
+    return (
+        toks.join(dup_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("int").alias("n_tokens"),
+            F.coalesce(F.size("dup_pos"), F.lit(0)).cast("int").alias("n_dup_tokens"),
+            F.when(
+                F.col("dup_pos").isNull(), F.array_join(F.col("w"), " ")
+            )
+            .otherwise(
+                F.expr(
+                    "array_join(transform(filter(sequence(1, size(w)),"
+                    " i -> NOT array_contains(dup_pos, i)),"
+                    " i -> element_at(w, i)), ' ')"
+                )
+            )
+            .alias("trimmed_text"),
+        )
+    )
+
+
 def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
     pick 5 corpus vectors that are RELEVANT to the query (vec_id 0's
@@ -7627,6 +7689,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_eval": q_ann_recall_eval,
     "mmr_select": q_mmr_select,
     "substring_dedup": q_substring_dedup,
+    "substring_trim": q_substring_trim,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "multimodal_decode": q_multimodal_decode,
@@ -7689,8 +7752,8 @@ _DRIVER_PRIORITY = [
     #     the 50-slot prefix — its changed kernel is already exercised at
     #     rank>1 by ivf_nprobe_topk and at rank=1 by ivfpq_topk) ---
     "ivf_nprobe_topk", "ivfpq_nprobe_topk", "ann_recall_eval",
-    "mmr_select", "substring_dedup", "ivfpq_topk", "multimodal_decode",
-    "ann_topk_ivf",
+    "mmr_select", "substring_dedup", "substring_trim", "ivfpq_topk",
+    "multimodal_decode", "ann_topk_ivf",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -11147,6 +11210,40 @@ def _mmr_oracle_sql(k: int = 5) -> str:
 
 
 ORACLES["mmr_select"] = _mmr_oracle_sql(5)
+
+ORACLES["substring_trim"] = """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(trim(text, ' '), '\\s+') AS w
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text, ' '), '\\s+')) >= 8
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, CAST(t.i AS INTEGER) AS win1,
+             array_to_string(w[t.i:t.i+7], ' ') AS gram
+      FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+    ),
+    counts AS (
+      SELECT gram, COUNT(*) AS n_total FROM grams GROUP BY gram
+    ),
+    dup_pos AS (
+      SELECT doc_id, list(DISTINCT pos) AS dp FROM (
+        SELECT g.doc_id, CAST(unnest(range(g.win1, g.win1 + 8)) AS BIGINT) AS pos
+        FROM grams g JOIN counts c ON c.gram = g.gram AND c.n_total >= 2
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(len(d.dp), 0) AS INTEGER) AS n_dup_tokens,
+           CASE WHEN d.doc_id IS NULL THEN array_to_string(t.w, ' ')
+                -- DuckDB array_to_string([]) is NULL where Spark
+                -- array_join([]) is '' — a fully-trimmed doc must compare
+                -- as the empty string on both sides
+                ELSE COALESCE(array_to_string(list_transform(list_filter(
+                       range(1, len(t.w) + 1),
+                       i -> NOT list_contains(d.dp, i)), i -> t.w[i]), ' '), '')
+           END AS trimmed_text
+    FROM toks t LEFT JOIN dup_pos d ON d.doc_id = t.doc_id
+"""
 
 ORACLES["substring_dedup"] = """
     WITH toks AS (

@@ -217,6 +217,7 @@ HEADLINE = [
     "ann_recall_eval",
     "mmr_select",
     "substring_dedup",
+    "substring_trim",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -364,6 +364,13 @@ ANNOTATIONS = {
         "window string hashes to int64 before the exchange; the oracle "
         "form keeps strings so DuckDB replays them."
     ),
+    "substring_trim": (
+        "Dup-span removal (the Lee et al. output): reuses the window-"
+        "count shape, then ONLY duplicated windows explode to their 8 "
+        "covered positions (output bounded by the dup share), a per-doc "
+        "collect_set drives a JVM filter-by-index rebuild of the token "
+        "array — no Python, original token order preserved."
+    ),
     "label_propagation": (
         "Fixed-round deterministic LPA community detection: per round ONE "
         "equi-join of the checkpointed edge list against the broadcast "
