@@ -954,6 +954,164 @@ def pq_topk_trained(
     return _rank_topk(pairs, "adc_micro2", k)
 
 
+def ivfpq_residual_topk(
+    df: DataFrame,
+    k: int = 3,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter=None,
+    nprobe: int = 1,
+):
+    """IVF-PQ with RESIDUAL encoding — the true FAISS IVF-PQ formulation,
+    closing the simplification :func:`ivfpq_topk` documents (it codes raw
+    vectors). Each vector is coded as the PQ of ``v − centroid(cell)``:
+    residuals are centered near zero, so the same code budget quantizes a
+    much smaller ball and ADC error drops — the gain grows with how
+    clustered the corpus is (unit-tested on planted clusters).
+
+    **Engine-exact by construction** (the pq_topk_trained discipline):
+    vectors and centroids quantize ONCE to integer micro-units
+    (``floor(1e6·x)``), residual subtraction / L2² / ADC all run in exact
+    BIGINT — no float past the quantization, so a SQL oracle replays the
+    trajectory bit-for-bit. Codebook seeding is deterministic: the first
+    ``n_codes`` vectors' OWN residuals (computed by the same engine
+    assignment pipeline — no driver-side float reimplementation).
+
+    Scale shape (100 TB): coarse assignment is the shared
+    :func:`ivf_assign_ranked` broadcast plan; the centroid table and the
+    residual codebook ship as constant-folded literals (n_centroids·dim +
+    m·n_codes·d_sub ints); corpus encode is a zero-shuffle projection;
+    query LUTs are built per (query, probed cell) on the bounded
+    broadcast side — the cell-dependent LUT is exactly what residual
+    encoding costs over vector encoding, and it rides the same equi-join
+    on ``centroid_id``; top-k is the shared WindowGroupLimit rank.
+    """
+    import math
+
+    if not 1 <= nprobe <= n_centroids:
+        raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
+    d_sub = dim // m_subspaces
+    df = _valid_vectors(df, vec_col, dim)
+    seeds, n_codes = _pq_seeds(df, id_col, vec_col, max(n_codes, 1))
+    if seeds is None:
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, nbr_id long, adc_micro2 long, rank int"
+        )
+
+    def _micro(vals) -> list[int]:
+        return [int(math.floor(1_000_000.0 * float(x))) for x in vals]
+
+    # coarse centroids: the first-n-by-id convention, quantized to micro
+    n_cent = min(n_centroids, len(seeds))
+    cent_micro = [_micro(row[vec_col]) for row in seeds[:n_cent]]
+    cent_df = df.sparkSession.createDataFrame(
+        [(i + 1, [float(x) for x in seeds[i][vec_col]]) for i in range(n_cent)],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    ranked = ivf_assign_ranked(
+        df, id_col, vec_col, n_cent, centroids=cent_df, max_rank=nprobe
+    )
+    assigned = ranked.filter(F.col("probe_rank") == 1)
+
+    # centroid micro table as ONE literal: element_at(cents, centroid_id)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in cent_micro]
+    )
+    vm_expr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(F.lit(1_000_000.0) * x.cast("double")).cast("long"),
+    )
+    # residual = vm - cents[cell], exact int64, computed inline
+    rm_sql = "zip_with(vm, element_at(cents, centroid_id), (a, b) -> a - b)"
+
+    # codebook: the first n_codes vectors' OWN residuals, produced by the
+    # same engine assignment (rank-1 cells of the seed ids) — collected
+    # O(n_codes) rows, never corpus rows
+    seed_ids = [row for row in df.orderBy(id_col).limit(n_codes).select(id_col).collect()]
+    seed_id_vals = [r[0] for r in seed_ids]
+    seed_res = (
+        assigned.filter(F.col(id_col).isin(seed_id_vals))
+        .select(
+            F.col(id_col).alias("sid"),
+            vm_expr.alias("vm"),
+            cents_lit.alias("cents"),
+            "centroid_id",
+        )
+        .select("sid", F.expr(rm_sql).alias("rm"))
+        .collect()
+    )
+    res_by_id = {int(r["sid"]): [int(x) for x in r["rm"]] for r in seed_res}
+    codebook = [
+        [
+            res_by_id[sid][m * d_sub : (m + 1) * d_sub]
+            for sid in seed_id_vals
+            if sid in res_by_id
+        ]
+        for m in range(m_subspaces)
+    ]
+    n_codes = len(codebook[0])
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in code]) for code in codebook[m]])
+            for m in range(m_subspaces)
+        ]
+    )
+
+    _dist = (
+        "aggregate(sequence(1, {d}), CAST(0 AS BIGINT), (s, i) -> s"
+        " + (element_at(rm, m * {d} + i)"
+        "    - element_at(element_at(element_at(cbl, m + 1), c), i))"
+        " * (element_at(rm, m * {d} + i)"
+        "    - element_at(element_at(element_at(cbl, m + 1), c), i)))"
+    ).format(d=d_sub)
+    codes_sql = (
+        "transform(sequence(0, {M} - 1), m -> element_at("
+        "  transform(array(transform(sequence(1, {K}), c -> {dist})),"
+        "            ds -> array_position(ds, array_min(ds))), 1))"
+    ).format(M=m_subspaces, K=n_codes, dist=_dist)
+    luts_sql = (
+        "transform(sequence(0, {M} - 1), m ->"
+        "  transform(sequence(1, {K}), c -> {dist}))"
+    ).format(M=m_subspaces, K=n_codes, dist=_dist)
+
+    encoded = spread_partitions(assigned).select(
+        "centroid_id",
+        F.col(id_col).alias("nbr_id"),
+        vm_expr.alias("vm"),
+        cents_lit.alias("cents"),
+    ).select(
+        "centroid_id", "nbr_id", F.expr(rm_sql).alias("rm"), cb_lit.alias("cbl")
+    ).select("centroid_id", "nbr_id", F.expr(codes_sql).alias("codes"))
+
+    queries = ranked.filter(query_filter) if query_filter is not None else ranked
+    # the query's residual — and therefore its LUT — is PER PROBED CELL:
+    # the defining extra cost (and accuracy source) of residual IVF-PQ
+    q = queries.select(
+        "centroid_id",
+        F.col(id_col).alias("query_id"),
+        vm_expr.alias("vm"),
+        cents_lit.alias("cents"),
+    ).select(
+        "centroid_id", "query_id", F.expr(rm_sql).alias("rm"), cb_lit.alias("cbl")
+    ).select("centroid_id", "query_id", F.expr(luts_sql).alias("luts"))
+
+    adc = F.expr(
+        "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
+        " + element_at(element_at(luts, m),"
+        "              CAST(element_at(codes, m) AS INT)))".format(M=m_subspaces)
+    )
+    pairs = (
+        encoded.join(F.broadcast(q), on="centroid_id")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", adc.alias("adc_micro2"))
+    )
+    return _rank_topk(pairs, "adc_micro2", k)
+
+
 def ivfpq_topk(
     df: DataFrame,
     k: int = 3,
@@ -977,8 +1135,10 @@ def ivfpq_topk(
     → IVF-PQ).
 
     Simplification vs FAISS, stated: codes quantize the VECTORS, not the
-    cell residuals — residual encoding needs per-cell codebooks (16× the
-    literal size) for a quality gain the value-oracle family doesn't need.
+    cell residuals. The true residual formulation (shared codebook over
+    ``v − centroid(cell)``, cell-dependent query LUTs) is
+    :func:`ivfpq_residual_topk` — round-8, unit-tested to beat this
+    variant's recall on clustered corpora.
 
     Scale shape (100 TB): assignment is a broadcast of n_centroids rows;
     encode is the zero-shuffle literal-codebook projection; the candidate

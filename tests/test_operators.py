@@ -104,6 +104,101 @@ def test_ivf_nprobe_rejects_out_of_range(spark):
             ivf_topk(emb, k=3, n_centroids=8, nprobe=bad)
 
 
+def _planted_cluster_frame(spark, n_clusters=4, per_cluster=40, dim=64):
+    """Synthetic clustered embeddings: ids interleave clusters (id % C),
+    so the deterministic first-C seeds land one per cluster; offsets are
+    small relative to center spacing, so true neighbors share a cluster."""
+    rows = []
+    for vid in range(n_clusters * per_cluster):
+        c = vid % n_clusters
+        vec = [
+            ((c * 17 + i * 3) % 40) / 40.0
+            - 0.5
+            + (((vid * 7 + i * 13) % 11) / 110.0 - 0.05)
+            for i in range(dim)
+        ]
+        rows.append((vid, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivfpq_residual_beats_vector_coding_on_clusters(spark):
+    """Residual encoding is the point of real IVF-PQ: on a clustered
+    corpus the residual ball is much smaller than the vector ball, so
+    the same 8x16 code budget quantizes finer and recall@3 vs exact
+    brute force must be >= the raw-vector-coded variant (and strictly
+    better somewhere on this corpus), with both runs deterministic."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
+
+    emb = _planted_cluster_frame(spark)
+    qf = F.col("vec_id") < 40
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in brute_force_topk(emb, k=3, query_filter=qf).collect()
+    }
+    assert exact
+
+    def recall(fn):
+        got = {
+            (r.query_id, r.nbr_id)
+            for r in fn(
+                emb, k=3, n_centroids=4, query_filter=qf
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_vec = recall(ivfpq_topk)
+    r_res = recall(ivfpq_residual_topk)
+    assert r_res >= r_vec, (r_res, r_vec)
+    assert r_res > r_vec + 0.05, (
+        f"residual coding should clearly win on planted clusters: "
+        f"residual {r_res:.3f} vs vector {r_vec:.3f}"
+    )
+
+
+def test_ivfpq_residual_deterministic_under_repartition(spark):
+    """Same rows, different physical layout -> bitwise-identical output
+    (integer micro arithmetic end to end; no order-dependent float sums)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    emb = _planted_cluster_frame(spark, per_cluster=20)
+    qf = F.col("vec_id") < 20
+    a = sorted(
+        map(tuple, ivfpq_residual_topk(emb, k=3, n_centroids=4, query_filter=qf).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_residual_topk(
+                emb.repartition(17), k=3, n_centroids=4, query_filter=qf
+            ).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_ivfpq_residual_empty_and_invalid_inputs(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivfpq_residual_topk(empty).count() == 0
+    # ragged / NULL-element vectors are filtered, never crash
+    bad = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [0.25] * 63), (3, None), (4, [None] + [0.1] * 63)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivfpq_residual_topk(bad, k=1, n_centroids=1)
+    assert out.count() == 0  # only one valid vector -> no pairs
+    with pytest.raises(ValueError, match="nprobe"):
+        ivfpq_residual_topk(bad, nprobe=0)
+
+
 def test_ivfpq_full_probe_equals_pq(spark):
     """nprobe == n_centroids collapses the IVF tier of IVF-PQ: every query
     scores every coded vector, so the result must equal plain PQ ADC on
