@@ -199,6 +199,41 @@ def test_ivfpq_residual_empty_and_invalid_inputs(spark):
         ivfpq_residual_topk(bad, nprobe=0)
 
 
+def test_ivfpq_nprobe_recall_monotone(spark):
+    """IVF-PQ recall vs the EXHAUSTIVE-ADC ground truth (pq_topk — same
+    codebook, every pair scored) must be non-decreasing in nprobe and
+    reach exactly 1.0 at full probe: ADC scores are probe-set-
+    independent, so a global-ADC-top-3 pair in the candidate set can
+    only be displaced by a better-ADC pair, which is itself global
+    top-3. (Recall vs TRUE cosine is not provably monotone — ADC
+    quantization error can rank a newly-admitted false pair above a
+    true one — which is why the reference set here is PQ, and why
+    ann_recall_eval measures the IVF-flat tier, whose scores ARE the
+    true cosines.)"""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qf = F.col("vec_id") < 50
+    ref = {
+        (r.query_id, r.nbr_id)
+        for r in pq_topk(emb, k=3, query_filter=qf).collect()
+    }
+    assert ref
+    prev = -1.0
+    for np_ in (1, 4, 16):
+        got = {
+            (r.query_id, r.nbr_id)
+            for r in ivfpq_topk(emb, k=3, nprobe=np_, query_filter=qf).collect()
+        }
+        recall = len(ref & got) / len(ref)
+        assert recall >= prev - 1e-12, f"recall fell at nprobe={np_}"
+        prev = recall
+    assert prev == 1.0
+
+
 def test_ivfpq_full_probe_equals_pq(spark):
     """nprobe == n_centroids collapses the IVF tier of IVF-PQ: every query
     scores every coded vector, so the result must equal plain PQ ADC on

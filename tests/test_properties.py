@@ -239,6 +239,78 @@ def test_bmp_codec_roundtrip_property(did):
     assert s == expect
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filters=st.lists(st.integers(min_value=0, max_value=4), min_size=9, max_size=9),
+)
+def test_png_unfilter_all_filter_types_property(w, h, seed, filters):
+    """Property (round-8): for ANY small image and ANY per-row filter
+    choice (0-4), a PNG assembled with the REFERENCE filter equations
+    parses back to the exact pixel sum — pinning the vectorized Sub/Up
+    unfilter paths and the sequential Average/Paeth paths against the
+    spec, not against our own writer (which only emits filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        PNG_SIG,
+        parse_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, 3 * w), dtype=np.int64)
+    bpp, stride = 3, 3 * w
+
+    def filt_row(ft, cur, prev):
+        out = np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            a = int(cur[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            cc = int(prev[i - bpp]) if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[i] = (int(cur[i]) - pred) % 256
+        return out
+
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        raw += bytes([ft]) + bytes(filt_row(ft, px[y], prev).astype(np.uint8))
+        prev = px[y]
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    buf = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    assert parse_png(buf) == (w, h, 3, int(px.sum()))
+
+
 @settings(max_examples=200, deadline=None)
 @given(did=st.integers(min_value=0, max_value=10**12))
 def test_png_codec_roundtrip_property(did):
