@@ -409,7 +409,14 @@ def encode_png(did: int) -> bytes:
     rgb = px.astype(np.uint8)  # PNG stores RGB directly, top-down
     # one filter-type byte (0 = None) per scanline, then the raw RGB row
     raw = b"".join(b"\x00" + rgb[j].tobytes() for j in range(h))
-    assert len(raw) <= 65535, "raw stream must fit one stored deflate block"
+    if len(raw) > 65535:
+        # The multimodal_decode oracle's closed-form 68 + h*(3w+1) length
+        # depends on the ONE-stored-deflate-block invariant; an assert here
+        # would vanish under `python -O`, so fail loudly instead.
+        raise ValueError(
+            f"raw scanline stream ({len(raw)} bytes) exceeds one 65535-byte "
+            "stored deflate block — the oracle's length formula would break"
+        )
     idat = zlib.compress(raw, 0)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
@@ -509,7 +516,16 @@ def parse_png(payload) -> tuple:
             pos = body_end + 4  # skip CRC (payload integrity, not structure)
         if w is None or not idat:
             return (None, None, None, None)
-        raw = zlib.decompress(bytes(idat))
+        # Bounded inflate: a crafted tiny IDAT can expand to gigabytes
+        # (decompression bomb) if inflated unboundedly before the length
+        # check. Cap the output at the expected scanline-stream size + 1;
+        # any overflow byte means the stream is oversized → reject, having
+        # allocated at most h*(3w+1)+1 bytes per task.
+        expected = h * (w * 3 + 1)
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expected + 1)
+        if len(raw) > expected or dobj.unconsumed_tail:
+            return (None, None, None, None)
         rows = _png_unfilter(raw, w, h)
         if rows is None:
             return (None, None, None, None)

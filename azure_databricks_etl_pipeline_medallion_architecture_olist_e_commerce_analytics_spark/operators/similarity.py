@@ -977,9 +977,18 @@ def ivfpq_residual_topk(
     vectors and centroids quantize ONCE to integer micro-units
     (``floor(1e6·x)``), residual subtraction / L2² / ADC all run in exact
     BIGINT — no float past the quantization, so a SQL oracle replays the
-    trajectory bit-for-bit. Codebook seeding is deterministic: the first
-    ``n_codes`` vectors' OWN residuals (computed by the same engine
-    assignment pipeline — no driver-side float reimplementation).
+    trajectory bit-for-bit. Codebook seeding is deterministic AND disjoint
+    from the centroid seeds: centroids are the first ``n_centroids``
+    vectors by id, the codebook is the residuals of the NEXT ``n_codes``
+    vectors (positions n_centroids+1 .. n_centroids+n_codes), computed by
+    the same engine assignment pipeline — no driver-side float
+    reimplementation. Disjointness matters: a codebook seeded from the
+    centroid vectors themselves is all-zero (each centroid's rank-1 cell
+    is itself, residual exactly 0), collapsing ADC to a constant per
+    query — the round-8 defect this round fixed. If the corpus is too
+    small to supply any disjoint codebook seed (≤ n_centroids valid
+    rows), the codebook degrades to the single zero code — every corpus
+    vector then IS a centroid with residual 0, so zero is the exact code.
 
     Scale shape (100 TB): coarse assignment is the shared
     :func:`ivf_assign_ranked` broadcast plan; the centroid table and the
@@ -996,8 +1005,17 @@ def ivfpq_residual_topk(
         raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
     d_sub = dim // m_subspaces
     df = _valid_vectors(df, vec_col, dim)
-    seeds, n_codes = _pq_seeds(df, id_col, vec_col, max(n_codes, 1))
-    if seeds is None:
+    # ONE seed collect covers both roles: positions 1..n_centroids are the
+    # coarse centroids, positions n_centroids+1..n_centroids+n_codes seed
+    # the residual codebook (disjoint by construction — centroid vectors'
+    # own residuals are exactly zero and would degenerate the codebook).
+    seeds = (
+        df.orderBy(id_col)
+        .limit(n_centroids + max(n_codes, 1))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not seeds:
         return df.sparkSession.createDataFrame(
             [], "query_id long, nbr_id long, adc_micro2 long, rank int"
         )
@@ -1005,8 +1023,12 @@ def ivfpq_residual_topk(
     def _micro(vals) -> list[int]:
         return [int(math.floor(1_000_000.0 * float(x))) for x in vals]
 
-    # coarse centroids: the first-n-by-id convention, quantized to micro
+    # coarse centroids: the first-n-by-id convention, quantized to micro.
+    # n_cent < n_centroids only when the CORPUS has fewer valid rows (you
+    # cannot have more cells than vectors) — nprobe re-clamps to match so
+    # the index never silently probes cells that do not exist.
     n_cent = min(n_centroids, len(seeds))
+    nprobe = min(nprobe, n_cent)
     cent_micro = [_micro(row[vec_col]) for row in seeds[:n_cent]]
     cent_df = df.sparkSession.createDataFrame(
         [(i + 1, [float(x) for x in seeds[i][vec_col]]) for i in range(n_cent)],
@@ -1028,31 +1050,41 @@ def ivfpq_residual_topk(
     # residual = vm - cents[cell], exact int64, computed inline
     rm_sql = "zip_with(vm, element_at(cents, centroid_id), (a, b) -> a - b)"
 
-    # codebook: the first n_codes vectors' OWN residuals, produced by the
-    # same engine assignment (rank-1 cells of the seed ids) — collected
-    # O(n_codes) rows, never corpus rows
-    seed_ids = [row for row in df.orderBy(id_col).limit(n_codes).select(id_col).collect()]
-    seed_id_vals = [r[0] for r in seed_ids]
-    seed_res = (
-        assigned.filter(F.col(id_col).isin(seed_id_vals))
-        .select(
-            F.col(id_col).alias("sid"),
-            vm_expr.alias("vm"),
-            cents_lit.alias("cents"),
-            "centroid_id",
+    # codebook: the residuals of the n_codes vectors AFTER the centroid
+    # block (ids at positions n_cent+1 .. n_cent+n_codes by the first-by-id
+    # convention), produced by the same engine assignment (rank-1 cells of
+    # the seed ids) — collected O(n_codes) rows, never corpus rows. These
+    # are disjoint from the centroids, so their residuals are genuinely
+    # nonzero spread samples; seeding from the centroid vectors themselves
+    # yields the all-zero codebook (ADVICE r8, fixed r9).
+    seed_id_vals = [row[id_col] for row in seeds[n_cent : n_cent + n_codes]]
+    res_by_id: dict[int, list[int]] = {}
+    if seed_id_vals:
+        seed_res = (
+            assigned.filter(F.col(id_col).isin(seed_id_vals))
+            .select(
+                F.col(id_col).alias("sid"),
+                vm_expr.alias("vm"),
+                cents_lit.alias("cents"),
+                "centroid_id",
+            )
+            .select("sid", F.expr(rm_sql).alias("rm"))
+            .collect()
         )
-        .select("sid", F.expr(rm_sql).alias("rm"))
-        .collect()
-    )
-    res_by_id = {int(r["sid"]): [int(x) for x in r["rm"]] for r in seed_res}
-    codebook = [
-        [
-            res_by_id[sid][m * d_sub : (m + 1) * d_sub]
-            for sid in seed_id_vals
-            if sid in res_by_id
+        res_by_id = {int(r["sid"]): [int(x) for x in r["rm"]] for r in seed_res}
+    if res_by_id:
+        codebook = [
+            [
+                res_by_id[sid][m * d_sub : (m + 1) * d_sub]
+                for sid in seed_id_vals
+                if sid in res_by_id
+            ]
+            for m in range(m_subspaces)
         ]
-        for m in range(m_subspaces)
-    ]
+    else:
+        # corpus ≤ n_cent rows: every vector IS a centroid, every residual
+        # is exactly zero — the single zero code is the exact encoding
+        codebook = [[[0] * d_sub] for _ in range(m_subspaces)]
     n_codes = len(codebook[0])
     cb_lit = F.array(
         *[

@@ -158,6 +158,39 @@ def test_ivfpq_residual_beats_vector_coding_on_clusters(spark):
     )
 
 
+def test_ivfpq_residual_nondegenerate_at_default_params(spark):
+    """Round-9 regression for the round-8 ADVICE-high defect: with the
+    codebook seeded from the SAME first-16 vectors as the 16 coarse
+    centroids, every seed's own residual was exactly zero, the whole
+    codebook collapsed to the zero vector, and ADC became a per-query
+    constant (ranking = smallest nbr_id). The fix seeds the codebook from
+    the NEXT 16 vectors by id. At DEFAULT parameters the ADC scores must
+    therefore discriminate (some query sees >= 2 distinct adc values) and
+    recall vs exact brute force on planted clusters must beat the
+    ~3/19 ~= 0.16 a constant ranking would give."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivfpq_residual_topk,
+    )
+
+    emb = _planted_cluster_frame(spark, n_clusters=16, per_cluster=20)
+    qf = F.col("vec_id") < 32
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in brute_force_topk(emb, k=3, query_filter=qf).collect()
+    }
+    got = ivfpq_residual_topk(emb, k=3, query_filter=qf).collect()
+    assert got
+    distinct_adc = {}
+    for r in got:
+        distinct_adc.setdefault(r.query_id, set()).add(r.adc_micro2)
+    assert any(len(v) >= 2 for v in distinct_adc.values()), (
+        "ADC scores are constant per query — degenerate (all-zero) codebook"
+    )
+    pairs = {(r.query_id, r.nbr_id) for r in got}
+    recall = len(exact & pairs) / len(exact)
+    assert recall >= 0.4, f"default-parameter recall {recall:.3f} is degenerate"
+
+
 def test_ivfpq_residual_deterministic_under_repartition(spark):
     """Same rows, different physical layout -> bitwise-identical output
     (integer micro arithmetic end to end; no order-dependent float sums)."""
@@ -409,6 +442,28 @@ def test_png_codec_all_filters_and_rejection():
         ih = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, inter)
         buf = PNG_SIG + chunk(b"IHDR", ih) + chunk(b"IDAT", zlib.compress(raw0, 6)) + chunk(b"IEND", b"")
         assert parse_png(buf) == (None, None, None, None)
+
+    # decompression bomb (round-9 ADVICE): a ~100 KB IDAT that claims tiny
+    # dims but inflates toward 100 MB must be REJECTED by the bounded
+    # inflate (max_length = h*(3w+1)+1) without materializing the payload —
+    # the parser may allocate at most the expected scanline stream + 1 byte.
+    bomb_raw = b"\x00" * (100 * 1024 * 1024)
+    bomb = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bomb_raw, 9))
+        + chunk(b"IEND", b"")
+    )
+    assert parse_png(bomb) == (None, None, None, None)
+    # an oversized-but-small stream (one extra byte) is likewise malformed
+    over = b"\x00" * (h * (3 * w + 1) + 1)
+    buf = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(over, 6))
+        + chunk(b"IEND", b"")
+    )
+    assert parse_png(buf) == (None, None, None, None)
 
 
 def test_mixed_format_payload_decode_routes_by_magic(spark):
