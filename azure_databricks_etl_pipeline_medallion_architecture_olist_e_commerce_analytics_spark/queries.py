@@ -832,6 +832,35 @@ def q_ivfpq_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, k=3, nprobe=4, query_filter=F.col("vec_id") < 100)
 
 
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ top-3 at nprobe=4 (round-9): the true FAISS IVF-PQ
+    formulation — each corpus vector is PQ-coded as the residual
+    ``v − centroid(cell)`` rather than the raw vector, so the same 8×16
+    code budget quantizes the much smaller residual ball and ADC error
+    drops (planted-cluster unit: recall@3 0.61 vs 0.49 for vector coding).
+    The extra cost over ivfpq_topk is exactly the residual formulation's
+    defining term: the query's distance LUT is PER PROBED CELL (its
+    residual depends on the cell), built on the bounded broadcast query
+    side and riding the same equi-join on centroid_id.
+
+    Engine-exact: vectors and centroids quantize once to integer
+    micro-units (floor(1e6·x)); residual subtraction, per-subspace L2²,
+    codebook argmin, and ADC all run in BIGINT, so DuckDB replays the
+    whole trajectory bit-for-bit — centroids = first 16 valid vectors by
+    id, codebook = the engine residuals of the NEXT 16 vectors (disjoint
+    from the centroid seeds; seeding from the centroids themselves yields
+    the all-zero codebook the round-8 ADVICE flagged). 100-TB shape:
+    broadcast assignment, O(n_codes) driver rows for the codebook,
+    zero-shuffle literal-codebook corpus encode, WindowGroupLimit top-k."""
+    from .operators.similarity import ivfpq_residual_topk
+
+    tune_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb, k=3, nprobe=4, query_filter=F.col("vec_id") < 100
+    )
+
+
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index-quality evaluation as a first-class operator (round-8):
     recall@3 of the IVF index at nprobe ∈ {1, 2, 4} against the exact
@@ -7686,6 +7715,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_topk": q_ivfpq_topk,
     "ivf_nprobe_topk": q_ivf_nprobe_topk,
     "ivfpq_nprobe_topk": q_ivfpq_nprobe_topk,
+    "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "ann_recall_eval": q_ann_recall_eval,
     "mmr_select": q_mmr_select,
     "substring_dedup": q_substring_dedup,
@@ -7718,42 +7748,43 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # CORRECTNESS row lead, then queries new this round, then a regression
 # rotation over the highest-value already-green shapes.
 _DRIVER_PRIORITY = [
-    # Round-8 budget (50 slots), per the OLDEST-FIRST rotation rule (the
-    # round-7 verdict's amendment: at 234+ queries / 50 slots the
-    # achievable freshness bound is "oldest <= ~4 rounds", so every round
+    # Round-9 budget (50 slots), per the OLDEST-FIRST rotation rule (the
+    # round-7 verdict's amendment: at 240 queries / 50 slots the
+    # achievable freshness bound is "oldest <= ~5 rounds", so every round
     # leads with the stalest cumulative rows rather than chasing a fixed
     # age cap).
-    #   slots 1-43  — ALL 43 queries whose newest green row is r03 (the
-    #                 oldest block in the cumulative record; after this
-    #                 round nothing is older than r04).
-    #   next        — queries NEW or CHANGED in round 8: ivf_nprobe_topk /
-    #                 ivfpq_nprobe_topk are new (the nprobe recall knob);
-    #                 ann_topk_ivf + ivfpq_topk route through the new
-    #                 ranked-assignment kernel; multimodal_decode decodes
-    #                 mixed BMP+PNG payloads (new oracle). triangle_count
-    #                 (degree-orientation upgrade) is already in the r03
-    #                 block above.
-    #   remainder   — the head of the r04-stale block (next round leads
-    #                 with the rest of it).
-    # --- refresh: newest green row is r03 (oldest-first) ---
-    "anti_join", "approx_quantiles", "attribution_last_touch",
-    "bucketed_join", "corpus_rarity", "cross_join", "cube_sales",
-    "decontaminate", "dedup_sorted_neighborhood", "deterministic_sample",
-    "doc_chunking", "embedding_quantize", "expectation_metrics",
-    "explode_tokens", "funnel_conversion", "gap_fill_ffill",
-    "grouping_sets", "histogram_bins", "inverted_index", "json_extract",
-    "list_ranking", "not_in_subquery", "ols_trend", "pack_shards",
-    "profile_table", "quality_filter", "rank_matrix", "repetition_quality",
-    "scalar_subquery", "sessionize_batch", "sketch_distinct",
-    "skew_salted_join", "snapshot_diff", "source_rebalance",
-    "streaming_enrich", "string_funcs", "tf_idf", "top_ngrams",
-    "tpch_q19", "tpch_q22", "triangle_count", "union_by_name", "winsorize",
-    # --- new / changed in round 8 (slots 44-50; ann_topk_ivf rides past
-    #     the 50-slot prefix — its changed kernel is already exercised at
-    #     rank>1 by ivf_nprobe_topk and at rank=1 by ivfpq_topk) ---
-    "ivf_nprobe_topk", "ivfpq_nprobe_topk", "ann_recall_eval",
-    "mmr_select", "substring_dedup", "substring_trim", "ivfpq_topk",
-    "multimodal_decode", "ann_topk_ivf",
+    #   slots 1-48  — ALL 48 queries whose newest green row is r04 (the
+    #                 oldest block in the cumulative CORRECTNESS_r1..r8
+    #                 union; after this round nothing is older than r05).
+    #   slots 49-50 — new/changed in round 9: ivfpq_residual_topk (NEW —
+    #                 the true residual IVF-PQ, promoted from unit-only
+    #                 per the r8 verdict ask #1) and ann_recall_eval
+    #                 (CHANGED — widened to the index-tier matrix, ask
+    #                 #5).
+    #   past 50     — remaining round-9 new/changed: the hashed
+    #                 substring twin and multimodal_decode (bounded-
+    #                 inflate hardening, output unchanged) ride past the
+    #                 prefix — both value-verified by driver_sim and the
+    #                 canonical sf1 sweep this round.
+    # --- refresh: newest green row is r04 (oldest-first) ---
+    "ab_test_zscore", "benford_deviation", "chi_square", "class_rebalance",
+    "cohort_retention", "correlated_subquery", "correlation_matrix",
+    "dau_wau", "degree_assortativity", "embedding_centroids",
+    "event_transitions", "ewma_smooth", "exists_subquery",
+    "feature_hashing", "full_outer_join", "gini_concentration",
+    "global_median_select", "group_normalize", "group_topk",
+    "heavy_hitters", "incremental_agg", "interval_merge", "longest_streak",
+    "mode_per_group", "new_vs_returning", "oov_rate", "pagerank_weighted",
+    "pii_scrub", "ratio_to_report", "rfm_segments", "robust_zscore",
+    "robust_zscore_approx", "running_totals_window",
+    "shortest_path_weighted", "skew_profile", "source_overlap",
+    "stratified_sample", "streaming_distinct_users", "target_encoding",
+    "token_diversity", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q2",
+    "tpch_q20", "unpivot_metrics", "weighted_median", "zipf_head_share",
+    # --- new / changed in round 9 (slots 49-50) ---
+    "ivfpq_residual_topk", "ann_recall_eval",
+    # --- past the 50-slot prefix ---
+    "substring_dedup_hashed", "multimodal_decode",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -11426,6 +11457,88 @@ ORACLES["ivfpq_nprobe_topk"] = """
     SELECT query_id, nbr_id, adc_micro, CAST(rank AS INTEGER) AS rank FROM (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc_micro ASC, nbr_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 3
+"""
+
+ORACLES["ivfpq_residual_topk"] = """
+    WITH t AS MATERIALIZED (
+      SELECT vec_id, embedding AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
+    ),
+    seeds32 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS p, vec_id, e
+      FROM (SELECT * FROM t ORDER BY vec_id LIMIT 32)
+    ),
+    cent AS MATERIALIZED (
+      SELECT p AS cid, e,
+             list_transform(e, x -> CAST(FLOOR(1000000.0 * x::DOUBLE) AS BIGINT)) AS cm
+      FROM seeds32 WHERE p <= 16
+    ),
+    ranked AS MATERIALIZED (
+      SELECT t.vec_id, c.cid AS centroid_id,
+             row_number() OVER (PARTITION BY t.vec_id ORDER BY
+               (list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * c.e[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(range(1, 65), i -> t.e[i]::DOUBLE * t.e[i]::DOUBLE)))
+                 * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))))
+               DESC, c.cid) AS rn
+      FROM t CROSS JOIN cent c
+    ),
+    vm AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(FLOOR(1000000.0 * x::DOUBLE) AS BIGINT)) AS vm
+      FROM t
+    ),
+    rm AS MATERIALIZED (
+      SELECT v.vec_id, r.centroid_id,
+             list_transform(range(1, 65), i -> v.vm[i] - c.cm[i]) AS rm
+      FROM vm v
+      JOIN ranked r ON r.vec_id = v.vec_id AND r.rn = 1
+      JOIN cent c ON c.cid = r.centroid_id
+    ),
+    cb AS MATERIALIZED (
+      SELECT CAST(s.p - 16 AS INT) AS code, rm.rm AS cb
+      FROM seeds32 s JOIN rm ON rm.vec_id = s.vec_id
+      WHERE s.p > 16
+    ),
+    ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m),
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT x.vec_id, ms.m, cb.code,
+               row_number() OVER (PARTITION BY x.vec_id, ms.m ORDER BY
+                 list_sum(list_transform(range(1, 9),
+                   i -> (x.rm[ms.m*8+i] - cb.cb[ms.m*8+i])
+                      * (x.rm[ms.m*8+i] - cb.cb[ms.m*8+i]))) ASC,
+                 cb.code ASC) AS rn
+        FROM rm x CROSS JOIN ms CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    qrm AS MATERIALIZED (
+      SELECT r.vec_id AS query_id, r.centroid_id,
+             list_transform(range(1, 65), i -> v.vm[i] - c.cm[i]) AS qrm
+      FROM ranked r
+      JOIN vm v ON v.vec_id = r.vec_id
+      JOIN cent c ON c.cid = r.centroid_id
+      WHERE r.rn <= 4 AND r.vec_id < 100
+    ),
+    terms AS (
+      SELECT q.query_id, nb.vec_id AS nbr_id,
+             CAST(list_sum(list_transform(range(1, 9),
+               i -> (q.qrm[enc.m*8+i] - cb.cb[enc.m*8+i])
+                  * (q.qrm[enc.m*8+i] - cb.cb[enc.m*8+i]))) AS BIGINT) AS t_b
+      FROM qrm q
+      JOIN rm nb ON nb.centroid_id = q.centroid_id AND nb.vec_id != q.query_id
+      JOIN enc ON enc.vec_id = nb.vec_id
+      JOIN cb ON cb.code = enc.code
+    ),
+    adc AS (
+      SELECT query_id, nbr_id, CAST(SUM(t_b) AS BIGINT) AS adc_micro2
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT query_id, nbr_id, adc_micro2, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_micro2 ASC, nbr_id ASC) AS rank
       FROM adc
     ) WHERE rank <= 3
 """

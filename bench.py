@@ -218,6 +218,8 @@ HEADLINE = [
     "mmr_select",
     "substring_dedup",
     "substring_trim",
+    # round-9 additions
+    "ivfpq_residual_topk",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

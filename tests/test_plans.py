@@ -378,6 +378,25 @@ def test_ivf_nprobe_plan_shape(spark):
     assert "WindowGroupLimit" in plan, plan[:500]
 
 
+def test_ivfpq_residual_plan_shape(spark):
+    """Residual IVF-PQ (round-9) must keep the audited IVF-family scale
+    shape: the only nested-loop joins are the bounded 16-row centroid
+    broadcasts of the ranked assignment (corpus side + query side — the
+    cell-dependent LUTs add NO extra join, they are projections over the
+    probed (query, cell) rows); the candidate join is an equi-join on
+    centroid_id, never cartesian; the final top-k compiles to
+    WindowGroupLimit; nothing falls to Python."""
+    import re as _re
+
+    plan = _formatted_plan(SPARK_QUERIES["ivfpq_residual_topk"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan[:800]
+    bnlj = _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) <= 2, (len(bnlj), plan[:800])
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    assert "WindowGroupLimit" in plan, plan[:500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_substring_dedup_combines_map_side(spark):
     """Both aggregates (window counts, per-doc rollup) must partial-
     aggregate map-side — a 50%-hot boilerplate gram then combines inside

@@ -341,6 +341,17 @@ ANNOTATIONS = {
         "and score through the same literal-codebook integer ADC. "
         "nprobe=n_centroids collapses to plain pq_topk (unit-pinned)."
     ),
+    "ivfpq_residual_topk": (
+        "Residual IVF-PQ at nprobe=4: corpus vectors PQ-code their "
+        "residual v - centroid(cell) in exact integer micro-units; the "
+        "codebook (residuals of the 16 vectors AFTER the centroid seeds "
+        "— disjoint, so entries are nonzero) ships as one literal and "
+        "corpus encode stays a zero-shuffle projection. The query LUT is "
+        "PER PROBED CELL — residual coding's defining cost — built on "
+        "the bounded broadcast query side; candidates equi-join on "
+        "centroid_id, ADC is order-independent BIGINT, top-k is a "
+        "WindowGroupLimit rank. No cartesian anywhere."
+    ),
     "ann_recall_eval": (
         "In-engine ANN quality evaluation: the exact brute-force top-3 "
         "pair set computes once (bounded query batch, localCheckpointed "

@@ -85,6 +85,7 @@ PROBE = [
     "ivfpq_topk",       # IVF cells x PQ codes: probe 1/16 corpus, ADC score
     "ivf_nprobe_topk",  # nprobe=4 recall knob: 4 probed cells per query
     "ivfpq_nprobe_topk",  # composed index with the recall knob turned
+    "ivfpq_residual_topk",  # residual coding: per-cell query LUTs, nprobe=4
     "ann_recall_eval",  # recall@3 curve: brute-force truth + 3 IVF tiers
     "mmr_select",       # 5 fixed argmax rounds, literal selected vectors
     "substring_dedup",  # rolling 8-gram explode + count join, O(docs) out
