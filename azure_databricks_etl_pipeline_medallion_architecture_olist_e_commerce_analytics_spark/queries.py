@@ -971,6 +971,61 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of :func:`q_substring_dedup` (round-9): the
+    rolling 8-token windows hash to int64 via ``xxhash64`` BEFORE the
+    explode and shuffle, so the exchange carries 8 bytes per window
+    instead of the ~60-byte gram string (~8× fewer exchange bytes — the
+    dominant linear cost of the string form, whose 10× ratio sits at 3.2×
+    in the text explode+join band). Same md5-vs-xxhash trade the minhash
+    family records: the hash is not SQL-replayable, but the OUTPUT is —
+    (doc_id, n_windows, n_dup_windows, dup_ppm) equals the string form
+    exactly unless two distinct grams collide at 64 bits (probability
+    ~n²/2⁶⁵; empirically zero on the testdata, pinned by a unit asserting
+    bitwise output equality with substring_dedup), so the string form's
+    DuckDB oracle value-oracles this twin too.
+
+    Plan shape is byte-identical to the string form — one tokenize pass,
+    rolling-window hash+explode (zero Python), ONE map-side-combined
+    count per distinct hash, equi-join back, per-doc aggregate — only the
+    join/shuffle key type narrows to BIGINT."""
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).filter(F.size("w") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> xxhash64(array_join(slice(w, i, 8), ' ')))"
+            )
+        ).alias("gram_h"),
+    ).localCheckpoint()
+    counts = grams.groupBy("gram_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    return (
+        grams.join(counts, "gram_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("n_total") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr(
+                "CAST((n_dup_windows * 1000000) div n_windows AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
 def q_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTION step of exact-substring dedup (Lee et al. 2022's actual
     output): rebuild each document with every corpus-duplicated 8-token
@@ -7719,6 +7774,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_eval": q_ann_recall_eval,
     "mmr_select": q_mmr_select,
     "substring_dedup": q_substring_dedup,
+    "substring_dedup_hashed": q_substring_dedup_hashed,
     "substring_trim": q_substring_trim,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -11302,6 +11358,14 @@ ORACLES["substring_dedup"] = """
            CAST((n_dup_windows * 1000000) // n_windows AS BIGINT) AS dup_ppm
     FROM per_doc
 """
+
+# The hashed twin produces the SAME output as the string form unless two
+# distinct 8-gram strings collide at 64 bits (probability ~n²/2⁶⁵ by the
+# birthday bound; empirically zero on the testdata — a unit pins bitwise
+# output equality of the two catalog queries). xxhash64 itself is not
+# SQL-replayable, so the string-form oracle value-oracles the twin.
+ORACLES["substring_dedup_hashed"] = ORACLES["substring_dedup"]
+
 
 ORACLES["ivfpq_topk"] = """
     WITH t AS MATERIALIZED (

@@ -220,6 +220,7 @@ HEADLINE = [
     "substring_trim",
     # round-9 additions
     "ivfpq_residual_topk",
+    "substring_dedup_hashed",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

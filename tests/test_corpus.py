@@ -174,3 +174,16 @@ def test_corpus_mix_plan_prunes_count_window(spark):
     nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     # fingerprint exchange + groupBy exchange + single-partition cell window
     assert nodes.count("Exchange") == 3, nodes
+
+
+def test_substring_dedup_hashed_twin_matches_string_form(spark):
+    """The production (xxhash64-gram) twin of substring_dedup must produce
+    BITWISE the same (doc_id, n_windows, n_dup_windows, dup_ppm) as the
+    string-gram form: two distinct 8-grams mapping to one int64 is the
+    only divergence mode (birthday bound ~n²/2⁶⁵), and this pins that the
+    testdata corpus has zero collisions — which is also what licenses the
+    twin to reuse the string form's DuckDB oracle."""
+    a = SPARK_QUERIES["substring_dedup"](spark, SF_SMALL)
+    b = SPARK_QUERIES["substring_dedup_hashed"](spark, SF_SMALL)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert b.count() > 0

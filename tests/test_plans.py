@@ -407,6 +407,19 @@ def test_substring_dedup_combines_map_side(spark):
     # two aggregates x (partial + final) = at least 4 HashAggregate nodes
     assert plan.count("HashAggregate") >= 4, plan.count("HashAggregate")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the production twin keeps the identical plan shape but shuffles
+    # BIGINT gram hashes (xxhash64 BEFORE the explode — ~8x fewer exchange
+    # bytes); the hash must be in the plan and the strings must NOT reach
+    # the exchange
+    hplan = _formatted_plan(SPARK_QUERIES["substring_dedup_hashed"](spark, SF_SMALL))
+    assert "CartesianProduct" not in hplan and "BroadcastNestedLoopJoin" not in hplan
+    assert hplan.count("HashAggregate") >= 4, hplan.count("HashAggregate")
+    # the hash itself lives above the localCheckpoint (outside this plan);
+    # what the plan must show is that every exchange/join keys on the
+    # BIGINT gram_h (#..L) and the gram STRING never reaches an exchange
+    assert re.search(r"hashpartitioning\(gram_h#\d+L", hplan), hplan[:800]
+    assert not re.search(r"hashpartitioning\(gram#\d+(?!L)", hplan), hplan[:800]
+    assert "BatchEvalPython" not in hplan and "ArrowEvalPython" not in hplan
 
 
 def test_zipf_head_uses_window_group_limit(spark):

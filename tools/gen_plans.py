@@ -341,6 +341,17 @@ ANNOTATIONS = {
         "and score through the same literal-codebook integer ADC. "
         "nprobe=n_centroids collapses to plain pq_topk (unit-pinned)."
     ),
+    "substring_dedup_hashed": (
+        "The production twin of substring_dedup: rolling 8-token windows "
+        "xxhash64 to BIGINT BEFORE the explode and shuffle, so every "
+        "exchange and the count join key on 8-byte hashes instead of "
+        "~60-byte gram strings (~8x fewer exchange bytes — the dominant "
+        "linear cost of the string form). Identical plan shape: one "
+        "tokenize pass, map-side-combined count per distinct hash, "
+        "equi-join back, per-doc aggregate; zero Python. Output equals "
+        "the string form bitwise absent 64-bit collisions (unit-pinned), "
+        "which licenses reusing its DuckDB oracle."
+    ),
     "ivfpq_residual_topk": (
         "Residual IVF-PQ at nprobe=4: corpus vectors PQ-code their "
         "residual v - centroid(cell) in exact integer micro-units; the "

@@ -89,6 +89,7 @@ PROBE = [
     "ann_recall_eval",  # recall@3 curve: brute-force truth + 3 IVF tiers
     "mmr_select",       # 5 fixed argmax rounds, literal selected vectors
     "substring_dedup",  # rolling 8-gram explode + count join, O(docs) out
+    "substring_dedup_hashed",  # int64-gram twin: ~8x fewer exchange bytes
     "substring_trim",   # dup-span removal: dup-window positions -> rebuild
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",

@@ -81,6 +81,7 @@ TEXT_QUERIES = [
     "repetition_quality",
     "feature_hashing",
     "substring_dedup",
+    "substring_dedup_hashed",
     "substring_trim",
 ]
 
