@@ -339,8 +339,17 @@ def ivf_topk(
     query_filter=None,
     kmeans_iterations: int = 0,
     nprobe: int = 1,
+    nprobes=None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's ``nprobe`` nearest IVF cells.
+
+    ``nprobes`` (optional tuple) switches to SWEEP mode — the FAISS-style
+    recall/latency sweep that evaluates several nprobe settings against
+    ONE index build: assignment and pair scoring run once at
+    ``max(nprobes)``, each tier re-ranks the pre-scored candidates whose
+    cell probe rank qualifies (scores are probe-set-independent, so each
+    tier bitwise-equals the single-nprobe call — unit-pinned). Output
+    gains a leading ``nprobe int`` column.
 
     ``nprobe`` is the recall/latency knob of a production IVF index: the
     corpus stays single-assigned (each vector lives in exactly ONE cell,
@@ -353,10 +362,15 @@ def ivf_topk(
     candidate join stays an equi-join on ``centroid_id`` — the
     100 TB-safe shape at every nprobe.
     """
-    if not 1 <= nprobe <= n_centroids:
+    if nprobes is not None:
+        sweep = _validate_nprobes(nprobes, n_centroids)
+        max_np = max(sweep)
+    elif not 1 <= nprobe <= n_centroids:
         raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
+    else:
+        sweep, max_np = None, nprobe
     ranked = ivf_assign_ranked(
-        df, id_col, vec_col, n_centroids, kmeans_iterations, max_rank=nprobe
+        df, id_col, vec_col, n_centroids, kmeans_iterations, max_rank=max_np
     )
     corpus = ranked.filter(F.col("probe_rank") == 1).select(
         F.col("centroid_id"),
@@ -369,6 +383,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         norm_col(F.col(vec_col)).alias("query_norm"),
+        F.col("probe_rank").alias("_prank"),
     )
     if query_filter is not None:
         queries = queries.filter(query_filter)
@@ -380,8 +395,11 @@ def ivf_topk(
     pairs = (
         queries.join(corpus, on="centroid_id")
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select("query_id", "nbr_id", sim.alias("cosine"))
+        .select("query_id", "nbr_id", sim.alias("cosine"), "_prank")
     )
+    if sweep is not None:
+        return _rank_topk_sweep(pairs, "cosine", k, sweep, ascending=False)
+    pairs = pairs.drop("_prank")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -726,6 +744,51 @@ def _rank_topk(pairs: DataFrame, score_col: str, k: int) -> DataFrame:
     )
 
 
+def _validate_nprobes(nprobes, n_centroids: int) -> tuple:
+    """Shared validation for the nprobe-sweep parameter: a non-empty
+    tuple of ints, each in [1, n_centroids]."""
+    sweep = tuple(nprobes)
+    if not sweep or any(not 1 <= p <= n_centroids for p in sweep):
+        raise ValueError(
+            f"nprobes must be non-empty with every value in "
+            f"[1, n_centroids]; got {nprobes}"
+        )
+    return sweep
+
+
+def _rank_topk_sweep(
+    pairs: DataFrame, score_col: str, k: int, nprobes, ascending: bool
+) -> DataFrame:
+    """Per-nprobe top-k over ONCE-scored candidate pairs — the FAISS-style
+    nprobe sweep that reuses the index instead of rebuilding it per tier.
+    ``pairs`` carries ``_prank`` (the probe rank of the candidate's cell in
+    the query's cell ranking); each tier filters ``_prank <= np`` and
+    re-ranks. Scores are probe-set-independent, so this equals running the
+    single-nprobe operator at each value (unit-pinned); only the cheap
+    WindowGroupLimit rank repeats per tier, never the scoring."""
+    order = F.asc(score_col) if ascending else F.desc(score_col)
+    w = Window.partitionBy("nprobe", "query_id").orderBy(order, F.asc("nbr_id"))
+    # materialize the scored pairs ONCE — the per-tier filters would
+    # otherwise each re-evaluate the whole scoring subtree (assignment +
+    # encode + candidate join) in the unioned plan. Volume is what the
+    # single nprobe=max query already shuffles for its rank window.
+    pairs = pairs.localCheckpoint()
+    subsets = [
+        pairs.filter(F.col("_prank") <= np_)
+        .drop("_prank")
+        .select(F.lit(np_).cast("int").alias("nprobe"), "*")
+        for np_ in nprobes
+    ]
+    out = subsets[0]
+    for s in subsets[1:]:
+        out = out.unionByName(s)
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
 def pq_topk(
     df: DataFrame,
     k: int = 3,
@@ -965,6 +1028,7 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     query_filter=None,
     nprobe: int = 1,
+    nprobes=None,
 ):
     """IVF-PQ with RESIDUAL encoding — the true FAISS IVF-PQ formulation,
     closing the simplification :func:`ivfpq_topk` documents (it codes raw
@@ -1001,8 +1065,13 @@ def ivfpq_residual_topk(
     """
     import math
 
-    if not 1 <= nprobe <= n_centroids:
+    if nprobes is not None:
+        sweep = _validate_nprobes(nprobes, n_centroids)
+        nprobe = max(sweep)
+    elif not 1 <= nprobe <= n_centroids:
         raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
+    else:
+        sweep = None
     d_sub = dim // m_subspaces
     df = _valid_vectors(df, vec_col, dim)
     # ONE seed collect covers both roles: positions 1..n_centroids are the
@@ -1017,7 +1086,9 @@ def ivfpq_residual_topk(
     )
     if not seeds:
         return df.sparkSession.createDataFrame(
-            [], "query_id long, nbr_id long, adc_micro2 long, rank int"
+            [],
+            ("nprobe int, " if sweep is not None else "")
+            + "query_id long, nbr_id long, adc_micro2 long, rank int",
         )
 
     def _micro(vals) -> list[int]:
@@ -1127,9 +1198,11 @@ def ivfpq_residual_topk(
         F.col(id_col).alias("query_id"),
         vm_expr.alias("vm"),
         cents_lit.alias("cents"),
+        F.col("probe_rank").alias("_prank"),
     ).select(
-        "centroid_id", "query_id", F.expr(rm_sql).alias("rm"), cb_lit.alias("cbl")
-    ).select("centroid_id", "query_id", F.expr(luts_sql).alias("luts"))
+        "centroid_id", "query_id", F.expr(rm_sql).alias("rm"),
+        cb_lit.alias("cbl"), "_prank",
+    ).select("centroid_id", "query_id", F.expr(luts_sql).alias("luts"), "_prank")
 
     adc = F.expr(
         "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
@@ -1139,9 +1212,11 @@ def ivfpq_residual_topk(
     pairs = (
         encoded.join(F.broadcast(q), on="centroid_id")
         .filter(F.col("nbr_id") != F.col("query_id"))
-        .select("query_id", "nbr_id", adc.alias("adc_micro2"))
+        .select("query_id", "nbr_id", adc.alias("adc_micro2"), "_prank")
     )
-    return _rank_topk(pairs, "adc_micro2", k)
+    if sweep is not None:
+        return _rank_topk_sweep(pairs, "adc_micro2", k, sweep, ascending=True)
+    return _rank_topk(pairs.drop("_prank"), "adc_micro2", k)
 
 
 def ivfpq_topk(
@@ -1155,6 +1230,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_filter=None,
     nprobe: int = 1,
+    nprobes=None,
 ):
     """IVF + PQ composed: the full production ANN index tier (FAISS's
     IVF-PQ shape). The coarse quantizer routes each vector to one of
@@ -1185,14 +1261,21 @@ def ivfpq_topk(
     the IVF tier entirely — the result must equal :func:`pq_topk` on the
     same corpus (the composition's equivalence unit test).
     """
-    if not 1 <= nprobe <= n_centroids:
+    if nprobes is not None:
+        sweep = _validate_nprobes(nprobes, n_centroids)
+        nprobe = max(sweep)
+    elif not 1 <= nprobe <= n_centroids:
         raise ValueError(f"nprobe must be in [1, n_centroids], got {nprobe}")
+    else:
+        sweep = None
     d_sub = dim // m_subspaces
     df = _valid_vectors(df, vec_col, dim)
     seeds, n_codes = _pq_seeds(df, id_col, vec_col, n_codes)
     if seeds is None:
         return df.sparkSession.createDataFrame(
-            [], "query_id long, nbr_id long, adc_micro long, rank int"
+            [],
+            ("nprobe int, " if sweep is not None else "")
+            + "query_id long, nbr_id long, adc_micro long, rank int",
         )
     cb_lit = _float_codebook_lit(seeds, vec_col, m_subspaces, d_sub)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -1233,7 +1316,8 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"),
         vec_d.alias("v"),
         cb_lit.alias("cbl"),
-    ).select("centroid_id", "query_id", F.expr(luts_sql).alias("luts"))
+        F.col("probe_rank").alias("_prank"),
+    ).select("centroid_id", "query_id", F.expr(luts_sql).alias("luts"), "_prank")
     adc = F.expr(
         "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
         " + CAST(FLOOR(1000000.0 * element_at(element_at(luts, m),"
@@ -1243,6 +1327,8 @@ def ivfpq_topk(
     pairs = (
         encoded.join(F.broadcast(q), on="centroid_id")
         .filter(F.col("nbr_id") != F.col("query_id"))
-        .select("query_id", "nbr_id", adc.alias("adc_micro"))
+        .select("query_id", "nbr_id", adc.alias("adc_micro"), "_prank")
     )
-    return _rank_topk(pairs, "adc_micro", k)
+    if sweep is not None:
+        return _rank_topk_sweep(pairs, "adc_micro", k, sweep, ascending=True)
+    return _rank_topk(pairs.drop("_prank"), "adc_micro", k)

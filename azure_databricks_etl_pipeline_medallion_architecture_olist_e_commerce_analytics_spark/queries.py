@@ -862,51 +862,74 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN index-quality evaluation as a first-class operator (round-8):
-    recall@3 of the IVF index at nprobe ∈ {1, 2, 4} against the exact
-    brute-force ground truth — the tuning curve every production vector
-    index publishes (FAISS-style recall/latency sweep), computed
-    IN-ENGINE so index regressions surface in the data pipeline itself.
+    """ANN index-quality evaluation as a first-class operator (round-8,
+    WIDENED round-9 to the full index matrix): recall@3 of the IVF-flat,
+    vector-coded IVF-PQ, and RESIDUAL IVF-PQ tiers at nprobe ∈ {1, 2, 4}
+    against the exact brute-force ground truth — the production tuning
+    question (what does quantization cost at each probe budget, and what
+    does residual coding buy back) computed IN-ENGINE so index
+    regressions surface in the data pipeline itself.
 
-    Output: one row per nprobe — (nprobe, n_exact, n_hits, recall_ppm),
-    recall in exact integer ppm (hits·1e6 div exact-pair count; both
-    engines truncate non-negative division identically). Monotone in
-    nprobe by construction (candidate cells only grow; the unit tests pin
-    the full-probe == exact identity).
+    Output: one row per (index_tier, nprobe) — (index_tier, nprobe,
+    n_exact, n_hits, recall_ppm), recall in exact integer ppm (hits·1e6
+    div exact-pair count; both engines truncate non-negative division
+    identically). The IVF tier is monotone in nprobe by construction
+    (candidate cells only grow; units pin full-probe == exact); the PQ
+    tiers are monotone vs their exhaustive-ADC ground truth (unit-pinned)
+    and, on clustered corpora, residual ≥ vector-coded at each nprobe
+    (the planted-cluster unit).
 
     Shape: the exact top-3 pair set is one bounded brute-force pass
-    (localCheckpointed — reused by the total and the hit join); each
-    nprobe tier is the ivf_topk equi-join plan; the hit check is a
-    broadcast-sized join on (query_id, nbr_id). An eval harness at 100 TB
-    runs exactly this on a sampled query set — the ground-truth side is
-    bounded by the sample, never the corpus."""
-    from .operators.similarity import brute_force_topk, ivf_topk
+    (localCheckpointed — reused by the total and the hit join); each tier
+    runs ONE index build via the operators' nprobes sweep mode (scoring
+    once at max nprobe, per-tier WindowGroupLimit re-rank over the
+    pre-scored candidates — bitwise equal to the single-nprobe calls,
+    unit-pinned); the hit check is a broadcast-sized join on
+    (query_id, nbr_id). An eval harness at 100 TB runs exactly this on a
+    sampled query set — the ground-truth side is bounded by the sample,
+    never the corpus."""
+    from .operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
 
     tune_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     qf = F.col("vec_id") < 100
+    sweep = (1, 2, 4)
     exact = (
         brute_force_topk(emb, k=3, query_filter=qf)
         .select("query_id", "nbr_id")
         .localCheckpoint()
     )
     tot = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    tiers = [
+        ("ivf", ivf_topk(emb, k=3, n_centroids=16, nprobes=sweep, query_filter=qf)),
+        ("ivfpq", ivfpq_topk(emb, k=3, nprobes=sweep, query_filter=qf)),
+        (
+            "ivfpq_residual",
+            ivfpq_residual_topk(emb, k=3, nprobes=sweep, query_filter=qf),
+        ),
+    ]
     parts = [
-        ivf_topk(emb, k=3, n_centroids=16, nprobe=np_, query_filter=qf).select(
-            F.lit(np_).cast("int").alias("nprobe"), "query_id", "nbr_id"
+        t.select(
+            F.lit(name).alias("index_tier"), "nprobe", "query_id", "nbr_id"
         )
-        for np_ in (1, 2, 4)
+        for name, t in tiers
     ]
     approx = parts[0].unionByName(parts[1]).unionByName(parts[2])
     hit = exact.withColumn("hit", F.lit(1))
     return (
         approx.join(hit, ["query_id", "nbr_id"], "left")
         .crossJoin(F.broadcast(tot))
-        .groupBy("nprobe", "n_exact")
+        .groupBy("index_tier", "nprobe", "n_exact")
         .agg(
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits")
         )
         .select(
+            "index_tier",
             "nprobe",
             "n_exact",
             "n_hits",
@@ -11639,7 +11662,7 @@ ORACLES["ann_recall_eval"] = """
       ) WHERE rank <= 3
     ),
     np AS (SELECT CAST(unnest([1, 2, 4]) AS INT) AS nprobe),
-    approx AS (
+    approx_ivf AS (
       SELECT nprobe, query_id, nbr_id FROM (
         SELECT np.nprobe, q.vec_id AS query_id, c.vec_id AS nbr_id,
                row_number() OVER (PARTITION BY np.nprobe, q.vec_id ORDER BY
@@ -11652,15 +11675,149 @@ ORACLES["ann_recall_eval"] = """
         JOIN corpus c ON c.centroid_id = q.centroid_id AND c.vec_id != q.vec_id
       ) WHERE rank <= 3
     ),
+    -- ===== PQ tiers: validity-filtered table (the engine PQ paths filter) =====
+    tv AS MATERIALIZED (
+      SELECT vec_id, embedding AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
+    ),
+    seeds32 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) AS p, vec_id, e
+      FROM (SELECT * FROM tv ORDER BY vec_id LIMIT 32)
+    ),
+    centv AS MATERIALIZED (
+      SELECT p AS cid, e,
+             list_transform(e, x -> CAST(FLOOR(1000000.0 * x::DOUBLE) AS BIGINT)) AS cm
+      FROM seeds32 WHERE p <= 16
+    ),
+    rankedv AS MATERIALIZED (
+      SELECT tv.vec_id, c.cid AS centroid_id,
+             row_number() OVER (PARTITION BY tv.vec_id ORDER BY
+               (list_sum(list_transform(range(1, 65), i -> tv.e[i]::DOUBLE * c.e[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(range(1, 65), i -> tv.e[i]::DOUBLE * tv.e[i]::DOUBLE)))
+                 * sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i]::DOUBLE * c.e[i]::DOUBLE)))))
+               DESC, c.cid) AS rn
+      FROM tv CROSS JOIN centv c
+    ),
+    assignedv AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM rankedv WHERE rn = 1
+    ),
+    ms AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS m),
+    -- ---- vector-coded IVF-PQ: codes over raw vectors, codebook = first-16 seeds ----
+    enc_pq AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT x.vec_id, ms.m, s.cid AS code,
+               row_number() OVER (PARTITION BY x.vec_id, ms.m ORDER BY
+                 list_sum(list_transform(range(1, 9),
+                   i -> (x.e[ms.m*8+i]::DOUBLE - s.e[ms.m*8+i]::DOUBLE)
+                      * (x.e[ms.m*8+i]::DOUBLE - s.e[ms.m*8+i]::DOUBLE))) ASC,
+                 s.cid ASC) AS rn
+        FROM tv x CROSS JOIN ms CROSS JOIN centv s
+      ) WHERE rn = 1
+    ),
+    terms_pq AS (
+      SELECT q.query_id, q.prank, nb.vec_id AS nbr_id,
+             CAST(FLOOR(1000000.0 * list_sum(list_transform(range(1, 9),
+               i -> (q.qe[enc_pq.m*8+i]::DOUBLE - s.e[enc_pq.m*8+i]::DOUBLE)
+                  * (q.qe[enc_pq.m*8+i]::DOUBLE - s.e[enc_pq.m*8+i]::DOUBLE))))
+               AS BIGINT) AS t_micro
+      FROM (
+        SELECT tv.vec_id AS query_id, tv.e AS qe, r.centroid_id, r.rn AS prank
+        FROM tv JOIN rankedv r ON r.vec_id = tv.vec_id AND r.rn <= 4
+        WHERE tv.vec_id < 100
+      ) q
+      JOIN assignedv nb ON nb.centroid_id = q.centroid_id AND nb.vec_id != q.query_id
+      JOIN enc_pq ON enc_pq.vec_id = nb.vec_id
+      JOIN centv s ON s.cid = enc_pq.code
+    ),
+    pairs_pq AS MATERIALIZED (
+      SELECT query_id, prank, nbr_id, CAST(SUM(t_micro) AS BIGINT) AS adc_micro
+      FROM terms_pq GROUP BY 1, 2, 3
+    ),
+    approx_pq AS (
+      SELECT nprobe, query_id, nbr_id FROM (
+        SELECT np.nprobe, p.query_id, p.nbr_id,
+               row_number() OVER (PARTITION BY np.nprobe, p.query_id
+                 ORDER BY p.adc_micro ASC, p.nbr_id ASC) AS rank
+        FROM np JOIN pairs_pq p ON p.prank <= np.nprobe
+      ) WHERE rank <= 3
+    ),
+    -- ---- residual IVF-PQ: integer-micro residual trajectory ----
+    vm AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(FLOOR(1000000.0 * x::DOUBLE) AS BIGINT)) AS vm
+      FROM tv
+    ),
+    rm AS MATERIALIZED (
+      SELECT v.vec_id, r.centroid_id,
+             list_transform(range(1, 65), i -> v.vm[i] - c.cm[i]) AS rm
+      FROM vm v
+      JOIN rankedv r ON r.vec_id = v.vec_id AND r.rn = 1
+      JOIN centv c ON c.cid = r.centroid_id
+    ),
+    cb AS MATERIALIZED (
+      SELECT CAST(s.p - 16 AS INT) AS code, rm.rm AS cb
+      FROM seeds32 s JOIN rm ON rm.vec_id = s.vec_id
+      WHERE s.p > 16
+    ),
+    enc_res AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT x.vec_id, ms.m, cb.code,
+               row_number() OVER (PARTITION BY x.vec_id, ms.m ORDER BY
+                 list_sum(list_transform(range(1, 9),
+                   i -> (x.rm[ms.m*8+i] - cb.cb[ms.m*8+i])
+                      * (x.rm[ms.m*8+i] - cb.cb[ms.m*8+i]))) ASC,
+                 cb.code ASC) AS rn
+        FROM rm x CROSS JOIN ms CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    qrm AS MATERIALIZED (
+      SELECT r.vec_id AS query_id, r.centroid_id, r.rn AS prank,
+             list_transform(range(1, 65), i -> v.vm[i] - c.cm[i]) AS qrm
+      FROM rankedv r
+      JOIN vm v ON v.vec_id = r.vec_id
+      JOIN centv c ON c.cid = r.centroid_id
+      WHERE r.rn <= 4 AND r.vec_id < 100
+    ),
+    terms_res AS (
+      SELECT q.query_id, q.prank, nb.vec_id AS nbr_id,
+             CAST(list_sum(list_transform(range(1, 9),
+               i -> (q.qrm[enc_res.m*8+i] - cb.cb[enc_res.m*8+i])
+                  * (q.qrm[enc_res.m*8+i] - cb.cb[enc_res.m*8+i]))) AS BIGINT) AS t_b
+      FROM qrm q
+      JOIN rm nb ON nb.centroid_id = q.centroid_id AND nb.vec_id != q.query_id
+      JOIN enc_res ON enc_res.vec_id = nb.vec_id
+      JOIN cb ON cb.code = enc_res.code
+    ),
+    pairs_res AS MATERIALIZED (
+      SELECT query_id, prank, nbr_id, CAST(SUM(t_b) AS BIGINT) AS adc_micro2
+      FROM terms_res GROUP BY 1, 2, 3
+    ),
+    approx_res AS (
+      SELECT nprobe, query_id, nbr_id FROM (
+        SELECT np.nprobe, p.query_id, p.nbr_id,
+               row_number() OVER (PARTITION BY np.nprobe, p.query_id
+                 ORDER BY p.adc_micro2 ASC, p.nbr_id ASC) AS rank
+        FROM np JOIN pairs_res p ON p.prank <= np.nprobe
+      ) WHERE rank <= 3
+    ),
+    united AS (
+      SELECT 'ivf' AS index_tier, nprobe, query_id, nbr_id FROM approx_ivf
+      UNION ALL
+      SELECT 'ivfpq' AS index_tier, nprobe, query_id, nbr_id FROM approx_pq
+      UNION ALL
+      SELECT 'ivfpq_residual' AS index_tier, nprobe, query_id, nbr_id FROM approx_res
+    ),
     tot AS (SELECT COUNT(*) AS n_exact FROM exact)
-    SELECT CAST(a.nprobe AS INT) AS nprobe,
+    SELECT u.index_tier,
+           CAST(u.nprobe AS INT) AS nprobe,
            CAST(tot.n_exact AS BIGINT) AS n_exact,
            CAST(COUNT(e.query_id) AS BIGINT) AS n_hits,
            CAST((COUNT(e.query_id) * 1000000) // tot.n_exact AS BIGINT) AS recall_ppm
-    FROM approx a
-    LEFT JOIN exact e ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id
+    FROM united u
+    LEFT JOIN exact e ON e.query_id = u.query_id AND e.nbr_id = u.nbr_id
     CROSS JOIN tot
-    GROUP BY a.nprobe, tot.n_exact
+    GROUP BY u.index_tier, u.nprobe, tot.n_exact
 """
 
 ORACLES["ann_topk_ivf"] = """

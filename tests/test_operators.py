@@ -232,6 +232,72 @@ def test_ivfpq_residual_empty_and_invalid_inputs(spark):
         ivfpq_residual_topk(bad, nprobe=0)
 
 
+def test_nprobes_sweep_equals_single_calls(spark):
+    """The round-9 nprobes sweep mode (one index build, per-tier re-rank
+    of the once-scored candidates) must be BITWISE the single-nprobe call
+    at every swept value, for all three index operators — scores are
+    probe-set-independent, so filtering pre-scored pairs by cell probe
+    rank and re-ranking is exactly what the single call computes."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qf = F.col("vec_id") < 50
+    for fn in (ivf_topk, ivfpq_topk, ivfpq_residual_topk):
+        kw = dict(k=3, query_filter=qf)
+        if fn is ivf_topk:
+            kw["n_centroids"] = 16
+        sw = fn(emb, nprobes=(1, 2, 4), **kw).collect()
+        assert sw
+        for np_ in (1, 2, 4):
+            single = sorted(map(tuple, fn(emb, nprobe=np_, **kw).collect()))
+            tier = sorted(tuple(r)[1:] for r in sw if r[0] == np_)
+            assert single == tier, (fn.__name__, np_)
+    with pytest.raises(ValueError, match="nprobes"):
+        ivf_topk(emb, n_centroids=16, nprobes=(0, 2))
+    with pytest.raises(ValueError, match="nprobes"):
+        ivfpq_topk(emb, nprobes=())
+
+
+def test_ann_tier_matrix_residual_beats_vector_coded(spark):
+    """The widened ann_recall_eval's production claim, pinned on planted
+    clusters: at EVERY nprobe, residual IVF-PQ recall@3 vs exact brute
+    force is >= the vector-coded variant's (residual coding quantizes the
+    smaller residual ball with the same code budget), and both PQ tiers'
+    recall is monotone non-decreasing in nprobe vs their own exhaustive
+    candidate sets growing."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
+
+    emb = _planted_cluster_frame(spark)
+    qf = F.col("vec_id") < 40
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in brute_force_topk(emb, k=3, query_filter=qf).collect()
+    }
+    assert exact
+
+    def recalls(fn):
+        rows = fn(
+            emb, k=3, n_centroids=4, nprobes=(1, 2, 4), query_filter=qf
+        ).collect()
+        out = {}
+        for np_ in (1, 2, 4):
+            got = {(r.query_id, r.nbr_id) for r in rows if r.nprobe == np_}
+            out[np_] = len(exact & got) / len(exact)
+        return out
+
+    r_vec, r_res = recalls(ivfpq_topk), recalls(ivfpq_residual_topk)
+    for np_ in (1, 2, 4):
+        assert r_res[np_] >= r_vec[np_], (np_, r_res, r_vec)
+    assert any(r_res[np_] > r_vec[np_] for np_ in (1, 2, 4)), (r_res, r_vec)
+
+
 def test_ivfpq_nprobe_recall_monotone(spark):
     """IVF-PQ recall vs the EXHAUSTIVE-ADC ground truth (pq_topk — same
     codebook, every pair scored) must be non-decreasing in nprobe and

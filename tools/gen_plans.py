@@ -364,12 +364,16 @@ ANNOTATIONS = {
         "WindowGroupLimit rank. No cartesian anywhere."
     ),
     "ann_recall_eval": (
-        "In-engine ANN quality evaluation: the exact brute-force top-3 "
-        "pair set computes once (bounded query batch, localCheckpointed "
-        "and reused by the total and the hit join); each nprobe tier is "
-        "the ivf_topk equi-join plan; hits resolve via a left join on "
-        "(query_id, nbr_id) and ONE map-side-combined aggregate per "
-        "tier. Recall in exact integer ppm — no float comparison."
+        "In-engine ANN quality evaluation, widened round-9 to the full "
+        "index matrix (IVF-flat / vector-coded IVF-PQ / residual IVF-PQ "
+        "x nprobe 1,2,4): the exact brute-force top-3 pair set computes "
+        "once (bounded query batch, localCheckpointed and reused by the "
+        "total and the hit join); each tier runs ONE index build via the "
+        "operators' nprobes sweep (scoring at max nprobe, per-tier "
+        "WindowGroupLimit re-rank of the once-scored, checkpointed "
+        "candidates — bitwise the single-nprobe calls, unit-pinned); "
+        "hits resolve via a left join on (query_id, nbr_id) and ONE "
+        "map-side-combined aggregate. Recall in exact integer ppm."
     ),
     "mmr_select": (
         "Maximal marginal relevance: 5 fixed driver rounds, each ONE "
