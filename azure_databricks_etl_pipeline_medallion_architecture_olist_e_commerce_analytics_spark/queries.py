@@ -1280,6 +1280,43 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary_payload(docs))
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (round-9): every doc gets a genuine RIFF/WAVE
+    16-bit PCM payload (deterministic id-dependent samples, canonical
+    44-byte header) and the vendored pure-stdlib chunk walker parses it
+    back — sample_rate, channels, n_samples, and the exact Σ sample²
+    energy as int64. A second REAL modality beside the BMP/PNG images:
+    true bytes through mapInPandas Arrow batches, no torchaudio, no
+    stubs. The DuckDB oracle recomputes everything from closed form
+    (n_bytes = 44 + n·ch·2; energy over the same integer sample formula),
+    so a parser that miscounts the data offset, chunk framing, RIFF
+    padding, or sample width fails the value match. Lossy audio
+    (MP3/AAC) stays behind the explicit NotImplementedError policy, like
+    JPEG for images."""
+    from .operators.audio import attach_audio_payload, decode_audio_meta
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_meta(attach_audio_payload(docs))
+
+
+def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction (round-9) — the audio analogue
+    of frame sampling: per payload, the exact energy (Σ sample², int64)
+    of every consecutive 128-frame window of the interleaved PCM stream;
+    the final partial window keeps its true count. One numpy reduceat per
+    payload inside the Arrow batch — never per-sample Python; fan-out is
+    O(n_samples/window) rows per doc, bounded by payload length. The
+    oracle replays each window's sum from the closed-form sample
+    formula, so window boundary arithmetic (offsets, partial tails) is
+    value-pinned."""
+    from .operators.audio import attach_audio_payload, audio_window_energy
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_energy(attach_audio_payload(docs), window=128)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing over decoded metadata (stub kernel,
     integer-exact geometry — oracle-able)."""
@@ -7802,6 +7839,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "multimodal_decode": q_multimodal_decode,
+    "audio_decode": q_audio_decode,
+    "audio_window_energy": q_audio_window_energy,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -7863,7 +7902,8 @@ _DRIVER_PRIORITY = [
     # --- new / changed in round 9 (slots 49-50) ---
     "ivfpq_residual_topk", "ann_recall_eval",
     # --- past the 50-slot prefix ---
-    "substring_dedup_hashed", "multimodal_decode",
+    "substring_dedup_hashed", "audio_decode", "audio_window_energy",
+    "multimodal_decode",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -10017,6 +10057,44 @@ ORACLES: dict[str, str] = {
              CAST(u AS INTEGER) AS frame_index,
              CAST(u * 1024 AS INTEGER) AS frame_offset
       FROM f, unnest(range(0, n_frames)) AS t(u)
+    """,
+    "audio_decode": """
+      WITH p AS (
+        SELECT doc_id,
+               512 + (doc_id % 7) * 64 AS n_samples,
+               1 + doc_id % 2 AS channels,
+               8000 * (1 + doc_id % 3) AS sample_rate
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(44 + n_samples * channels * 2 AS INTEGER) AS n_bytes,
+             CAST(sample_rate AS INTEGER) AS sample_rate,
+             CAST(channels AS INTEGER) AS channels,
+             CAST(n_samples AS INTEGER) AS n_samples,
+             CAST(list_sum(list_transform(range(0, n_samples * channels),
+               i -> ((doc_id * 31 + i * 17) % 65536 - 32768)
+                  * ((doc_id * 31 + i * 17) % 65536 - 32768))) AS BIGINT) AS energy
+      FROM p
+    """,
+    "audio_window_energy": """
+      WITH p AS (
+        SELECT doc_id,
+               (512 + (doc_id % 7) * 64) * (1 + doc_id % 2) AS total
+        FROM documents
+      ),
+      w AS (
+        SELECT doc_id, total,
+               CAST(u AS INTEGER) AS window_index,
+               u * 128 AS lo,
+               least((u + 1) * 128, total) AS hi
+        FROM p, unnest(range(0, (total + 127) // 128)) AS t(u)
+      )
+      SELECT doc_id, window_index,
+             CAST(hi - lo AS INTEGER) AS n_in_window,
+             CAST(list_sum(list_transform(range(lo, hi),
+               i -> ((doc_id * 31 + i * 17) % 65536 - 32768)
+                  * ((doc_id * 31 + i * 17) % 65536 - 32768))) AS BIGINT) AS energy
+      FROM w
     """,
     "streaming_window_agg": """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

@@ -221,6 +221,8 @@ HEADLINE = [
     # round-9 additions
     "ivfpq_residual_topk",
     "substring_dedup_hashed",
+    "audio_decode",
+    "audio_window_energy",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
@@ -403,6 +405,12 @@ def main() -> None:
     # post-run calibration pair: steal that appeared MID-run shows as a
     # pre/post divergence even when the pre-run probe looked clean
     calibration_post = cpu_calibration()
+    # Cross-boot normalization (r8 verdict ask): divide the total by this
+    # boot's BLAS-probe ratio vs the round-8 reference artifact
+    # (BENCH_r08.json pre-run probe, 0.0981 s). A slower/steal-y boot
+    # inflates the probe and the queries together, so the normalized
+    # total is comparable across boots mechanically — no narrative needed.
+    r8_blas_ref = 0.0981
     summary = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -414,6 +422,9 @@ def main() -> None:
         **calibration,
         "calibration_post_blas_sec": calibration_post["calibration_blas_sec"],
         "calibration_post_python_sec": calibration_post["calibration_python_sec"],
+        "value_normalized_vs_r8": round(
+            total / (calibration["calibration_blas_sec"] / r8_blas_ref), 3
+        ),
     }
     try:
         with open(

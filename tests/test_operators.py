@@ -2192,3 +2192,92 @@ def test_ivf_assign_shared_centroids_match_own_seeding(spark):
         for r in ivf_assign(df, n_centroids=4, centroids=cent_df).collect()
     }
     assert shared == own
+
+
+def test_wav_codec_roundtrip_and_rejection():
+    """The vendored WAV codec (round-9 audio modality): encode→parse
+    round-trips to the closed-form parameters and exact energy for
+    arbitrary ids; the chunk walk skips unknown (odd-length, padded)
+    chunks per the RIFF spec; garbage, truncation, non-PCM formats, and
+    wrong bit widths yield all-None instead of raising."""
+    import struct
+
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.audio import (
+        _wav_params,
+        _wav_samples,
+        encode_wav,
+        parse_wav,
+    )
+
+    for did in (0, 1, 2, 3, 6, 7, 41, 100, 9999, 123456):
+        rate, ch, n = _wav_params(did)
+        buf = encode_wav(did)
+        assert len(buf) == 44 + n * ch * 2
+        s = _wav_samples(did, n * ch).astype(np.int64)
+        assert parse_wav(buf) == (rate, ch, n, int((s * s).sum()))
+
+    # a LIST metadata chunk with an ODD body length (pad byte per RIFF)
+    # between fmt and data must be skipped transparently
+    buf = encode_wav(5)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    buf2 = buf[:fmt_end] + extra + buf[fmt_end:]
+    buf2 = buf2[:4] + struct.pack("<I", len(buf2) - 8) + buf2[8:]
+    assert parse_wav(buf2) == parse_wav(buf)
+
+    good = encode_wav(17)
+    for bad in (b"", b"RIFF", good[:40], good[: len(good) - 3],
+                b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x00" * 40):
+        assert parse_wav(bad) == (None, None, None, None)
+    # non-PCM format code and 8-bit width are out of contract
+    b3 = bytearray(good)
+    struct.pack_into("<H", b3, 20, 3)  # fmt = IEEE float
+    assert parse_wav(bytes(b3)) == (None, None, None, None)
+    b4 = bytearray(good)
+    struct.pack_into("<H", b4, 34, 8)  # bits = 8
+    assert parse_wav(bytes(b4)) == (None, None, None, None)
+    # data chunk appearing before fmt is malformed
+    hdr, fmtc, datac = good[:12], good[12 : 12 + 24], good[12 + 24 :]
+    swapped = hdr + datac + fmtc
+    assert parse_wav(swapped) == (None, None, None, None)
+
+
+def test_audio_window_energy_sums_to_decode_energy(spark):
+    """Window boundary arithmetic invariant: per doc, the window energies
+    must sum EXACTLY to the decode kernel's total energy and the window
+    counts to channels*n_samples — any reduceat offset error breaks it."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.audio import (
+        attach_audio_payload,
+        audio_window_energy,
+        decode_audio_meta,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 50)
+    att = attach_audio_payload(docs)
+    dec = {
+        r.doc_id: (r.energy, r.n_samples * r.channels)
+        for r in decode_audio_meta(att).collect()
+    }
+    agg = (
+        audio_window_energy(att, window=128)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("energy").alias("e"),
+            F.sum("n_in_window").alias("n"),
+            F.max("n_in_window").alias("mx"),
+        )
+        .collect()
+    )
+    assert len(agg) == len(dec) > 0
+    for r in agg:
+        assert (r.e, r.n) == dec[r.doc_id]
+        assert r.mx <= 128
+    # partial tail windows must exist somewhere in this id range
+    tails = (
+        audio_window_energy(att, window=128)
+        .filter(F.col("n_in_window") < 128)
+        .count()
+    )
+    assert tails > 0

@@ -364,3 +364,25 @@ def test_integer_division_conventions_pin_the_documented_model(s, n):
     ).fetchone()
     assert trunc == _tdiv(s, n)
     assert floored == s // n
+
+
+@settings(max_examples=200, deadline=None)
+@given(did=st.integers(min_value=0, max_value=10**12))
+def test_wav_codec_roundtrip_property(did):
+    """Property (round-9): for ANY doc id, the vendored WAV writer+parser
+    round-trip exactly the synthetic (rate, channels, n_samples) and the
+    closed-form Σ sample² energy — the invariant the audio_decode and
+    audio_window_energy oracles rely on."""
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.audio import (
+        _wav_params,
+        encode_wav,
+        parse_wav,
+    )
+
+    rate, ch, n = _wav_params(did)
+    got = parse_wav(encode_wav(did))
+    i = np.arange(n * ch, dtype=np.int64)
+    s = (did * 31 + i * 17) % 65536 - 32768
+    assert got == (rate, ch, n, int((s * s).sum()))

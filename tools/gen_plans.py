@@ -341,6 +341,22 @@ ANNOTATIONS = {
         "and score through the same literal-codebook integer ADC. "
         "nprobe=n_centroids collapses to plain pq_topk (unit-pinned)."
     ),
+    "audio_decode": (
+        "Real audio modality: every doc synthesizes a genuine RIFF/WAVE "
+        "16-bit PCM payload and the vendored pure-stdlib chunk walker "
+        "parses it back (sample_rate, channels, n_samples, exact int64 "
+        "energy) — two mapInPandas stages over Arrow batches, per-batch "
+        "numpy, no shuffle at all (ArrowEvalPython-free plan: mapInPandas "
+        "is the designed Python boundary for binary payloads). Oracle "
+        "recomputes everything closed-form from doc_id."
+    ),
+    "audio_window_energy": (
+        "Windowed PCM feature extraction: per payload one numpy reduceat "
+        "yields every 128-frame window's exact energy — fan-out "
+        "O(n_samples/window) rows per doc inside the same Arrow batch, "
+        "no shuffle, partial tail windows keep their true counts "
+        "(oracle-pinned boundary arithmetic)."
+    ),
     "substring_dedup_hashed": (
         "The production twin of substring_dedup: rolling 8-token windows "
         "xxhash64 to BIGINT BEFORE the explode and shuffle, so every "

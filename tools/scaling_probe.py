@@ -90,6 +90,8 @@ PROBE = [
     "mmr_select",       # 5 fixed argmax rounds, literal selected vectors
     "substring_dedup",  # rolling 8-gram explode + count join, O(docs) out
     "substring_dedup_hashed",  # int64-gram twin: ~8x fewer exchange bytes
+    "audio_decode",         # real WAV write+parse roundtrip per doc
+    "audio_window_energy",  # windowed PCM energy fan-out (reduceat)
     "substring_trim",   # dup-span removal: dup-window positions -> rebuild
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
