@@ -1317,6 +1317,39 @@ def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_energy(attach_audio_payload(docs), window=128)
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (round-9): every doc gets a genuine Y4M
+    (YUV4MPEG2) stream — ASCII parameter line + FRAME-delimited raw C420
+    planes, the codec-free video interchange container — and the vendored
+    pure-stdlib parser re-derives width/height/frame-rate/frame-count
+    plus the exact total luma sum. With BMP/PNG images and WAV audio this
+    completes the REAL modality triple; compressed video (H.264/VP9)
+    stays behind the explicit NotImplementedError policy. The oracle
+    rebuilds the variable-length header STRING to count its bytes and
+    replays the per-frame luma formula, so header tokenization, frame
+    framing, and plane-size arithmetic are all value-pinned."""
+    from .operators.video import attach_video_payload, decode_video_meta
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video_meta(attach_video_payload(docs))
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE video frame sampling (round-9) — the vision-training curation
+    primitive: extract every 2nd frame's exact luma sum and truncating
+    integer luma mean from the raw C420 planes. One numpy pass per
+    sampled frame inside the Arrow batch; fan-out O(n_frames/stride)
+    rows per payload; corrupt payloads emit zero rows. The oracle
+    replays the sampled frame indices and the closed-form per-frame
+    luma, pinning the stride arithmetic and plane offsets."""
+    from .operators.video import attach_video_payload, sample_video_frames
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(attach_video_payload(docs), stride=2)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing over decoded metadata (stub kernel,
     integer-exact geometry — oracle-able)."""
@@ -7841,6 +7874,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "audio_decode": q_audio_decode,
     "audio_window_energy": q_audio_window_energy,
+    "video_decode": q_video_decode,
+    "video_frame_sample": q_video_frame_sample,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -7903,7 +7938,7 @@ _DRIVER_PRIORITY = [
     "ivfpq_residual_topk", "ann_recall_eval",
     # --- past the 50-slot prefix ---
     "substring_dedup_hashed", "audio_decode", "audio_window_energy",
-    "multimodal_decode",
+    "video_decode", "video_frame_sample", "multimodal_decode",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -10095,6 +10130,55 @@ ORACLES: dict[str, str] = {
                i -> ((doc_id * 31 + i * 17) % 65536 - 32768)
                   * ((doc_id * 31 + i * 17) % 65536 - 32768))) AS BIGINT) AS energy
       FROM w
+    """,
+    "video_decode": """
+      WITH p AS (
+        SELECT doc_id,
+               8 + (doc_id % 5) * 4 AS w,
+               6 + (doc_id % 3) * 4 AS h,
+               24 + doc_id % 6 AS fps,
+               3 + doc_id % 4 AS n
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(length('YUV4MPEG2 W' || CAST(w AS VARCHAR)
+                    || ' H' || CAST(h AS VARCHAR)
+                    || ' F' || CAST(fps AS VARCHAR)
+                    || ':1 Ip A1:1 C420jpeg') + 1
+                  + n * (6 + (w * h * 3) // 2) AS INTEGER) AS n_bytes,
+             CAST(w AS INTEGER) AS width,
+             CAST(h AS INTEGER) AS height,
+             CAST(fps AS INTEGER) AS fps_num,
+             CAST(1 AS INTEGER) AS fps_den,
+             CAST(n AS INTEGER) AS n_frames,
+             CAST(list_sum(list_transform(range(0, n), f ->
+               list_sum(list_transform(range(0, w * h),
+                 i -> (doc_id + 13 * f + 5 * i) % 256)))) AS BIGINT) AS luma_sum
+      FROM p
+    """,
+    "video_frame_sample": """
+      WITH p AS (
+        SELECT doc_id,
+               8 + (doc_id % 5) * 4 AS w,
+               6 + (doc_id % 3) * 4 AS h,
+               3 + doc_id % 4 AS n
+        FROM documents
+      ),
+      f AS (
+        SELECT doc_id, w, h, CAST(u AS INTEGER) AS frame_index
+        FROM p, unnest(range(0, n)) AS t(u)
+        WHERE u % 2 = 0
+      ),
+      s AS (
+        SELECT doc_id, frame_index, w, h,
+               list_sum(list_transform(range(0, w * h),
+                 i -> (doc_id + 13 * frame_index + 5 * i) % 256)) AS luma
+        FROM f
+      )
+      SELECT doc_id, frame_index,
+             CAST(luma AS BIGINT) AS luma_sum,
+             CAST(luma // (w * h) AS BIGINT) AS luma_mean
+      FROM s
     """,
     "streaming_window_agg": """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

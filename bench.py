@@ -223,6 +223,8 @@ HEADLINE = [
     "substring_dedup_hashed",
     "audio_decode",
     "audio_window_energy",
+    "video_decode",
+    "video_frame_sample",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -2281,3 +2281,76 @@ def test_audio_window_energy_sums_to_decode_energy(spark):
         .count()
     )
     assert tails > 0
+
+
+def test_y4m_codec_roundtrip_and_rejection():
+    """The vendored Y4M codec (round-9 video modality): encode→parse
+    round-trips the synthetic parameters and the exact total luma sum;
+    the header tokenizer accepts reordered tokens and FRAME lines with
+    parameters; garbage, truncation, non-420 colorspaces, and odd dims
+    yield all-None instead of raising."""
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.video import (
+        _y4m_params,
+        encode_y4m,
+        parse_y4m,
+    )
+
+    for did in (0, 1, 2, 3, 5, 7, 29, 100, 999999):
+        w, h, fps, n = _y4m_params(did)
+        buf = encode_y4m(did)
+        hdr = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()
+        assert len(buf) == len(hdr) + n * (6 + w * h * 3 // 2)
+        i = np.arange(w * h, dtype=np.int64)
+        luma = sum(int(((did + 13 * f + 5 * i) % 256).sum()) for f in range(n))
+        assert parse_y4m(buf) == (w, h, fps, 1, n, luma)
+
+    buf = encode_y4m(3)
+    w, h, fps, n = _y4m_params(3)
+    # a FRAME line carrying its own parameters is legal Y4M
+    i0 = buf.find(b"FRAME\n")
+    assert parse_y4m(buf[:i0] + b"FRAME Ip\n" + buf[i0 + 6 :]) == parse_y4m(buf)
+    # header token order is free
+    reordered = buf.replace(
+        b"YUV4MPEG2 W%d H%d" % (w, h), b"YUV4MPEG2 H%d W%d" % (h, w)
+    )
+    assert parse_y4m(reordered) == parse_y4m(buf)
+
+    good = encode_y4m(11)
+    for bad in (b"", b"YUV4MPEG", good[:20], good[: len(good) - 3],
+                good.replace(b"C420jpeg", b"C444")):
+        assert parse_y4m(bad) == (None,) * 6
+    # odd dims are impossible under C420 subsampling
+    assert parse_y4m(b"YUV4MPEG2 W3 H2 F24:1 C420\n" + b"FRAME\n" + b"\x00" * 9) == (None,) * 6
+
+
+def test_video_frame_sample_matches_decode(spark):
+    """Stride arithmetic invariant: sampled frames are exactly indices
+    0,2,4,... of each doc's n_frames; per-frame luma_mean is the
+    truncating integer mean; and summing ALL frames at stride=1 equals
+    the decode kernel's total luma_sum."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.video import (
+        attach_video_payload,
+        decode_video_meta,
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 50)
+    att = attach_video_payload(docs)
+    dec = {
+        r.doc_id: (r.n_frames, r.luma_sum, r.width * r.height)
+        for r in decode_video_meta(att).collect()
+    }
+    samp = sample_video_frames(att, stride=2).collect()
+    by_doc: dict = {}
+    for r in samp:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.luma_mean == r.luma_sum // dec[r.doc_id][2]
+    for d, rows in by_doc.items():
+        assert sorted(r.frame_index for r in rows) == list(
+            range(0, dec[d][0], 2)
+        )
+    full = sample_video_frames(att, stride=1)
+    agg = {r.doc_id: r.s for r in full.groupBy("doc_id").agg(F.sum("luma_sum").alias("s")).collect()}
+    assert agg == {d: v[1] for d, v in dec.items()}

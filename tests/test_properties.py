@@ -386,3 +386,24 @@ def test_wav_codec_roundtrip_property(did):
     i = np.arange(n * ch, dtype=np.int64)
     s = (did * 31 + i * 17) % 65536 - 32768
     assert got == (rate, ch, n, int((s * s).sum()))
+
+
+@settings(max_examples=200, deadline=None)
+@given(did=st.integers(min_value=0, max_value=10**12))
+def test_y4m_codec_roundtrip_property(did):
+    """Property (round-9): for ANY doc id, the vendored Y4M writer+parser
+    round-trip the synthetic parameters and the closed-form total luma
+    sum — the invariant the video_decode / video_frame_sample oracles
+    rely on."""
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.video import (
+        _y4m_params,
+        encode_y4m,
+        parse_y4m,
+    )
+
+    w, h, fps, n = _y4m_params(did)
+    i = np.arange(w * h, dtype=np.int64)
+    luma = sum(int(((did + 13 * f + 5 * i) % 256).sum()) for f in range(n))
+    assert parse_y4m(encode_y4m(did)) == (w, h, fps, 1, n, luma)

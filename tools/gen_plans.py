@@ -357,6 +357,22 @@ ANNOTATIONS = {
         "no shuffle, partial tail windows keep their true counts "
         "(oracle-pinned boundary arithmetic)."
     ),
+    "video_decode": (
+        "Real video modality: every doc synthesizes a genuine Y4M "
+        "(YUV4MPEG2) stream — ASCII parameter line + FRAME-delimited raw "
+        "C420 planes — and the vendored pure-stdlib parser re-derives "
+        "dims, frame rate, frame count, and the exact total luma sum. "
+        "Two mapInPandas stages over Arrow batches, per-frame numpy "
+        "sums, zero shuffle; oracle rebuilds the variable-length header "
+        "string and replays the luma formula closed-form."
+    ),
+    "video_frame_sample": (
+        "True frame sampling: every 2nd frame's exact luma sum + "
+        "truncating integer mean extracted from the raw planes — one "
+        "numpy pass per sampled frame inside the Arrow batch, fan-out "
+        "O(n_frames/stride) rows per payload, zero shuffle; corrupt "
+        "payloads emit zero rows."
+    ),
     "substring_dedup_hashed": (
         "The production twin of substring_dedup: rolling 8-token windows "
         "xxhash64 to BIGINT BEFORE the explode and shuffle, so every "

@@ -92,6 +92,8 @@ PROBE = [
     "substring_dedup_hashed",  # int64-gram twin: ~8x fewer exchange bytes
     "audio_decode",         # real WAV write+parse roundtrip per doc
     "audio_window_energy",  # windowed PCM energy fan-out (reduceat)
+    "video_decode",         # real Y4M write+parse roundtrip per doc
+    "video_frame_sample",   # true every-2nd-frame luma extraction
     "substring_trim",   # dup-span removal: dup-window positions -> rebuild
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
