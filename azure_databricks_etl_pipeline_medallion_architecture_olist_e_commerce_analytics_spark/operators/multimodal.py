@@ -626,3 +626,102 @@ def decode_bmp_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 decode_image_bytes_meta = decode_bmp_meta  # the format-routing name
+
+
+def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL mixed-MODALITY payload per row — the realistic
+    landed-blob-column case: ``id % 4`` routes to 24-bit BMP (0), 8-bit
+    RGB PNG (1), 16-bit PCM WAV (2), or Y4M C420 video (3), each a
+    genuine container from the vendored writers. A NULL id yields a NULL
+    payload."""
+    from .audio import encode_wav
+    from .video import encode_y4m
+
+    writers = (encode_bmp, encode_png, encode_wav, encode_y4m)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                if d is None or pd.isna(d):
+                    payloads.append(None)
+                else:
+                    did = abs(int(d))
+                    payloads.append(writers[did % 4](did))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+_MEDIA_FIELDS = (
+    "n_bytes int, format string, width int, height int, channels int,"
+    " pixel_sum long, sample_rate int, n_samples int, energy long,"
+    " fps_num int, n_frames int, luma_sum long"
+)
+
+
+def decode_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """UNIFIED mixed-modality decode: route each payload by MAGIC BYTES
+    across all four vendored parsers — 'BM' → BMP, PNG signature → PNG,
+    'RIFF…WAVE' → WAV, 'YUV4MPEG2' → Y4M — into one wide nullable schema
+    (image fields NULL for audio rows and vice versa; the curation-layer
+    contract for a heterogeneous blob column). Unknown containers and
+    corrupt payloads yield an all-NULL row, never a job abort. One
+    mapInPandas pass; per-payload numpy only."""
+    from .audio import parse_wav
+    from .video import Y4M_MAGIC, parse_y4m
+
+    def route(payload):
+        none = [None] * 12
+        if payload is None:
+            return none
+        buf = bytes(payload)
+        n = len(buf)
+        if buf[:2] == b"BM":
+            w, h, c, s = parse_bmp(buf)
+            if w is None:
+                return none
+            return [n, "image/bmp", w, h, c, s] + [None] * 6
+        if buf[:8] == PNG_SIG:
+            w, h, c, s = parse_png(buf)
+            if w is None:
+                return none
+            return [n, "image/png", w, h, c, s] + [None] * 6
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+            rate, ch, ns, e = parse_wav(buf)
+            if rate is None:
+                return none
+            return [n, "audio/wav", None, None, ch, None, rate, ns, e,
+                    None, None, None]
+        if buf[: len(Y4M_MAGIC)] == Y4M_MAGIC:
+            w, h, num, _den, nf, ls = parse_y4m(buf)
+            if w is None:
+                return none
+            return [n, "video/y4m", w, h, None, None, None, None, None,
+                    num, nf, ls]
+        return none
+
+    int32_cols = {
+        "n_bytes": 0, "width": 2, "height": 3, "channels": 4,
+        "sample_rate": 6, "n_samples": 7, "fps_num": 9, "n_frames": 10,
+    }
+    int64_cols = {"pixel_sum": 5, "energy": 8, "luma_sum": 11}
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [route(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col]}
+            for name, idx in int32_cols.items():
+                out[name] = pd.array([m[idx] for m in metas], dtype="Int32")
+            out["format"] = [m[1] for m in metas]
+            for name, idx in int64_cols.items():
+                out[name] = pd.array([m[idx] for m in metas], dtype="Int64")
+            yield pd.DataFrame(out)[
+                [id_col, "n_bytes", "format", "width", "height", "channels",
+                 "pixel_sum", "sample_rate", "n_samples", "energy",
+                 "fps_num", "n_frames", "luma_sum"]
+            ]
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, {_MEDIA_FIELDS}")

@@ -1350,6 +1350,24 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(attach_video_payload(docs), stride=2)
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFIED mixed-modality decode (round-9) — the realistic
+    heterogeneous-blob-column case: ``doc_id % 4`` lands a genuine 24-bit
+    BMP, 8-bit RGB PNG, 16-bit PCM WAV, or Y4M C420 video in ONE binary
+    column, and the decode kernel routes each payload by MAGIC BYTES
+    across all four vendored parsers into one wide nullable schema
+    (image fields NULL on audio rows and vice versa). Unknown/corrupt
+    containers yield all-NULL rows, never job aborts. The oracle
+    replays every modality's closed form CASEd on the same parity — so
+    the router itself (magic dispatch + per-format field placement) is
+    value-pinned, not just the individual codecs."""
+    from .operators.multimodal import attach_media_payload, decode_media_meta
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_meta(attach_media_payload(docs))
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing over decoded metadata (stub kernel,
     integer-exact geometry — oracle-able)."""
@@ -7876,6 +7894,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_window_energy": q_audio_window_energy,
     "video_decode": q_video_decode,
     "video_frame_sample": q_video_frame_sample,
+    "media_decode": q_media_decode,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -7938,7 +7957,8 @@ _DRIVER_PRIORITY = [
     "ivfpq_residual_topk", "ann_recall_eval",
     # --- past the 50-slot prefix ---
     "substring_dedup_hashed", "audio_decode", "audio_window_energy",
-    "video_decode", "video_frame_sample", "multimodal_decode",
+    "video_decode", "video_frame_sample", "media_decode",
+    "multimodal_decode",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -10179,6 +10199,53 @@ ORACLES: dict[str, str] = {
              CAST(luma AS BIGINT) AS luma_sum,
              CAST(luma // (w * h) AS BIGINT) AS luma_mean
       FROM s
+    """,
+    "media_decode": """
+      WITH p AS (
+        SELECT doc_id, doc_id % 4 AS m,
+               doc_id % 31 + 2 AS iw, (doc_id * 7) % 13 + 2 AS ih,
+               512 + (doc_id % 7) * 64 AS asamp,
+               1 + doc_id % 2 AS ach,
+               8000 * (1 + doc_id % 3) AS arate,
+               8 + (doc_id % 5) * 4 AS vw, 6 + (doc_id % 3) * 4 AS vh,
+               24 + doc_id % 6 AS vfps, 3 + doc_id % 4 AS vn
+        FROM documents
+      )
+      SELECT doc_id,
+        CAST(CASE m
+          WHEN 0 THEN 54 + ((iw * 3 + 3) // 4 * 4) * ih
+          WHEN 1 THEN 68 + ih * (3 * iw + 1)
+          WHEN 2 THEN 44 + asamp * ach * 2
+          ELSE length('YUV4MPEG2 W' || CAST(vw AS VARCHAR)
+                 || ' H' || CAST(vh AS VARCHAR)
+                 || ' F' || CAST(vfps AS VARCHAR)
+                 || ':1 Ip A1:1 C420jpeg') + 1 + vn * (6 + (vw * vh * 3) // 2)
+        END AS INTEGER) AS n_bytes,
+        CASE m WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+               WHEN 2 THEN 'audio/wav' ELSE 'video/y4m' END AS format,
+        CAST(CASE WHEN m IN (0, 1) THEN iw WHEN m = 3 THEN vw END AS INTEGER) AS width,
+        CAST(CASE WHEN m IN (0, 1) THEN ih WHEN m = 3 THEN vh END AS INTEGER) AS height,
+        CAST(CASE WHEN m IN (0, 1) THEN 3 WHEN m = 2 THEN ach END AS INTEGER) AS channels,
+        CAST(CASE WHEN m IN (0, 1) THEN
+          list_sum(list_transform(range(0, iw * ih * 3), idx ->
+            (doc_id + 3 * ((idx // 3) % iw) + 7 * (idx // (3 * iw))
+             + 11 * (idx % 3)) % 256))
+        END AS BIGINT) AS pixel_sum,
+        CAST(CASE WHEN m = 2 THEN arate END AS INTEGER) AS sample_rate,
+        CAST(CASE WHEN m = 2 THEN asamp END AS INTEGER) AS n_samples,
+        CAST(CASE WHEN m = 2 THEN
+          list_sum(list_transform(range(0, asamp * ach),
+            i -> ((doc_id * 31 + i * 17) % 65536 - 32768)
+               * ((doc_id * 31 + i * 17) % 65536 - 32768)))
+        END AS BIGINT) AS energy,
+        CAST(CASE WHEN m = 3 THEN vfps END AS INTEGER) AS fps_num,
+        CAST(CASE WHEN m = 3 THEN vn END AS INTEGER) AS n_frames,
+        CAST(CASE WHEN m = 3 THEN
+          list_sum(list_transform(range(0, vn), f ->
+            list_sum(list_transform(range(0, vw * vh),
+              i -> (doc_id + 13 * f + 5 * i) % 256))))
+        END AS BIGINT) AS luma_sum
+      FROM p
     """,
     "streaming_window_agg": """
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

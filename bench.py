@@ -225,6 +225,7 @@ HEADLINE = [
     "audio_window_energy",
     "video_decode",
     "video_frame_sample",
+    "media_decode",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM

@@ -2354,3 +2354,76 @@ def test_video_frame_sample_matches_decode(spark):
     full = sample_video_frames(att, stride=1)
     agg = {r.doc_id: r.s for r in full.groupBy("doc_id").agg(F.sum("luma_sum").alias("s")).collect()}
     assert agg == {d: v[1] for d, v in dec.items()}
+
+
+def test_media_decode_routes_all_four_modalities(spark):
+    """The unified router (round-9): doc_id % 4 lands BMP/PNG/WAV/Y4M in
+    one binary column; every row must decode to its own modality's fields
+    with the OTHER modalities' fields NULL, a corrupt payload must yield
+    an all-NULL row, and the per-modality values must equal the dedicated
+    kernels' outputs."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.audio import (
+        parse_wav,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media_meta,
+        encode_bmp,
+        parse_bmp,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.video import (
+        parse_y4m,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 40)
+    out = {r.doc_id: r for r in decode_media_meta(attach_media_payload(docs)).collect()}
+    assert len(out) == 40
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.audio import (
+        encode_wav,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.video import (
+        encode_y4m,
+    )
+
+    for d, r in out.items():
+        m = d % 4
+        if m == 0:
+            w, h, c, s = parse_bmp(encode_bmp(d))
+            assert (r.format, r.width, r.height, r.channels, r.pixel_sum) == (
+                "image/bmp", w, h, c, s,
+            )
+            assert r.sample_rate is None and r.energy is None and r.luma_sum is None
+        elif m == 1:
+            w, h, c, s = parse_png(encode_png(d))
+            assert (r.format, r.width, r.height, r.channels, r.pixel_sum) == (
+                "image/png", w, h, c, s,
+            )
+            assert r.n_samples is None and r.n_frames is None
+        elif m == 2:
+            rate, ch, ns, e = parse_wav(encode_wav(d))
+            assert (r.format, r.sample_rate, r.channels, r.n_samples, r.energy) == (
+                "audio/wav", rate, ch, ns, e,
+            )
+            assert r.width is None and r.pixel_sum is None and r.luma_sum is None
+        else:
+            w, h, num, den, nf, ls = parse_y4m(encode_y4m(d))
+            assert (r.format, r.width, r.height, r.fps_num, r.n_frames, r.luma_sum) == (
+                "video/y4m", w, h, num, nf, ls,
+            )
+            assert r.channels is None and r.energy is None
+
+    # a corrupt payload routes to the all-NULL row, never an abort
+    corrupt = spark.createDataFrame(
+        [(1, bytearray(b"not a container")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_media_meta(corrupt).collect()}
+    assert rows[2].format is None
+    assert all(
+        getattr(rows[1], f) is None
+        for f in ("format", "width", "sample_rate", "n_frames", "luma_sum")
+    )

@@ -357,6 +357,14 @@ ANNOTATIONS = {
         "no shuffle, partial tail windows keep their true counts "
         "(oracle-pinned boundary arithmetic)."
     ),
+    "media_decode": (
+        "Unified mixed-modality decode: doc_id %% 4 lands BMP / PNG / "
+        "WAV / Y4M containers in ONE binary column; the kernel routes "
+        "each payload by magic bytes across all four vendored parsers "
+        "into a wide nullable schema. One mapInPandas pass, zero "
+        "shuffle; the oracle CASEs every modality's closed form on the "
+        "same parity, value-pinning the router itself."
+    ),
     "video_decode": (
         "Real video modality: every doc synthesizes a genuine Y4M "
         "(YUV4MPEG2) stream — ASCII parameter line + FRAME-delimited raw "

@@ -94,6 +94,7 @@ PROBE = [
     "audio_window_energy",  # windowed PCM energy fan-out (reduceat)
     "video_decode",         # real Y4M write+parse roundtrip per doc
     "video_frame_sample",   # true every-2nd-frame luma extraction
+    "media_decode",         # 4-way magic-byte router over one blob column
     "substring_trim",   # dup-span removal: dup-window positions -> rebuild
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
