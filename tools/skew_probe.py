@@ -347,10 +347,11 @@ def probe_round8_hostiles(spark) -> None:
     print()
     print("| query | uniform sf1 (s) | hostile sf1 (s) | ratio |")
     print("|---|---|---|---|")
-    fn = SPARK_QUERIES["substring_dedup"]
-    t_u = time_noop(spark, fn, SRC)
-    t_s = time_noop(spark, fn, hot_dir)
-    print(f"| substring_dedup | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |", flush=True)
+    for name in ("substring_dedup", "substring_dedup_hashed"):
+        fn = SPARK_QUERIES[name]
+        t_u = time_noop(spark, fn, SRC)
+        t_s = time_noop(spark, fn, hot_dir)
+        print(f"| {name} | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |", flush=True)
 
 
 if __name__ == "__main__":
