@@ -920,7 +920,9 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, t in tiers
     ]
     approx = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    hit = exact.withColumn("hit", F.lit(1))
+    # the ground-truth pair set is bounded by the query sample (~k·|sample|
+    # rows) — broadcast it so the hit check never sorts the approx side
+    hit = F.broadcast(exact.withColumn("hit", F.lit(1)))
     return (
         approx.join(hit, ["query_id", "nbr_id"], "left")
         .crossJoin(F.broadcast(tot))
