@@ -647,3 +647,97 @@ def label_propagation(
             # (the pagerank_integer small-path discipline).
             labels = labels.localCheckpoint()
     return labels.select(F.col("__node").alias(node), F.col("__label").alias(label))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    num_nodes: int | None = None,
+) -> DataFrame:
+    """Fixed-round k-core peeling (Matula & Beck 1983; the Seidman 1983
+    k-core) — the density primitive the graph family's other questions
+    don't answer: components say "connected at all?", PageRank "how
+    central?", LPA "which cluster?", the k-core "how DENSE is the
+    neighborhood a node sits in?". Training-data curation uses it to
+    separate the densely cross-linked head of a source/entity graph
+    (mutually-reinforcing content farms, core marketplaces) from the
+    sparse periphery.
+
+    Synchronous peeling, fully deterministic: round r removes EVERY
+    surviving node whose degree in the current surviving subgraph is
+    < k (simultaneously — no within-round cascade), then restricts the
+    edge list to survivors. Fixed ``rounds`` (no convergence probe), so
+    the oracle is the same rounds unrolled as chained SQL CTEs — exact
+    integer equality. With enough rounds this converges to the true
+    k-core; a fixed budget yields the standard bounded-iteration
+    approximation from the outside in (every removed node is provably
+    outside the k-core; survivors are "not yet peeled").
+
+    Returns one row per node: (node, peeled_round, degree) where
+    peeled_round = r ≥ 1 when the node fell in round r (degree = its
+    degree in the round-(r-1) surviving subgraph, the value that killed
+    it) and peeled_round = 0 for survivors (degree = their degree at the
+    final evaluation). Requires the symmetric every-node-appears-as-src
+    edge list (the ``_trade_edges`` / ``label_propagation`` contract);
+    callers pass ``edges`` already materialized.
+
+    Scale: each round is ONE map-side-combined hash aggregate (degree by
+    src over the surviving edge list) plus TWO left-semi equi-joins
+    restricting the edges to survivors — the survivor set is O(V) and
+    broadcasts under ``BROADCAST_NODE_LIMIT`` (a 100 TB node vector must
+    never be broadcast; over the limit the semi-joins shuffle on the
+    node key). The peeled-rows output unions ``rounds`` small frames —
+    a lazy union of already-computed subtrees, no extra pass. O(E) per
+    round, no driver state beyond the round counter; the surviving edge
+    list localCheckpoints each round on the big-graph path to truncate
+    iterative lineage (small path stays one linear broadcast plan, the
+    pagerank_integer discipline).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    alive = (
+        edges.select(F.col(src).alias("node")).distinct().localCheckpoint()
+    )
+    n = num_nodes if num_nodes is not None else alive.count()
+    small = n <= BROADCAST_NODE_LIMIT
+    cur = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    peeled = []
+    evaluated = None
+    for r in range(1, rounds + 1):
+        deg = cur.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+        evaluated = alive.join(
+            deg, alive["node"] == deg["__s"], "left"
+        ).select(
+            "node", F.coalesce(F.col("__deg"), F.lit(0).cast("long")).alias("degree")
+        )
+        peeled.append(
+            evaluated.filter(F.col("degree") < k).select(
+                "node", F.lit(r).cast("int").alias("peeled_round"), "degree"
+            )
+        )
+        survivors = evaluated.filter(F.col("degree") >= k).select("node")
+        if r == rounds:
+            peeled.append(
+                evaluated.filter(F.col("degree") >= k).select(
+                    "node", F.lit(0).cast("int").alias("peeled_round"), "degree"
+                )
+            )
+            break
+        alive = survivors.localCheckpoint() if not small else survivors
+        vec_s = F.broadcast(alive) if small else alive
+        cur = cur.join(
+            vec_s.withColumnRenamed("node", "__s"), "__s", "left_semi"
+        ).join(vec_s.withColumnRenamed("node", "__d"), "__d", "left_semi")
+        if not small:
+            # big-graph path: truncate the shrinking edge list's lineage
+            # so a late failure recomputes one round, not the chain
+            cur = cur.localCheckpoint()
+    out = peeled[0]
+    for p in peeled[1:]:
+        out = out.union(p)
+    return out

@@ -4206,6 +4206,41 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling of the supplier↔customer trade graph
+    (operators/graph.py::kcore_peel, k=20, 3 synchronous rounds): round r
+    simultaneously removes every surviving node whose degree in the
+    current surviving subgraph is < 20, then restricts the edges to
+    survivors. Output = every node with the round that peeled it (0 =
+    still in the 20-core candidate set after 3 rounds) and the degree
+    that decided it — the graph-density primitive completing the family
+    (components/PageRank/BFS/triangles/LPA/assortativity), and the
+    standard way to split a 100 TB source graph into a dense
+    mutually-linked head and a sparse periphery.
+
+    Deterministic by construction (synchronous rounds, integer degrees —
+    no tie-breaking needed at all), so the oracle is the same 3 rounds
+    unrolled as chained CTEs in DuckDB: exact integer equality.
+
+    Scale shape: one map-side-combined degree aggregate + two left-semi
+    survivor joins per round against the localCheckpoint-ed edge list;
+    the O(V) survivor vector broadcasts only under BROADCAST_NODE_LIMIT.
+    """
+    from .operators.graph import kcore_peel
+
+    tune_session(spark)
+    edges = _trade_edges(spark, sf_dir)  # directed half checkpointed inside
+    cores = kcore_peel(edges, k=20, rounds=3)
+    return cores.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("entity_type"),
+        F.expr("node div 2").alias("entity_key"),
+        "peeled_round",
+        "degree",
+    )
+
+
 def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand ordinary-least-squares fit of extended price on quantity
     (REGR_SLOPE / REGR_INTERCEPT analog) via the closed-form sufficient
@@ -7709,6 +7744,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_reach": q_bfs_reach,
     "label_propagation": q_label_propagation,
     "community_modularity": q_community_modularity,
+    "kcore_decompose": q_kcore_decompose,
     "collocation_pmi": q_collocation_pmi,
     "ols_trend": q_ols_trend,
     "profile_table": q_profile_table,
@@ -12463,6 +12499,58 @@ ORACLES["community_modularity"] = f"""{_LPA_CTES},
   JOIN degs d ON s.label = d.label
   LEFT JOIN intra i ON s.label = i.label
   CROSS JOIN twom t
+"""
+
+# k-core peeling unrolled: 3 synchronous rounds of "remove every
+# surviving node with degree < 20 in the surviving subgraph" — pure
+# integer degrees, no tie-breaks, so equality is exact by construction.
+ORACLES["kcore_decompose"] = """
+  WITH p AS MATERIALIZED (
+    SELECT DISTINCT CAST(l_suppkey AS BIGINT)*2 AS src,
+                    CAST(o_custkey AS BIGINT)*2 + 1 AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  ),
+  e0 AS MATERIALIZED (
+    SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p
+  ),
+  n0 AS (SELECT DISTINCT src AS node FROM e0),
+  d1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM e0 GROUP BY 1),
+  ev1 AS (SELECT n0.node, COALESCE(d1.deg, 0) AS deg
+          FROM n0 LEFT JOIN d1 ON n0.node = d1.node),
+  a1 AS (SELECT node FROM ev1 WHERE deg >= 20),
+  e1 AS MATERIALIZED (
+    SELECT e0.src, e0.dst FROM e0
+    JOIN a1 s ON e0.src = s.node JOIN a1 t ON e0.dst = t.node
+  ),
+  d2 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM e1 GROUP BY 1),
+  ev2 AS (SELECT a1.node, COALESCE(d2.deg, 0) AS deg
+          FROM a1 LEFT JOIN d2 ON a1.node = d2.node),
+  a2 AS (SELECT node FROM ev2 WHERE deg >= 20),
+  e2 AS MATERIALIZED (
+    SELECT e1.src, e1.dst FROM e1
+    JOIN a2 s ON e1.src = s.node JOIN a2 t ON e1.dst = t.node
+  ),
+  d3 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM e2 GROUP BY 1),
+  ev3 AS (SELECT a2.node, COALESCE(d3.deg, 0) AS deg
+          FROM a2 LEFT JOIN d3 ON a2.node = d3.node),
+  allrows AS (
+    SELECT node, 1 AS peeled_round, deg FROM ev1 WHERE deg < 20
+    UNION ALL
+    SELECT node, 2 AS peeled_round, deg FROM ev2 WHERE deg < 20
+    UNION ALL
+    SELECT node, 3 AS peeled_round, deg FROM ev3 WHERE deg < 20
+    UNION ALL
+    SELECT node, 0 AS peeled_round, deg FROM ev3 WHERE deg >= 20
+  )
+  SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+           AS entity_type,
+         node // 2 AS entity_key,
+         CAST(peeled_round AS INT) AS peeled_round,
+         deg AS degree
+  FROM allrows
 """
 
 # lift is one IEEE double division of exactly-representable integer

@@ -2427,3 +2427,105 @@ def test_media_decode_routes_all_four_modalities(spark):
         getattr(rows[1], f) is None
         for f in ("format", "width", "sample_rate", "n_frames", "luma_sum")
     )
+
+
+def _kcore_reference(half_edges, k, rounds):
+    """Hand-rolled synchronous k-core peeling over a symmetric edge list."""
+    edges = set(half_edges) | {(b, a) for a, b in half_edges}
+    alive = {a for a, _ in edges}
+    out = {}
+    for r in range(1, rounds + 1):
+        deg = {n: 0 for n in alive}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+        dead = {n for n in alive if deg[n] < k}
+        for n in dead:
+            out[n] = (r, deg[n])
+        alive -= dead
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+        if r == rounds:
+            for n in alive:
+                out[n] = (0, deg[n])
+    return out
+
+
+def test_kcore_peel_planted_core_vs_reference(spark):
+    """A 5-clique (degree 4 inside) with pendant chains hanging off it,
+    peeled at k=3: the chains must peel outside-in round by round, the
+    clique must survive with degree 4, and the full (peeled_round,
+    degree) table must equal the hand-rolled synchronous reference."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    clique = [0, 1, 2, 3, 4]
+    half = [(x, y) for x in clique for y in clique if x < y]
+    half += [(4, 10), (10, 11), (11, 12)]  # pendant chain
+    e = half + [(y, x) for x, y in half]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r["node"]: (r["peeled_round"], r["degree"])
+        for r in kcore_peel(edges, k=3, rounds=3).collect()
+    }
+    assert got == _kcore_reference(half, 3, 3)
+    # the whole chain peels in round 1 (every chain degree < 3), after
+    # which node 4 loses its pendant: survivors all report FINAL degree 4
+    assert all(got[v] == (0, 4) for v in clique)
+    assert {got[v][0] for v in (10, 11, 12)} == {1}
+    # at k=2 the same chain cascades outside-in instead: 12 (deg 1) in
+    # round 1, 11 in round 2, 10 in round 3
+    got2 = {
+        r["node"]: (r["peeled_round"], r["degree"])
+        for r in kcore_peel(edges, k=2, rounds=3).collect()
+    }
+    assert got2 == _kcore_reference(half, 2, 3)
+    assert got2[12][0] == 1 and got2[11][0] == 2 and got2[10][0] == 3
+
+
+def test_kcore_peel_simultaneous_not_cascading_within_round(spark):
+    """Path 1-2-3-4 at k=2, ONE round: the endpoints (degree 1) peel, but
+    2 and 3 must survive round 1 with their PRE-peel degree 2 — a
+    within-round cascade (recomputing degrees after each removal) would
+    wrongly peel them in the same round."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    half = [(1, 2), (2, 3), (3, 4)]
+    e = half + [(y, x) for x, y in half]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r["node"]: (r["peeled_round"], r["degree"])
+        for r in kcore_peel(edges, k=2, rounds=1).collect()
+    }
+    assert got == {1: (1, 1), 4: (1, 1), 2: (0, 2), 3: (0, 2)}
+    assert got == _kcore_reference(half, 2, 1)
+
+
+def test_kcore_peel_invalid_args_raise(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=-1)
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=2, rounds=0)
+
+
+def test_kcore_peel_k_zero_keeps_everything(spark):
+    """k=0 peels nothing: every node survives with its true degree."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    half = [(1, 2), (2, 3)]
+    e = half + [(y, x) for x, y in half]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        r["node"]: (r["peeled_round"], r["degree"])
+        for r in kcore_peel(edges, k=0, rounds=2).collect()
+    }
+    assert got == {1: (0, 1), 2: (0, 2), 3: (0, 1)}
