@@ -942,6 +942,57 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining (round-9) — the RLHF/DPO data-prep
+    primitive: within each (lang, source) stratum, pair the
+    highest-quality document (the "chosen" response) with the
+    lowest-quality one (the "rejected") and report the quality margin.
+    Real pipelines mine millions of such pairs from scored candidate
+    pools; the quality signal here is lexical diversity in exact integer
+    ppm (1e6·distinct_tokens div n_tokens — the token_diversity metric),
+    so the whole selection is deterministic and value-oracled.
+
+    Scale shape: ONE map-side-combined aggregate per stratum — chosen is
+    ``max(struct(score, -doc_id))``, rejected ``min(struct(score,
+    -doc_id))`` (aggregate argmax/argmin, NOT a window: a 100 TB stratum
+    combines map-side instead of funneling through one window task; ties
+    break to the smallest doc_id for chosen, largest for rejected, so
+    2-doc equal-score strata still yield distinct pair members). Strata
+    with < 2 docs drop — no pair exists. Zero Python, one shuffle.
+    """
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            "CAST((1000000 * size(array_distinct(split(trim(coalesce(text,"
+            " '')), '\\\\s+')))) div"
+            " size(split(trim(coalesce(text, '')), '\\\\s+')) AS BIGINT)"
+        ).alias("score_ppm"),
+    )
+    agg = scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max(
+            F.struct(F.col("score_ppm").alias("s"), (-F.col("doc_id")).alias("ni"))
+        ).alias("__c"),
+        F.min(
+            F.struct(F.col("score_ppm").alias("s"), (-F.col("doc_id")).alias("ni"))
+        ).alias("__r"),
+    )
+    return agg.filter(F.col("n_docs") >= 2).select(
+        "lang",
+        "source",
+        "n_docs",
+        (-F.col("__c.ni")).cast("bigint").alias("chosen_doc_id"),
+        (-F.col("__r.ni")).cast("bigint").alias("rejected_doc_id"),
+        F.col("__c.s").alias("chosen_ppm"),
+        F.col("__r.s").alias("rejected_ppm"),
+        (F.col("__c.s") - F.col("__r.s")).cast("bigint").alias("margin_ppm"),
+    )
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication profile (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" signal,
@@ -7924,6 +7975,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_select": q_mmr_select,
     "substring_dedup": q_substring_dedup,
     "substring_dedup_hashed": q_substring_dedup_hashed,
+    "preference_pairs": q_preference_pairs,
     "substring_trim": q_substring_trim,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -11655,6 +11707,43 @@ ORACLES["substring_dedup"] = """
 # output equality of the two catalog queries). xxhash64 itself is not
 # SQL-replayable, so the string-form oracle value-oracles the twin.
 ORACLES["substring_dedup_hashed"] = ORACLES["substring_dedup"]
+
+# Preference-pair mining: DuckDB replays the argmax/argmin with two
+# ROW_NUMBER windows — (score DESC, doc_id ASC) for chosen, (score ASC,
+# doc_id DESC) for rejected — the same total orders the Spark struct
+# aggregates encode. Identical '' tokenization: regexp_split_to_array of
+# a trimmed empty string is [''], matching Spark's split('', '\s+').
+ORACLES["preference_pairs"] = r"""
+  WITH scored AS (
+    SELECT doc_id, lang, source,
+           (1000000 * len(list_distinct(
+                regexp_split_to_array(trim(COALESCE(text, ''), ' '), '\s+'))))
+             // len(regexp_split_to_array(trim(COALESCE(text, ''), ' '), '\s+'))
+             AS score_ppm
+    FROM documents
+  ),
+  ranked AS (
+    SELECT doc_id, lang, source, score_ppm,
+           ROW_NUMBER() OVER (PARTITION BY lang, source
+                              ORDER BY score_ppm DESC, doc_id ASC) AS rc,
+           ROW_NUMBER() OVER (PARTITION BY lang, source
+                              ORDER BY score_ppm ASC, doc_id DESC) AS rr,
+           COUNT(*) OVER (PARTITION BY lang, source) AS n_docs
+    FROM scored
+  )
+  SELECT c.lang, c.source,
+         CAST(c.n_docs AS BIGINT) AS n_docs,
+         CAST(c.doc_id AS BIGINT) AS chosen_doc_id,
+         CAST(r.doc_id AS BIGINT) AS rejected_doc_id,
+         CAST(c.score_ppm AS BIGINT) AS chosen_ppm,
+         CAST(r.score_ppm AS BIGINT) AS rejected_ppm,
+         CAST(c.score_ppm - r.score_ppm AS BIGINT) AS margin_ppm
+  FROM ranked c JOIN ranked r
+    ON c.lang IS NOT DISTINCT FROM r.lang
+   AND c.source IS NOT DISTINCT FROM r.source
+   AND c.rc = 1 AND r.rr = 1
+  WHERE c.n_docs >= 2
+"""
 
 
 ORACLES["ivfpq_topk"] = """

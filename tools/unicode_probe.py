@@ -83,6 +83,7 @@ TEXT_QUERIES = [
     "substring_dedup",
     "substring_dedup_hashed",
     "substring_trim",
+    "preference_pairs",
 ]
 
 
