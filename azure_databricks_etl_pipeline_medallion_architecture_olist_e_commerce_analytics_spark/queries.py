@@ -993,6 +993,72 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (round-9, operators/bloom.py) — the
+    runtime-filter semi-join every 100-TB engine leans on (and Spark
+    injects itself via runtimeFilter.bloomFilter): build a 8192-bit / 2-
+    hash bloom over the selective build side (suppliers of nation 7),
+    embed it as ONE int64-word array literal in the probe scan's filter
+    expression, and tag every lineitem row with the verdict — pure JVM
+    bit arithmetic in whole-stage codegen, zero Python, zero probe-side
+    shuffle before the aggregate.
+
+    Output is the pruning TELEMETRY per returnflag: probe rows, bloom
+    passes, true matches (exact broadcast semi-check), false positives,
+    and the FP share of passed rows in integer ppm. The no-false-negative
+    contract is value-pinned: n_false_pos = n_pass − n_true only equals
+    the oracle's count if the bloom admitted every true match. The md5
+    hash family is exactly replayable in DuckDB (``('0x' ||
+    substr(md5(k || '#i'), 1, 15))::BIGINT % 8192``) — production swaps
+    in xxhash64, same plan (the documented md5-vs-xxhash trade).
+
+    Scale: build aggregates to ≤ m distinct positions map-side and
+    collects BOUNDED BY m (codebook discipline); probe cost is two md5s
+    + two bit tests per row at the scan. At sf1 the 400-supplier build
+    half-fills the filter and real false positives appear in the
+    telemetry — the FP-vs-bits trade measured in-engine.
+    """
+    from .operators.bloom import bloom_build_positions, bloom_prune
+
+    tune_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    build = supp.filter(F.col("s_nationkey") == 7).select("s_suppkey")
+    positions = bloom_build_positions(build, "s_suppkey", m_bits=8192, k_hashes=2)
+    probe = li.select("l_returnflag", "l_suppkey")
+    tagged = bloom_prune(probe, positions, "l_suppkey", m_bits=8192, k_hashes=2)
+    truth = F.broadcast(
+        build.select(F.col("s_suppkey").alias("__true_k")).distinct()
+    )
+    return (
+        tagged.join(truth, tagged["l_suppkey"] == truth["__true_k"], "left")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+            F.sum(F.when(F.col("passes_bloom"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass_bloom"),
+            F.sum(F.when(F.col("__true_k").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true"),
+        )
+        .select(
+            "l_returnflag",
+            "n_probe",
+            "n_pass_bloom",
+            "n_true",
+            (F.col("n_pass_bloom") - F.col("n_true"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.expr(
+                "CAST(CASE WHEN n_pass_bloom = 0 THEN 0"
+                " ELSE (1000000 * (n_pass_bloom - n_true)) div n_pass_bloom"
+                " END AS BIGINT)"
+            ).alias("fp_ppm"),
+        )
+    )
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication profile (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" signal,
@@ -7976,6 +8042,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "substring_dedup_hashed": q_substring_dedup_hashed,
     "preference_pairs": q_preference_pairs,
+    "bloom_prune_join": q_bloom_prune_join,
     "substring_trim": q_substring_trim,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -11743,6 +11810,55 @@ ORACLES["preference_pairs"] = r"""
    AND c.source IS NOT DISTINCT FROM r.source
    AND c.rc = 1 AND r.rr = 1
   WHERE c.n_docs >= 2
+"""
+
+# Bloom pruning replayed exactly: the build side's distinct md5 bit
+# positions, each probe row's two positions left-joined against them
+# (hash joins, linear — no correlated subqueries), pass = both present;
+# NULL keys yield NULL positions, fail the joins, and so fail the bloom
+# — matching the engine's explicit NULL-fails contract.
+ORACLES["bloom_prune_join"] = """
+  WITH bk AS MATERIALIZED (
+    SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k
+    FROM supplier WHERE s_nationkey = 7
+  ),
+  pos AS MATERIALIZED (
+    SELECT DISTINCT
+      ('0x' || substr(md5(k::VARCHAR || '#' || i::VARCHAR), 1, 15))::BIGINT
+        % 8192 AS p
+    FROM bk, UNNEST([1, 2]) AS t(i)
+  ),
+  probe AS (
+    SELECT l_returnflag, CAST(l_suppkey AS BIGINT) AS k,
+      ('0x' || substr(md5(l_suppkey::VARCHAR || '#1'), 1, 15))::BIGINT
+        % 8192 AS p1,
+      ('0x' || substr(md5(l_suppkey::VARCHAR || '#2'), 1, 15))::BIGINT
+        % 8192 AS p2
+    FROM lineitem
+  ),
+  tagged AS (
+    SELECT probe.l_returnflag,
+           (h1.p IS NOT NULL AND h2.p IS NOT NULL) AS pass,
+           (bk.k IS NOT NULL) AS istrue
+    FROM probe
+    LEFT JOIN pos h1 ON probe.p1 = h1.p
+    LEFT JOIN pos h2 ON probe.p2 = h2.p
+    LEFT JOIN bk ON probe.k = bk.k
+  )
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_probe,
+         CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass_bloom,
+         CAST(SUM(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END)
+              - SUM(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos,
+         CAST(CASE WHEN SUM(CASE WHEN pass THEN 1 ELSE 0 END) = 0 THEN 0
+              ELSE (1000000 * (SUM(CASE WHEN pass THEN 1 ELSE 0 END)
+                               - SUM(CASE WHEN istrue THEN 1 ELSE 0 END)))
+                   // SUM(CASE WHEN pass THEN 1 ELSE 0 END) END AS BIGINT)
+           AS fp_ppm
+  FROM tagged GROUP BY l_returnflag
 """
 
 

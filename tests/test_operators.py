@@ -2529,3 +2529,83 @@ def test_kcore_peel_k_zero_keeps_everything(spark):
         for r in kcore_peel(edges, k=0, rounds=2).collect()
     }
     assert got == {1: (0, 1), 2: (0, 2), 3: (0, 1)}
+
+
+def test_bloom_no_false_negatives_and_null_fails(spark):
+    """Every build key must pass its own bloom (no false negatives —
+    the contract pruning correctness rests on); NULL probe keys fail."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.bloom import (
+        bloom_build_positions,
+        bloom_prune,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    pos = bloom_build_positions(build, "k", m_bits=1024, k_hashes=3)
+    assert 0 < len(pos) <= 150 and all(0 <= p < 1024 for p in pos)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(50)] + [(None,)], "k long"
+    )
+    got = {
+        r["k"]: r["passes_bloom"]
+        for r in bloom_prune(probe, pos, "k", m_bits=1024, k_hashes=3).collect()
+    }
+    assert all(got[i] for i in range(50))
+    assert got[None] is False
+
+
+def test_bloom_bit63_word_wraparound(spark):
+    """A hand-planted position on bit 63 must set the sign bit of its
+    int64 word literal and still test positive (the unsigned→signed
+    wrap), and positions in other words must not leak across words."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.bloom import (
+        bloom_prune,
+    )
+
+    # find probe keys whose k=1 position lands on bit 63 / elsewhere
+    probe = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+    import hashlib
+
+    def p1(key, m):
+        return int(hashlib.md5(f"{key}#1".encode()).hexdigest()[:15], 16) % m
+
+    hit63 = next(i for i in range(3000) if p1(i, 128) == 63)
+    miss = next(i for i in range(3000) if p1(i, 128) == 62)
+    got = {
+        r["k"]: r["passes_bloom"]
+        for r in bloom_prune(
+            probe.filter(F.col("k").isin([hit63, miss])),
+            [63],
+            "k",
+            m_bits=128,
+            k_hashes=1,
+        ).collect()
+    }
+    assert got[hit63] is True and got[miss] is False
+
+
+def test_bloom_fp_rate_sane_and_invalid_args(spark):
+    """With 50 keys in 4096 bits the FP rate on 500 disjoint probes must
+    be far below saturation; invalid parameters raise."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.bloom import (
+        MAX_LITERAL_BITS,
+        bloom_build_positions,
+        bloom_prune,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    pos = bloom_build_positions(build, "k", m_bits=4096, k_hashes=2)
+    probe = spark.createDataFrame([(i,) for i in range(1000, 1500)], "k long")
+    n_fp = (
+        bloom_prune(probe, pos, "k", m_bits=4096, k_hashes=2)
+        .filter(F.col("passes_bloom"))
+        .count()
+    )
+    assert n_fp < 25  # expected ~0.06% of 500; generous bound
+    with pytest.raises(ValueError):
+        bloom_build_positions(build, "k", m_bits=100)  # not multiple of 64
+    with pytest.raises(ValueError):
+        bloom_build_positions(build, "k", m_bits=MAX_LITERAL_BITS * 2)
+    with pytest.raises(ValueError):
+        bloom_build_positions(build, "k", m_bits=4096, k_hashes=0)
+    with pytest.raises(ValueError):
+        bloom_prune(probe, [4096], "k", m_bits=4096)  # position out of range
