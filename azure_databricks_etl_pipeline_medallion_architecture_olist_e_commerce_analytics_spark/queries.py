@@ -1059,6 +1059,71 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keyword_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, round-9) —
+    the text×graph COMPOSITION the catalog's families were built for:
+    tokenize the corpus, build the word co-occurrence graph (adjacent
+    content words, length ≥ 4, weight = corpus-wide adjacency count,
+    symmetrized), run integer-arithmetic PageRank over the WORD graph
+    (operators/graph.py::pagerank_integer, weighted path, 3 rounds), and
+    emit the top-25 keywords by rank — the unsupervised keyword/topic
+    surfacing step of corpus curation.
+
+    Deterministic end-to-end: integer edge weights, floor-division rank
+    updates, ties broken (rank DESC, word ASC) — the oracle unrolls the
+    same 3 weighted rounds as CTEs over STRING node keys (PageRank
+    doesn't care that nodes are words, and neither does SQL).
+
+    Scale: adjacency explode is O(tokens) with map-side-combined weight
+    aggregation; the word graph is tiny relative to the corpus (Heaps'
+    law — vocabulary grows sublinearly), so per-round joins run against
+    an O(distinct-bigrams) checkpointed edge list and the final top-25
+    is a WindowGroupLimit over O(vocabulary) rows, not O(corpus).
+    """
+    from .operators.graph import pagerank_integer
+
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.expr(
+            "filter(split(lower(trim(coalesce(text, ''))), '\\\\s+'),"
+            " t -> length(t) >= 4)"
+        ).alias("w")
+    ).filter(F.size("w") >= 2)
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) as a,"
+                    "             element_at(w, i + 1) as b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    wpairs = (
+        pairs.groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    edges = wpairs.union(
+        wpairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    ranks = pagerank_integer(
+        edges, iterations=3, weight_col="w", materialized=True, symmetric=True
+    )
+    top = ranks.select(
+        F.col("node").alias("keyword"),
+        F.col("rank").alias("rank_micro"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rank").desc(), F.col("node").asc()))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 25)
+    return top
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication profile (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" signal,
@@ -8043,6 +8108,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup_hashed": q_substring_dedup_hashed,
     "preference_pairs": q_preference_pairs,
     "bloom_prune_join": q_bloom_prune_join,
+    "keyword_textrank": q_keyword_textrank,
     "substring_trim": q_substring_trim,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -11810,6 +11876,70 @@ ORACLES["preference_pairs"] = r"""
    AND c.source IS NOT DISTINCT FROM r.source
    AND c.rc = 1 AND r.rr = 1
   WHERE c.n_docs >= 2
+"""
+
+# TextRank = the pagerank_weighted oracle's update over STRING (word)
+# nodes: same 85/100 damping, same floor-division contribution — DuckDB
+# promotes the rank·w product to HUGEINT so the naive (rank*w)//deg form
+# here is value-identical to the engine's overflow-safe decomposition
+# (rank div deg)*w + ((rank%deg)*w) div deg (documented at
+# operators/graph.py::pagerank_integer).
+ORACLES["keyword_textrank"] = r"""
+  WITH t AS (
+    SELECT list_filter(
+             regexp_split_to_array(lower(trim(COALESCE(text, ''), ' ')),
+                                   '\s+'),
+             x -> length(x) >= 4) AS w
+    FROM documents
+  ),
+  t2 AS (SELECT w FROM t WHERE len(w) >= 2),
+  pr AS (
+    SELECT w[CAST(i.i AS INT)] AS a, w[CAST(i.i AS INT) + 1] AS b
+    FROM t2, UNNEST(range(1, len(w))) AS i(i)
+  ),
+  p AS MATERIALIZED (
+    SELECT a AS src, b AS dst, CAST(COUNT(*) AS BIGINT) AS w
+    FROM pr WHERE a <> b GROUP BY 1, 2
+  ),
+  e AS MATERIALIZED (
+    SELECT src, dst, w FROM p UNION ALL SELECT dst AS src, src AS dst, w FROM p
+  ),
+  nodes AS (SELECT DISTINCT src AS node FROM e),
+  deg AS (SELECT src, SUM(w) AS deg FROM e GROUP BY 1),
+  prm AS (SELECT 1000000000000 // COUNT(*) AS r0,
+                 15 * (1000000000000 // COUNT(*)) // 100 AS base
+          FROM nodes),
+  r0 AS (SELECT node, (SELECT r0 FROM prm) AS rank FROM nodes),
+  r1 AS (
+    SELECT n.node, CAST((SELECT base FROM prm)
+                        + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, SUM((r.rank * e.w) // d.deg) AS s
+      FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src
+      GROUP BY e.dst) i ON i.node = n.node
+  ),
+  r2 AS (
+    SELECT n.node, CAST((SELECT base FROM prm)
+                        + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, SUM((r.rank * e.w) // d.deg) AS s
+      FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src
+      GROUP BY e.dst) i ON i.node = n.node
+  ),
+  r3 AS (
+    SELECT n.node, CAST((SELECT base FROM prm)
+                        + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, SUM((r.rank * e.w) // d.deg) AS s
+      FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src
+      GROUP BY e.dst) i ON i.node = n.node
+  )
+  SELECT keyword, rank_micro, rn FROM (
+    SELECT node AS keyword, CAST(rank AS BIGINT) AS rank_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS INT)
+             AS rn
+    FROM r3
+  ) WHERE rn <= 25
 """
 
 # Bloom pruning replayed exactly: the build side's distinct md5 bit

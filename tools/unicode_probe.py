@@ -84,6 +84,7 @@ TEXT_QUERIES = [
     "substring_dedup_hashed",
     "substring_trim",
     "preference_pairs",
+    "keyword_textrank",
 ]
 
 
