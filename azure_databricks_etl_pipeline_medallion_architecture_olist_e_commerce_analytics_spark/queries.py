@@ -1534,6 +1534,27 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(attach_video_payload(docs), stride=2)
 
 
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection (round-9) — shot-boundary analysis over REAL
+    decoded Y4M frames (operators/video.py::video_scene_cuts): per
+    consecutive frame pair, the exact int64 SAD of the luma planes and
+    the per-pixel mean absolute difference in milli-units, flagged as a
+    cut at MAD ≥ 24700 (the synthetic corpus' inter-frame delta sits
+    near 24.7/pixel, so the flag splits on genuine per-payload
+    variation). The curation step between decode and frame sampling:
+    shots, not raw strides, are what vision pipelines sample from.
+
+    The oracle replays every pixel: frame f's luma at index i is
+    (doc_id + 13f + 5i) % 256, so |Δ| to frame f+1 is 13 unless the
+    value wraps (≥ 243), where it is 243 — summed per pair in SQL.
+    """
+    from .operators.video import attach_video_payload, video_scene_cuts
+
+    tune_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return video_scene_cuts(attach_video_payload(docs), threshold_milli=24700)
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNIFIED mixed-modality decode (round-9) — the realistic
     heterogeneous-blob-column case: ``doc_id % 4`` lands a genuine 24-bit
@@ -8117,6 +8138,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_window_energy": q_audio_window_energy,
     "video_decode": q_video_decode,
     "video_frame_sample": q_video_frame_sample,
+    "video_scene_cuts": q_video_scene_cuts,
     "media_decode": q_media_decode,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
@@ -10421,6 +10443,31 @@ ORACLES: dict[str, str] = {
       SELECT doc_id, frame_index,
              CAST(luma AS BIGINT) AS luma_sum,
              CAST(luma // (w * h) AS BIGINT) AS luma_mean
+      FROM s
+    """,
+    "video_scene_cuts": """
+      WITH p AS (
+        SELECT doc_id,
+               8 + (doc_id % 5) * 4 AS w,
+               6 + (doc_id % 3) * 4 AS h,
+               3 + doc_id % 4 AS n
+        FROM documents
+      ),
+      pairs AS (
+        SELECT doc_id, w, h, CAST(u AS INTEGER) AS frame_a
+        FROM p, unnest(range(0, n - 1)) AS t(u)
+      ),
+      s AS (
+        SELECT doc_id, frame_a, w, h,
+               list_sum(list_transform(range(0, w * h), i ->
+                 CASE WHEN (doc_id + 13 * frame_a + 5 * i) % 256 <= 242
+                      THEN 13 ELSE 243 END)) AS sad
+        FROM pairs
+      )
+      SELECT doc_id, frame_a,
+             CAST(sad AS BIGINT) AS sad,
+             CAST((1000 * sad) // (w * h) AS BIGINT) AS mad_milli,
+             (1000 * sad) // (w * h) >= 24700 AS is_cut
       FROM s
     """,
     "media_decode": """

@@ -2609,3 +2609,72 @@ def test_bloom_fp_rate_sane_and_invalid_args(spark):
         bloom_build_positions(build, "k", m_bits=4096, k_hashes=0)
     with pytest.raises(ValueError):
         bloom_prune(probe, [4096], "k", m_bits=4096)  # position out of range
+
+
+def test_video_scene_cuts_planted_cut_and_corrupt(spark):
+    """A hand-assembled 3-frame Y4M — frame 0 ≈ frame 1 (SAD w·h, every
+    pixel off by one) and frame 2 a hard cut (|Δ|=200 everywhere) — must
+    yield exactly two pair rows with the planted SAD/MAD and only the
+    second flagged; corrupt payloads emit zero rows."""
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.video import (
+        video_scene_cuts,
+    )
+
+    w, h = 8, 6
+    wh, c = w * h, (w // 2) * (h // 2)
+
+    def frame(yval):
+        return (
+            b"FRAME\n"
+            + bytes([yval]) * wh
+            + bytes([10]) * c
+            + bytes([20]) * c
+        )
+
+    buf = (
+        f"YUV4MPEG2 W{w} H{h} F24:1 Ip A1:1 C420jpeg\n".encode()
+        + frame(50)
+        + frame(51)
+        + frame(251)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(buf)), (2, bytearray(b"not a video"))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        video_scene_cuts(df, threshold_milli=24700).collect(),
+        key=lambda r: r.frame_a,
+    )
+    assert [r.doc_id for r in rows] == [1, 1]
+    assert rows[0].frame_a == 0 and rows[0].sad == wh
+    assert rows[0].mad_milli == 1000 and rows[0].is_cut is False
+    assert rows[1].frame_a == 1 and rows[1].sad == 200 * wh
+    assert rows[1].mad_milli == 200000 and rows[1].is_cut is True
+
+
+def test_video_scene_cuts_matches_plane_formula(spark):
+    """On the synthetic corpus the SAD of pair (f, f+1) equals the
+    closed-form 13·|{v≤242}| + 243·|{v≥243}| over frame f's luma values
+    — the identity the DuckDB oracle relies on."""
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.video import (
+        _y4m_params,
+        attach_video_payload,
+        video_scene_cuts,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 40)
+    got = {
+        (r.doc_id, r.frame_a): r.sad
+        for r in video_scene_cuts(attach_video_payload(docs)).collect()
+    }
+    for did in range(40):
+        w, h, _, n = _y4m_params(did)
+        i = np.arange(w * h, dtype=np.int64)
+        for f in range(n - 1):
+            v = (did + 13 * f + 5 * i) % 256
+            expect = int(np.where(v <= 242, 13, 243).sum())
+            assert got[(did, f)] == expect
