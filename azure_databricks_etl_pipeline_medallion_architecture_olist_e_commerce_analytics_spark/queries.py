@@ -2939,6 +2939,82 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via distributed
+    POWER ITERATION (round-9) — the PCA/whitening primitive embedding
+    pipelines run before indexing (decorrelate, reduce, or sanity-check
+    anisotropy; the first step of the OPQ rotation the PQ docstrings
+    reference): 3 fixed rounds of v ← Xᵀ(Xv), max-abs-normalized to
+    integer micro-units each round, over milli-quantized vectors —
+    converging on the dominant right-singular vector of the (uncentered)
+    embedding matrix at rate (λ₂/λ₁)^rounds: exact on any corpus, a
+    converged DIRECTION wherever a spectral gap exists (the planted-gap
+    unit pins |cos| > 0.99 to numpy SVD in 3 rounds; a near-isotropic
+    corpus needs more rounds, same plan per round).
+
+    Engine-exact by the fixed-round integer discipline (pagerank /
+    trained-PQ): quantization is FLOOR on bitwise-identical doubles;
+    Xv is a per-row JVM zip_with fold against the current v as an array
+    LITERAL (rescaled by v's 1e6 unit with truncating div — both engines
+    truncate toward zero); Xᵀ(Xv) is ONE map-side-combined aggregate of
+    64 sums; normalization runs driver-side on the collected 64-value
+    row with ``_tdiv`` (Python // floors — the documented trap), and the
+    oracle replays it in HUGEINT (1e6·s overflows int64 by design there;
+    every in-plan Spark value stays provably under 2^63: |vm|≤~2e3,
+    |xv|≤1.3e5 after rescale, so s_j ≤ 2.6e8·rows — safe past 10⁹ rows).
+
+    Scale: per round ONE scan of the checkpointed quantized vectors +
+    one 64-column hash aggregate collapsing to a SINGLE driver row (the
+    O(1)-rows-per-round BPE/MMR collect discipline — never O(corpus));
+    no shuffle wider than 64 partial sums per partition.
+    """
+    from .operators.similarity import _tdiv, _valid_vectors
+
+    tune_session(spark)
+    emb = _valid_vectors(
+        spread_partitions(load_table(spark, sf_dir, "embeddings")),
+        "embedding",
+        64,
+    )
+    vm = emb.select(
+        F.expr(
+            "transform(embedding, v -> cast(floor(cast(v as double) * 1000)"
+            " as bigint))"
+        ).alias("vm")
+    ).localCheckpoint()
+    v = [1_000_000] * 64
+    for _ in range(3):
+        vlit = "array(" + ",".join(f"{x}L" for x in v) + ")"
+        row = (
+            vm.select(
+                "vm",
+                F.expr(
+                    f"aggregate(zip_with(vm, {vlit}, (x, y) -> x * y),"
+                    " 0L, (a, x) -> a + x) div 1000000"
+                ).alias("xv"),
+            )
+            .groupBy()
+            .agg(
+                *[
+                    F.sum(F.expr(f"element_at(vm, {j}) * xv")).alias(f"s{j}")
+                    for j in range(1, 65)
+                ]
+            )
+            .collect()[0]
+        )
+        s = [row[f"s{j}"] for j in range(1, 65)]
+        if s[0] is None:
+            # empty valid-vector set: no principal direction exists
+            return spark.createDataFrame([], "dim int, v_micro long")
+        m = max(abs(x) for x in s)
+        if m == 0:
+            return spark.createDataFrame([], "dim int, v_micro long")
+        v = [_tdiv(1_000_000 * x, m) for x in s]
+    return spark.createDataFrame(
+        [(j + 1, v[j]) for j in range(64)], "dim int, v_micro long"
+    )
+
+
 def q_corpus_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram inverse-frequency rarity score per document — the cheap
     corpus-statistics quality signal (CCNet-style LM filtering's integer
@@ -8130,6 +8206,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preference_pairs": q_preference_pairs,
     "bloom_prune_join": q_bloom_prune_join,
     "keyword_textrank": q_keyword_textrank,
+    "embedding_pca_power": q_embedding_pca_power,
     "substring_trim": q_substring_trim,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -11923,6 +12000,47 @@ ORACLES["preference_pairs"] = r"""
    AND c.source IS NOT DISTINCT FROM r.source
    AND c.rc = 1 AND r.rr = 1
   WHERE c.n_docs >= 2
+"""
+
+# Power iteration unrolled: 3 rounds of v <- Xt(Xv) over milli-quantized
+# vectors; xv rescales by v's 1e6 unit with BIGINT truncating division,
+# the per-round normalization (1e6*s)//max|s| promotes to HUGEINT (it
+# overflows int64 by design; HUGEINT // truncates toward zero exactly
+# like the engine's _tdiv). Same validity guard as embedding_outliers.
+ORACLES["embedding_pca_power"] = """
+  WITH t AS MATERIALIZED (
+    SELECT list_transform(embedding,
+             x -> CAST(FLOOR(x::DOUBLE * 1000) AS BIGINT)) AS vm
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+      AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
+  ),
+  x1 AS (SELECT vm, list_sum(list_transform(range(1, 65),
+              j -> vm[CAST(j AS INT)] * 1000000)) // 1000000 AS xv FROM t),
+  s1 AS (SELECT u.j AS j, CAST(SUM(vm[CAST(u.j AS INT)] * xv) AS BIGINT) AS s
+         FROM x1, UNNEST(range(1, 65)) AS u(j) GROUP BY 1),
+  v1 AS (SELECT j, CAST((1000000::HUGEINT * s)
+                        // (SELECT MAX(ABS(s)) FROM s1) AS BIGINT) AS val
+         FROM s1),
+  vl1 AS (SELECT list(val ORDER BY j) AS v FROM v1),
+  x2 AS (SELECT vm, list_sum(list_transform(range(1, 65),
+              j -> vm[CAST(j AS INT)] * v[CAST(j AS INT)])) // 1000000 AS xv
+         FROM t, vl1),
+  s2 AS (SELECT u.j AS j, CAST(SUM(vm[CAST(u.j AS INT)] * xv) AS BIGINT) AS s
+         FROM x2, UNNEST(range(1, 65)) AS u(j) GROUP BY 1),
+  v2 AS (SELECT j, CAST((1000000::HUGEINT * s)
+                        // (SELECT MAX(ABS(s)) FROM s2) AS BIGINT) AS val
+         FROM s2),
+  vl2 AS (SELECT list(val ORDER BY j) AS v FROM v2),
+  x3 AS (SELECT vm, list_sum(list_transform(range(1, 65),
+              j -> vm[CAST(j AS INT)] * v[CAST(j AS INT)])) // 1000000 AS xv
+         FROM t, vl2),
+  s3 AS (SELECT u.j AS j, CAST(SUM(vm[CAST(u.j AS INT)] * xv) AS BIGINT) AS s
+         FROM x3, UNNEST(range(1, 65)) AS u(j) GROUP BY 1),
+  v3 AS (SELECT j, CAST((1000000::HUGEINT * s)
+                        // (SELECT MAX(ABS(s)) FROM s3) AS BIGINT) AS val
+         FROM s3)
+  SELECT CAST(j AS INT) AS dim, val AS v_micro FROM v3
 """
 
 # TextRank = the pagerank_weighted oracle's update over STRING (word)

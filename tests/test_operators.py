@@ -2678,3 +2678,58 @@ def test_video_scene_cuts_matches_plane_formula(spark):
             v = (did + 13 * f + 5 * i) % 256
             expect = int(np.where(v <= 242, 13, 243).sum())
             assert got[(did, f)] == expect
+
+
+def test_embedding_pca_power_invariants_on_corpus(spark):
+    """On the (near-isotropic) synthetic corpus the result is still a
+    pinned 3-round fixpoint: 64 dims, normalization lands max |component|
+    exactly on the 1e6 unit."""
+    import numpy as np
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        q_embedding_pca_power,
+    )
+
+    rows = q_embedding_pca_power(spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    assert sorted(r.dim for r in rows) == list(range(1, 65))
+    assert max(abs(r.v_micro) for r in rows) == 1_000_000
+
+
+def test_embedding_pca_power_converges_on_planted_direction(spark, tmp_path):
+    """With a genuine spectral gap (one planted dominant direction over
+    small noise), 3 integer power-iteration rounds must recover the true
+    top right-singular vector: |cos| > 0.99 against numpy SVD. The
+    corpus-level oracle pins exactness; this pins CONVERGENCE."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        q_embedding_pca_power,
+    )
+
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=64)
+    d /= np.linalg.norm(d)
+    t = rng.normal(scale=3.0, size=(200, 1))
+    x = (t * d + rng.normal(scale=0.2, size=(200, 64))).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, row)) for row in x], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 200, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = q_embedding_pca_power(spark, str(tmp_path)).collect()
+    v = np.array(
+        [r.v_micro for r in sorted(rows, key=lambda r: r.dim)], dtype=np.float64
+    )
+    xq = np.floor(x.astype(np.float64) * 1000)
+    _, _, vt = np.linalg.svd(xq, full_matrices=False)
+    u = vt[0]
+    cos = abs(float(v @ u)) / (np.linalg.norm(v) * np.linalg.norm(u))
+    assert cos > 0.99, cos
