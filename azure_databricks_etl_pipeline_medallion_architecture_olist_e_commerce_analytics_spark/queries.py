@@ -8247,19 +8247,30 @@ _DRIVER_PRIORITY = [
     # achievable freshness bound is "oldest <= ~5 rounds", so every round
     # leads with the stalest cumulative rows rather than chasing a fixed
     # age cap).
-    #   slots 1-48  — ALL 48 queries whose newest green row is r04 (the
-    #                 oldest block in the cumulative CORRECTNESS_r1..r8
-    #                 union; after this round nothing is older than r05).
-    #   slots 49-50 — new/changed in round 9: ivfpq_residual_topk (NEW —
-    #                 the true residual IVF-PQ, promoted from unit-only
-    #                 per the r8 verdict ask #1) and ann_recall_eval
-    #                 (CHANGED — widened to the index-tier matrix, ask
-    #                 #5).
+    #   slots 1-8   — every query with NO driver row at all: the six
+    #                 second-batch round-9 additions (kcore_decompose,
+    #                 preference_pairs, bloom_prune_join,
+    #                 keyword_textrank, embedding_pca_power,
+    #                 video_scene_cuts) plus ivfpq_residual_topk (NEW —
+    #                 promoted from unit-only per the r8 verdict ask #1)
+    #                 and ann_recall_eval (CHANGED — widened to the
+    #                 index-tier matrix, ask #5). Brand-new queries
+    #                 outrank stale-but-green ones: a query that has
+    #                 NEVER had a hard row is the bigger correctness gap.
+    #   slots 9-50  — the oldest cumulative block (newest green row r04),
+    #                 oldest-first: 42 of its 48 fit; the remaining 6
+    #                 (tpch_q2, tpch_q20, unpivot_metrics,
+    #                 weighted_median, zipf_head_share + 1) lead r10.
     #   past 50     — remaining round-9 new/changed: the hashed
-    #                 substring twin and multimodal_decode (bounded-
-    #                 inflate hardening, output unchanged) ride past the
-    #                 prefix — both value-verified by driver_sim and the
-    #                 canonical sf1 sweep this round.
+    #                 substring twin, the real audio/video/media decode
+    #                 family, and multimodal_decode (bounded-inflate
+    #                 hardening, output unchanged) ride past the prefix —
+    #                 all value-verified by driver_sim and the canonical
+    #                 sf1 sweep this round.
+    # --- new / changed in round 9, never driver-tested (slots 1-8) ---
+    "kcore_decompose", "preference_pairs", "bloom_prune_join",
+    "keyword_textrank", "embedding_pca_power", "video_scene_cuts",
+    "ivfpq_residual_topk", "ann_recall_eval",
     # --- refresh: newest green row is r04 (oldest-first) ---
     "ab_test_zscore", "benford_deviation", "chi_square", "class_rebalance",
     "cohort_retention", "correlated_subquery", "correlation_matrix",
@@ -8275,8 +8286,6 @@ _DRIVER_PRIORITY = [
     "stratified_sample", "streaming_distinct_users", "target_encoding",
     "token_diversity", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q2",
     "tpch_q20", "unpivot_metrics", "weighted_median", "zipf_head_share",
-    # --- new / changed in round 9 (slots 49-50) ---
-    "ivfpq_residual_topk", "ann_recall_eval",
     # --- past the 50-slot prefix ---
     "substring_dedup_hashed", "audio_decode", "audio_window_energy",
     "video_decode", "video_frame_sample", "media_decode",

@@ -680,3 +680,77 @@ def test_sessionize_split_two_exchanges_only(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:1200]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_plan_hash_joins_no_python(spark):
+    """Peeling rounds are degree hash aggregates + semi equi-joins: no
+    cartesian/nested-loop anywhere in the 3-round chain, no Python, and
+    the survivor restriction is a genuine LeftSemi."""
+    plan = _formatted_plan(SPARK_QUERIES["kcore_decompose"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_preference_pairs_is_window_free_single_exchange(spark):
+    """The chosen/rejected selection is an AGGREGATE argmax, not a
+    window: a 100 TB stratum must combine map-side, never funnel through
+    one window task. One data exchange (the stratum aggregate)."""
+    plan = _formatted_plan(SPARK_QUERIES["preference_pairs"](spark, SF_SMALL))
+    assert "Window" not in plan
+    # exactly two exchanges: the loader's small-file spread repartition +
+    # the stratum aggregate; struct min/max plans as SortAggregate, whose
+    # partial still combines map-side (two SortAggregate nodes)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:1200]
+    assert len(re.findall(r"\(\d+\) SortAggregate", plan)) == 2, plan[:1200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_prune_probe_is_codegen_single_exchange(spark):
+    """The bloom test rides the probe scan inside whole-stage codegen:
+    no Python, the exact-truth side is a broadcast hash join, and the
+    only data exchange is the final 3-group telemetry aggregate."""
+    plan = _formatted_plan(SPARK_QUERIES["bloom_prune_join"](spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # two exchanges only: one inside the bounded build-side distinct (the
+    # broadcast truth table), one for the final 3-group telemetry
+    # aggregate — the PROBE rows reach their partial aggregate unshuffled
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan[:1200]
+    # the bit-test filter compiles into a whole-stage codegen subtree
+    # (plan with AQE off — AQE defers codegen to per-stage runtime)
+    df = SPARK_QUERIES["bloom_prune_join"](spark, SF_SMALL)
+    jvm = df.sparkSession._jvm
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        code = jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", code)
+    assert m and int(m.group(1)) >= 1, code[:300]
+
+
+def test_keyword_textrank_topk_is_group_limit(spark):
+    """The global top-25 over the word graph must be a WindowGroupLimit
+    (per-partition partial top-k before the single-partition rank), and
+    the pagerank rounds stay hash-join/aggregate shaped."""
+    plan = _formatted_plan(SPARK_QUERIES["keyword_textrank"](spark, SF_SMALL))
+    # the global top-25 plans as TakeOrderedAndProject (per-partition heap
+    # + driver merge of 25 rows) feeding the rank window — never a
+    # range-partitioned global sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_video_scene_cuts_zero_shuffle(spark):
+    """Attach + scene-cut kernels are two chained mapInPandas stages over
+    the document scan — no exchange anywhere (per-payload work only)."""
+    plan = _formatted_plan(SPARK_QUERIES["video_scene_cuts"](spark, SF_SMALL))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:1200]
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan[:1200]

@@ -96,6 +96,13 @@ PROBE = [
     "video_frame_sample",   # true every-2nd-frame luma extraction
     "media_decode",         # 4-way magic-byte router over one blob column
     "substring_trim",   # dup-span removal: dup-window positions -> rebuild
+    # round-9 additions
+    "kcore_decompose",  # 3 peel rounds: degree agg + 2 semi-joins each
+    "preference_pairs", # one struct-argmax aggregate per stratum
+    "bloom_prune_join", # bounded-collect bitmap, codegen bit-test probe
+    "keyword_textrank", # O(tokens) adjacency explode + word-graph pagerank
+    "embedding_pca_power",  # 3 rounds x (zip_with fold + 64-col agg)
+    "video_scene_cuts", # per-pair numpy SAD over real Y4M frames
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
     "streaming_running_totals",
