@@ -682,15 +682,37 @@ def test_sessionize_split_two_exchanges_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_kcore_plan_hash_joins_no_python(spark):
-    """Peeling rounds are degree hash aggregates + semi equi-joins: no
-    cartesian/nested-loop anywhere in the 3-round chain, no Python, and
-    the survivor restriction is a genuine LeftSemi."""
+def test_kcore_plan_rounds_materialize_no_python(spark):
+    """Each peel round materializes its O(V) evaluation (localCheckpoint)
+    so the final union reads checkpoint scans instead of replaying every
+    prior round (the lazy form measured O(rounds²) exchanges — 141 at
+    rounds=3). The returned plan must therefore be tiny — union of
+    checkpoint-scan filters, no joins, no Python — while the per-round
+    semi-join shape is pinned on the operator's own restriction step."""
+    import re as _re
+
     plan = _formatted_plan(SPARK_QUERIES["kcore_decompose"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "LeftSemi" in plan
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 0, plan[:1200]
+    assert len(_re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 4
+    # the survivor restriction itself: one round of the operator's edge
+    # filter must plan as two LeftSemi hash joins, never nested-loop
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+    from pyspark.sql import functions as F
+
+    half = [(i, i + 1) for i in range(200)]
+    e = half + [(b, a) for a, b in half]
+    edges = spark.createDataFrame(e, "src long, dst long").localCheckpoint()
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    cur = edges.join(
+        F.broadcast(alive).withColumnRenamed("node", "src"), "src", "left_semi"
+    ).join(F.broadcast(alive).withColumnRenamed("node", "dst"), "dst", "left_semi")
+    rplan = _formatted_plan(cur)
+    assert rplan.count("LeftSemi") >= 2 and "NestedLoop" not in rplan
 
 
 def test_preference_pairs_is_window_free_single_exchange(spark):

@@ -30,7 +30,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # loops of collect/localCheckpoint); their PLANS.md stats describe only the
 # final returned frame, so a "shuffles: 0" must not be read as the query's
 # scale shape — the emit loop appends an explicit caveat for these.
-DRIVER_LOOP = {"bpe_merges", "bpe_encode", "pq_topk", "pq_topk_trained"}
+DRIVER_LOOP = {
+    "bpe_merges", "bpe_encode", "pq_topk", "pq_topk_trained",
+    "embedding_pca_power", "kcore_decompose",
+}
 
 ANNOTATIONS = {
     "gold_fact_lineitem": (
@@ -522,6 +525,53 @@ ANNOTATIONS = {
         "WindowGroupLimit-eligible, path assembly is array_sort over "
         "per-user structs (no second sort pass), and the final top-25 is "
         "TakeOrderedAndProject."
+    ),
+    "kcore_decompose": (
+        "Bounded k-core peeling (per-round eager jobs): each round is one map-side-"
+        "combined degree aggregate over the checkpointed trade edges plus "
+        "two LEFT-SEMI survivor joins (the O(V) survivor set broadcasts "
+        "under BROADCAST_NODE_LIMIT; a 100 TB node vector shuffles "
+        "instead). The per-round peeled frames union lazily — already-"
+        "computed subtrees, no extra pass. Flat across a 100x hub-degree "
+        "sweep (SCALING.md round-9 hostiles)."
+    ),
+    "preference_pairs": (
+        "RLHF pair mining as ONE aggregate: chosen/rejected are struct "
+        "argmax/argmin per (lang, source) — map-side combined, window-"
+        "free, so a mega-stratum combines in parallel instead of "
+        "funneling through one window task (0.7x on the 90%-one-stratum "
+        "hostile). Exactly two exchanges: the loader's small-file spread "
+        "+ the stratum aggregate."
+    ),
+    "bloom_prune_join": (
+        "Runtime-filter semi-join: the build side aggregates to <=m "
+        "distinct md5 bit positions (bounded collect, never O(rows)), "
+        "packed into an int64-word array literal whose two bit tests run "
+        "inside whole-stage codegen at the probe scan — zero probe-side "
+        "shuffle before the 3-group telemetry aggregate; the exact-truth "
+        "check is a broadcast hash join on the selective build."
+    ),
+    "keyword_textrank": (
+        "TextRank: O(tokens) adjacency explode with map-side weight "
+        "combine builds a vocabulary-bounded word graph (Heaps' law — "
+        "flat 1.0x at 10x corpus); 3 weighted integer-pagerank rounds "
+        "run the pagerank_integer small-path broadcast plan over string "
+        "nodes; the global top-25 is TakeOrderedAndProject (per-"
+        "partition heap), never a range-partitioned vocabulary sort."
+    ),
+    "embedding_pca_power": (
+        "Integer power iteration: per round one scan of the checkpointed "
+        "milli-quantized vectors — a JVM zip_with fold against the "
+        "current direction as an array literal, then ONE 64-column map-"
+        "side-combined aggregate collapsing to a single collected row "
+        "(the O(1)-rows-per-round BPE/MMR discipline). Normalization is "
+        "driver-side _tdiv, HUGEINT-replayed in the oracle."
+    ),
+    "video_scene_cuts": (
+        "Shot-boundary SAD: two chained mapInPandas stages over the "
+        "document scan (attach + per-pair numpy kernel), zero exchanges; "
+        "fan-out O(n_frames-1) rows per payload, per-pixel work never "
+        "touches Python scalars."
     ),
 }
 
