@@ -226,6 +226,13 @@ HEADLINE = [
     "video_decode",
     "video_frame_sample",
     "media_decode",
+    # round-9 second batch
+    "kcore_decompose",
+    "preference_pairs",
+    "bloom_prune_join",
+    "keyword_textrank",
+    "embedding_pca_power",
+    "video_scene_cuts",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
