@@ -407,3 +407,92 @@ def test_y4m_codec_roundtrip_property(did):
     i = np.arange(w * h, dtype=np.int64)
     luma = sum(int(((did + 13 * f + 5 * i) % 256).sum()) for f in range(n))
     assert parse_y4m(encode_y4m(did)) == (w, h, fps, 1, n, luma)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    n_nodes=st.integers(min_value=2, max_value=14),
+    k=st.integers(min_value=0, max_value=5),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_kcore_peel_matches_reference_on_random_graphs(
+    spark, seed, n_nodes, k, rounds
+):
+    """On random Erdős–Rényi-ish graphs of every small size, kcore_peel's
+    full (peeled_round, degree) table equals a hand-rolled synchronous
+    peeling reference — any within-round cascade, degree-after-removal
+    mixup, or survivor-restriction bug diverges somewhere in this space."""
+    import random
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    rng = random.Random(seed)
+    half = sorted(
+        {
+            (a, b)
+            for a in range(n_nodes)
+            for b in range(a + 1, n_nodes)
+            if rng.random() < 0.45
+        }
+    )
+    if not half:
+        half = [(0, 1)]
+    e = half + [(b, a) for a, b in half]
+
+    # reference: synchronous peel over the symmetric edge set
+    edges = set(e)
+    alive = {a for a, _ in edges}
+    expect = {}
+    for r in range(1, rounds + 1):
+        deg = {n: 0 for n in alive}
+        for a, b in edges:
+            deg[a] += 1
+        dead = {n for n in alive if deg[n] < k}
+        for n in dead:
+            expect[n] = (r, deg[n])
+        alive -= dead
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+        if r == rounds:
+            for n in alive:
+                expect[n] = (0, deg[n])
+
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        row["node"]: (row["peeled_round"], row["degree"])
+        for row in kcore_peel(df, k=k, rounds=rounds).collect()
+    }
+    assert got == expect
+
+
+@given(
+    positions=st.lists(
+        st.integers(min_value=0, max_value=1023), max_size=40, unique=True
+    ),
+    probe_pos=st.integers(min_value=0, max_value=1023),
+)
+@settings(max_examples=30, deadline=None)
+def test_bloom_word_packing_is_exact_set_membership(positions, probe_pos):
+    """The int64-word packing + signed-wrap adjustment in bloom_prune is a
+    faithful bitset: replaying the pack/test arithmetic in Python over
+    arbitrary position sets (including bit 63 of any word) agrees with
+    plain set membership — the invariant the Spark expression encodes."""
+    m_bits = 1024
+    words = [0] * (m_bits // 64)
+    for p in positions:
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    def test_bit(pos):
+        w = words[pos // 64]
+        # replicate the JVM: signed int64 & shiftleft(1, pos%64) != 0
+        mask = 1 << (pos % 64)
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        return (w & mask) != 0
+
+    assert test_bit(probe_pos) == (probe_pos in set(positions))
+    for p in positions:
+        assert test_bit(p)
