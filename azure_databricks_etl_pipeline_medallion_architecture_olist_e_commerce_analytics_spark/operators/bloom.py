@@ -96,9 +96,18 @@ def bloom_prune(
     bit arithmetic in whole-stage codegen. NULL keys fail the filter
     (semi-join semantics). Emitting a FLAG rather than filtering lets
     callers both prune and audit the false-positive rate; filter on the
-    flag for the production path."""
+    flag for the production path.
+
+    ``m_bits`` and ``k_hashes`` MUST equal the values the positions were
+    built with: a larger probe-side ``k_hashes`` tests bits the build
+    never set and silently manufactures FALSE NEGATIVES — the one
+    failure mode the bloom contract forbids (a smaller one merely raises
+    the FP rate). The arguments default identically on both functions;
+    callers overriding them must override both calls in lockstep."""
     if m_bits % 64 or m_bits < 64 or m_bits > MAX_LITERAL_BITS:
         raise ValueError(f"invalid m_bits {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
     words = [0] * (m_bits // 64)
     for p in positions:
         if not 0 <= p < m_bits:

@@ -700,14 +700,10 @@ def kcore_peel(
         raise ValueError(f"k must be >= 0, got {k}")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    alive = (
-        edges.select(F.col(src).alias("node")).distinct().localCheckpoint()
-    )
-    n = num_nodes if num_nodes is not None else alive.count()
-    small = n <= BROADCAST_NODE_LIMIT
     cur = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     peeled = []
     evaluated = None
+    alive = None
     for r in range(1, rounds + 1):
         deg = cur.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
         # checkpoint the O(V) evaluation — THREE consumers read it (the
@@ -716,14 +712,30 @@ def kcore_peel(
         # branch would replay every prior round's degree aggregate and
         # the plan grows O(rounds²) in shuffles (observed: 141 exchanges
         # at rounds=3 lazy vs ~a dozen materialized)
-        evaluated = (
-            alive.join(deg, alive["node"] == deg["__s"], "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__deg"), F.lit(0).cast("long")).alias("degree"),
+        if r == 1:
+            # under the symmetric contract every node appears as a source
+            # with >= 1 edge, so round 1's degree keys ARE the node set —
+            # the deg aggregate doubles as the node table (the
+            # pagerank_integer symmetric=True trick), saving a separate
+            # O(E) distinct + checkpoint + count over the full edge list
+            evaluated = deg.select(
+                F.col("__s").alias("node"), F.col("__deg").alias("degree")
+            ).localCheckpoint()
+            n = num_nodes if num_nodes is not None else evaluated.count()
+            small = n <= BROADCAST_NODE_LIMIT
+        else:
+            # later rounds: a surviving node can lose ALL its edges, so
+            # absent degree keys coalesce to 0 via the left join
+            evaluated = (
+                alive.join(deg, alive["node"] == deg["__s"], "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("__deg"), F.lit(0).cast("long")).alias(
+                        "degree"
+                    ),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
         peeled.append(
             evaluated.filter(F.col("degree") < k).select(
                 "node", F.lit(r).cast("int").alias("peeled_round"), "degree"

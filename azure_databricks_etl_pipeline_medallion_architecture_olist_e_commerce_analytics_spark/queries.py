@@ -966,9 +966,13 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
+        # the distinct-token count widens to BIGINT BEFORE the 1e6
+        # product: size() is INT, and 1e6·size overflows 32 bits at
+        # ≥2148 distinct tokens — ANSI Spark throws, non-ANSI silently
+        # wraps while the oracle's BIGINT len() stays exact
         F.expr(
-            "CAST((1000000 * size(array_distinct(split(trim(coalesce(text,"
-            " '')), '\\\\s+')))) div"
+            "CAST((1000000 * cast(size(array_distinct(split(trim(coalesce("
+            "text, '')), '\\\\s+'))) as bigint)) div"
             " size(split(trim(coalesce(text, '')), '\\\\s+')) AS BIGINT)"
         ).alias("score_ppm"),
     )

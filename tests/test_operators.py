@@ -2733,3 +2733,35 @@ def test_embedding_pca_power_converges_on_planted_direction(spark, tmp_path):
     u = vt[0]
     cos = abs(float(v @ u)) / (np.linalg.norm(v) * np.linalg.norm(u))
     assert cos > 0.99, cos
+
+
+def test_preference_pairs_survives_wide_vocabulary_doc(spark, tmp_path):
+    """Regression (round-9 review): 1e6 × size() in 32-bit INT overflows
+    at ≥2148 distinct tokens — ANSI Spark threw, non-ANSI silently
+    wrapped while the oracle's BIGINT stayed exact. A 2500-distinct-token
+    document must score exactly 1_000_000 ppm (all tokens distinct) and
+    win its stratum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.queries import (
+        q_preference_pairs,
+    )
+
+    wide = " ".join(f"tok{i}" for i in range(2500))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([wide, "same same same same"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["web", "web"], pa.string()),
+            "n_chars": pa.array([len(wide), 19], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    rows = q_preference_pairs(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.chosen_doc_id == 1 and r.chosen_ppm == 1_000_000
+    assert r.rejected_doc_id == 2 and r.rejected_ppm == 250_000
+    assert r.margin_ppm == 750_000
