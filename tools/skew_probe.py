@@ -322,7 +322,84 @@ def _ensure_gram_hot_corpus(spark) -> str:
     """Build (once) the 50%-hot boilerplate corpus shared by the round-8
     and round-9 hostile probes: the SAME 12-token sentence appended to
     half the docs, so one 8-gram window / one adjacency bigram carries
-    ~half the corpus."""
+    ~half the corpus. Returns the corpus directory."""
+    hot_dir = "/tmp/spark_graft_scale/gram_hot"
+    if not os.path.exists(os.path.join(hot_dir, "documents.parquet")):
+        os.makedirs(hot_dir, exist_ok=True)
+        boiler = (
+            " subscribe to our newsletter for the latest updates and offers today"
+        )
+        load_table(spark, SRC, "documents").withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(boiler)),
+            ).otherwise(F.col("text")),
+        ).write.mode("overwrite").parquet(
+            os.path.join(hot_dir, "documents.parquet")
+        )
+    return hot_dir
+
+
+def probe_round8_hostiles(spark) -> None:
+    """Sixth section (round-8): substring_dedup under a 50%-hot
+    boilerplate gram — half the corpus ends with the SAME 12-token
+    boilerplate sentence, so one 8-gram window string carries ~half the
+    docs. The window-count aggregate must absorb it via map-side combine
+    and the count-back join stays gram-keyed with the hot gram's rows
+    spread by doc on the downstream per-doc aggregate — flat is the
+    pass."""
+    hot_dir = _ensure_gram_hot_corpus(spark)
+    print()
+    print("## Round-8 hostile (substring_dedup 50%-hot boilerplate gram)")
+    print()
+    print("| query | uniform sf1 (s) | hostile sf1 (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in ("substring_dedup", "substring_dedup_hashed"):
+        fn = SPARK_QUERIES[name]
+        t_u = time_noop(spark, fn, SRC)
+        t_s = time_noop(spark, fn, hot_dir)
+        print(f"| {name} | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |", flush=True)
+
+
+def probe_round9_hostiles(spark) -> None:
+    """Seventh section (round-9): the second-batch additions under their
+    natural hostile shapes.
+
+    - kcore_peel at a HUB vertex (star of degree d + 500k-node chain
+      background): the per-round degree aggregate must absorb the hub's
+      d rows via map-side combine, and the broadcast semi-joins carry
+      the O(V) survivor set regardless of d — flat as d grows 100×.
+    - keyword_textrank on the 50%-hot boilerplate corpus: the hot
+      bigram collapses into ONE heavy edge row at the weight aggregate
+      (map-side combined), so pagerank sees a weighted edge, never a
+      row flood — flat is the pass.
+    - preference_pairs on a 90%-one-stratum corpus: the struct-argmax
+      AGGREGATE combines the mega-stratum map-side where a window
+      formulation would funnel 90% of the corpus through one task.
+    """
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    print()
+    print("## Round-9 hostile (hub k-core / hot-bigram textrank /"
+          " mega-stratum preference pairs)")
+    print()
+    print("| case | parameter | wall (s) |")
+    print("|---|---|---|")
+    for deg in (10_000, 100_000, 1_000_000):
+        ed = _hub_edges(spark, deg)
+        both = ed.union(
+            ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+        t0 = time.perf_counter()
+        kcore_peel(both, k=20, rounds=3, src="a", dst="b").count()
+        print(
+            f"| kcore_peel k=20 3 rounds (hub degree {deg}) | {deg}"
+            f" | {time.perf_counter() - t0:.2f} |",
+            flush=True,
+        )
     hot_dir = _ensure_gram_hot_corpus(spark)
     stratum_dir = "/tmp/spark_graft_scale/stratum_hot"
     if not os.path.exists(os.path.join(stratum_dir, "documents.parquet")):
