@@ -33,6 +33,9 @@ then switch to broadcasting the position table and probing via join —
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +43,26 @@ from pyspark.sql import functions as F
 # expression tree (16 KiB of longs); larger blooms should broadcast the
 # distinct-position table and probe with a join instead.
 MAX_LITERAL_BITS = 1 << 17
+
+
+class BloomFilter(NamedTuple):
+    """A built bloom filter WITH the parameters it was built under.
+
+    The build/probe contract (same ``m_bits``, probe ``k_hashes`` ≤
+    build's — violating the first scrambles word indexing, a LARGER
+    probe ``k_hashes`` tests bits the build never set) used to be
+    documentation only: ``bloom_build_positions`` returned a bare
+    position list and ``bloom_prune`` took independent ``m_bits``/
+    ``k_hashes`` arguments, so a mismatched override silently
+    manufactured false negatives. Carrying the parameters WITH the
+    positions makes the mismatch unrepresentable on the normal path —
+    ``bloom_prune`` reads them from here, and explicit overrides that
+    disagree raise instead of lying.
+    """
+
+    positions: tuple[int, ...]
+    m_bits: int
+    k_hashes: int
 
 
 def _position_cols(key_col: str, m_bits: int, k_hashes: int) -> list:
@@ -55,12 +78,15 @@ def _position_cols(key_col: str, m_bits: int, k_hashes: int) -> list:
 
 def bloom_build_positions(
     build: DataFrame, key_col: str, m_bits: int = 8192, k_hashes: int = 2
-) -> list[int]:
+) -> BloomFilter:
     """Aggregate the build side to its DISTINCT bloom bit positions and
     collect them — bounded by ``m_bits`` rows regardless of build size
     (the map-side-combined distinct runs on the cluster; only the ≤ m
     positions ever reach the driver). NULL keys are skipped: SQL semi-
-    join semantics never match NULL, so the bloom need not admit it."""
+    join semantics never match NULL, so the bloom need not admit it.
+    Returns a ``BloomFilter`` carrying the build parameters so
+    ``bloom_prune`` probes with the same ``m_bits``/``k_hashes`` by
+    construction."""
     if m_bits < 64 or m_bits > MAX_LITERAL_BITS:
         raise ValueError(
             f"m_bits must be in [64, {MAX_LITERAL_BITS}], got {m_bits}"
@@ -78,15 +104,19 @@ def bloom_build_positions(
         .distinct()
         .collect()
     )
-    return sorted(int(r["pos"]) for r in positions)
+    return BloomFilter(
+        positions=tuple(sorted(int(r["pos"]) for r in positions)),
+        m_bits=m_bits,
+        k_hashes=k_hashes,
+    )
 
 
 def bloom_prune(
     probe: DataFrame,
-    positions: list[int],
+    bloom: BloomFilter | Sequence[int],
     key_col: str,
-    m_bits: int = 8192,
-    k_hashes: int = 2,
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
     flag_col: str = "passes_bloom",
 ) -> DataFrame:
     """Tag each probe row with the bloom membership verdict: true iff ALL
@@ -98,12 +128,35 @@ def bloom_prune(
     callers both prune and audit the false-positive rate; filter on the
     flag for the production path.
 
-    ``m_bits`` and ``k_hashes`` MUST equal the values the positions were
-    built with: a larger probe-side ``k_hashes`` tests bits the build
-    never set and silently manufactures FALSE NEGATIVES — the one
-    failure mode the bloom contract forbids (a smaller one merely raises
-    the FP rate). The arguments default identically on both functions;
-    callers overriding them must override both calls in lockstep."""
+    ``bloom`` is normally the ``BloomFilter`` returned by
+    ``bloom_build_positions`` — the probe then uses the BUILD's
+    ``m_bits``/``k_hashes`` automatically, and passing either argument
+    here with a DIFFERENT value raises (a larger probe-side ``k_hashes``
+    would test bits the build never set and silently manufacture FALSE
+    NEGATIVES, the one failure mode the bloom contract forbids; a
+    mismatched ``m_bits`` scrambles word indexing). A bare position
+    sequence is the low-level escape hatch (hand-planted bitmaps in
+    tests); that path requires the parameters explicitly and defaults to
+    (8192, 2) like the builder."""
+    if isinstance(bloom, BloomFilter):
+        if m_bits is not None and m_bits != bloom.m_bits:
+            raise ValueError(
+                f"probe m_bits {m_bits} != build m_bits {bloom.m_bits}:"
+                " the bloom carries its build parameters; drop the override"
+            )
+        if k_hashes is not None and k_hashes != bloom.k_hashes:
+            raise ValueError(
+                f"probe k_hashes {k_hashes} != build k_hashes"
+                f" {bloom.k_hashes}: the bloom carries its build"
+                " parameters; drop the override"
+            )
+        positions = bloom.positions
+        m_bits = bloom.m_bits
+        k_hashes = bloom.k_hashes
+    else:
+        positions = bloom
+        m_bits = 8192 if m_bits is None else m_bits
+        k_hashes = 2 if k_hashes is None else k_hashes
     if m_bits % 64 or m_bits < 64 or m_bits > MAX_LITERAL_BITS:
         raise ValueError(f"invalid m_bits {m_bits}")
     if k_hashes < 1:

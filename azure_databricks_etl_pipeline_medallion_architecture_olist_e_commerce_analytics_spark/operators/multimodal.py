@@ -109,7 +109,11 @@ def decode_image_meta(df: DataFrame, use_real_decoder: bool | None = None) -> Da
             "real decoding of LOSSY formats (JPEG etc.) requires PIL/cv2, not "
             "present in this container — BMP and PNG decode for real via the "
             "vendored codecs (decode_bmp_meta routes by magic bytes); run "
-            "with use_real_decoder=False for the deterministic stub"
+            "with use_real_decoder=False for the deterministic stub. This "
+            "boundary is PERMANENT by design (SURVEY.md §8, round-10): a "
+            "vendored DCT decode has no closed-form SQL replay, so it could "
+            "never join the value-oracled catalog; production plugs a codec "
+            "library into this same mapInPandas seam"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

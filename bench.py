@@ -233,6 +233,9 @@ HEADLINE = [
     "keyword_textrank",
     "embedding_pca_power",
     "video_scene_cuts",
+    # round-10 additions
+    "jaccard_prefix_join",
+    "cms_topk",
 ]
 
 # Queries re-run for steady-state timing after the warmup pass. A fresh JVM
@@ -336,6 +339,19 @@ def cpu_calibration() -> dict[str, float]:
     }
 
 
+# Fixed cross-boot normalization ANCHOR (round-10 verdict ask #5): the
+# quietest boot ever recorded for this repo — the round-8 gate boot,
+# whose pre-run probes (BENCH_r08.json / BASELINE.md) were BLAS 0.0981 s
+# and pure-Python 0.2504 s, the BLAS floor no later boot has matched.
+# PERMANENT by contract: later rounds must NOT re-point these constants
+# at a newer artifact — every round's `value_normalized_vs_anchor` then
+# shares one denominator, so normalized totals compare directly across
+# any number of rounds instead of compounding per-round probe noise
+# through chained ratios.
+CALIBRATION_ANCHOR_BLAS_SEC = 0.0981
+CALIBRATION_ANCHOR_PYTHON_SEC = 0.2504
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -415,12 +431,6 @@ def main() -> None:
     # post-run calibration pair: steal that appeared MID-run shows as a
     # pre/post divergence even when the pre-run probe looked clean
     calibration_post = cpu_calibration()
-    # Cross-boot normalization (r8 verdict ask): divide the total by this
-    # boot's BLAS-probe ratio vs the round-8 reference artifact
-    # (BENCH_r08.json pre-run probe, 0.0981 s). A slower/steal-y boot
-    # inflates the probe and the queries together, so the normalized
-    # total is comparable across boots mechanically — no narrative needed.
-    r8_blas_ref = 0.0981
     summary = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -432,8 +442,23 @@ def main() -> None:
         **calibration,
         "calibration_post_blas_sec": calibration_post["calibration_blas_sec"],
         "calibration_post_python_sec": calibration_post["calibration_python_sec"],
+        # Cross-boot normalization: divide the total by this boot's
+        # BLAS-probe ratio vs the FIXED anchor. vs_r8 is the legacy field
+        # name (it has always pointed at the same r8 probe value the
+        # anchor now names); vs_anchor is the r10-verdict-requested
+        # explicit form. Both use one permanent denominator — nothing is
+        # chained round-over-round, so probe noise never compounds.
+        "calibration_anchor_blas_sec": CALIBRATION_ANCHOR_BLAS_SEC,
+        "calibration_anchor_python_sec": CALIBRATION_ANCHOR_PYTHON_SEC,
+        "value_normalized_vs_anchor": round(
+            total
+            / (calibration["calibration_blas_sec"] / CALIBRATION_ANCHOR_BLAS_SEC),
+            3,
+        ),
         "value_normalized_vs_r8": round(
-            total / (calibration["calibration_blas_sec"] / r8_blas_ref), 3
+            total
+            / (calibration["calibration_blas_sec"] / CALIBRATION_ANCHOR_BLAS_SEC),
+            3,
         ),
     }
     try:

@@ -44,6 +44,55 @@ def test_minhash_lsh_recall_vs_exact(spark):
         assert exact[k] == v  # same exact-jaccard verification values
 
 
+def test_jaccard_prefix_join_equals_brute_force_on_corpus(spark):
+    """The prefix-filter join must return EXACTLY the brute-force ≥0.8
+    pair set on the real corpus (bounded to doc_id < 300 so jaccard_pairs
+    stays feasible) — completeness (no prefix miss) AND precision (the
+    verify step), with integer-ppm values agreeing with the double form."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 300)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r
+        for r in jaccard_prefix_join(docs, threshold_ppm=800000).collect()
+    }
+    assert exact, "corpus should contain near-dup pairs"
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        # ppm is the truncated integer form of the same ratio
+        assert r.jaccard_ppm == int(
+            r.n_common * 1_000_000 // (r.size_a + r.size_b - r.n_common)
+        )
+        assert abs(r.jaccard_ppm / 1e6 - exact[k]) < 1e-3
+
+
+def test_jaccard_prefix_join_null_text_and_bad_threshold(spark):
+    """NULL-text docs never pair (no token rows); threshold bounds raise."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in jaccard_prefix_join(docs, threshold_ppm=500000).collect()
+    }
+    assert got == {(1, 2)}
+    with pytest.raises(ValueError):
+        jaccard_prefix_join(docs, threshold_ppm=0)
+    with pytest.raises(ValueError):
+        jaccard_prefix_join(docs, threshold_ppm=2_000_000)
+
+
 def test_simhash_flags_identical_token_sets(spark):
     """Docs with identical token sets have hamming 0 → must be paired."""
     docs = load_table(spark, SF_SMALL, "documents")
@@ -2429,6 +2478,89 @@ def test_media_decode_routes_all_four_modalities(spark):
     )
 
 
+def test_media_decode_router_fuzz_sniff_pass_parse_fail(spark):
+    """ROUTER-level fuzz (round-10): payloads that PASS the magic-byte
+    sniff of each of the four containers but then fail to parse —
+    magic-only stubs, truncations at every structural boundary, and
+    header/size-field corruptions — must land in the all-NULL error row,
+    never throw. The per-codec rejection units cover the parsers in
+    isolation; this pins the dispatch path itself: once the router has
+    committed to a codec by magic, a downstream parse failure must still
+    degrade to NULL metadata (the corpus-scale contract: some fraction
+    of blobs is always corrupt)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.audio import (
+        encode_wav,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_media_meta,
+        encode_bmp,
+        encode_png,
+    )
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.video import (
+        Y4M_MAGIC,
+        encode_y4m,
+    )
+
+    valid = {
+        "image/bmp": encode_bmp(7),
+        "image/png": encode_png(7),
+        "audio/wav": encode_wav(7),
+        "video/y4m": encode_y4m(7),
+    }
+    magic_len = {
+        "image/bmp": 2,
+        "image/png": 8,
+        "audio/wav": 12,  # RIFF....WAVE — the router checks both halves
+        "video/y4m": len(Y4M_MAGIC),
+    }
+    cases: list[tuple[int, bytes | None, str]] = []
+    did = 0
+    for fmt, payload in valid.items():
+        m = magic_len[fmt]
+        # magic-only stub, then truncations from just-past-magic through
+        # every structural region (header / chunk table / payload tail)
+        cuts = sorted(
+            {m, m + 1, m + 4, 30, 54, 60, len(payload) // 2, len(payload) - 1}
+        )
+        for cut in cuts:
+            if m <= cut < len(payload):
+                cases.append((did, payload[:cut], fmt))
+                did += 1
+        # corrupt one byte in each header/size field region (past the
+        # magic so the sniff still routes to this codec)
+        for pos in range(m, min(len(payload), m + 40), 4):
+            mut = bytearray(payload)
+            mut[pos] ^= 0xFF
+            cases.append((did, bytes(mut), fmt))
+            did += 1
+    # sanity: PNG_SIG-routed truncation really is sniffed as PNG
+    assert valid["image/png"][:8] == PNG_SIG
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p, _ in cases], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in decode_media_meta(df).collect()}
+    assert len(out) == len(cases)  # one row per payload — nothing threw
+    meta_fields = (
+        "width", "height", "channels", "pixel_sum", "sample_rate",
+        "n_samples", "energy", "fps_num", "n_frames", "luma_sum",
+    )
+    n_null = 0
+    for i, payload, fmt in cases:
+        r = out[i]
+        if r.format is None:
+            # rejected: the error row must be ALL-null, not half-parsed
+            assert all(getattr(r, f) is None for f in meta_fields), (fmt, i)
+            n_null += 1
+        else:
+            # a mutation that happens to still parse (e.g. a flipped
+            # pixel byte) must at least be internally consistent
+            assert r.format == fmt and r.n_bytes == len(payload), (fmt, i)
+    # the fuzz set must actually exercise the reject path heavily
+    assert n_null >= len(cases) // 2
+
+
 def _kcore_reference(half_edges, k, rounds):
     """Hand-rolled synchronous k-core peeling over a symmetric edge list."""
     edges = set(half_edges) | {(b, a) for a, b in half_edges}
@@ -2515,6 +2647,64 @@ def test_kcore_peel_invalid_args_raise(spark):
         kcore_peel(edges, k=2, rounds=0)
 
 
+def test_kcore_peel_nonsymmetric_mode_keeps_dst_only_nodes(spark):
+    """symmetric=False on a directed (non-symmetrized) edge list: nodes
+    appearing only as dst must surface with degree 0 (peeled round 1 for
+    k>=1) instead of silently vanishing — the failure mode the default
+    symmetric contract would hit on this input."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: (r["peeled_round"], r["degree"])
+        for r in kcore_peel(edges, k=1, rounds=2, symmetric=False).collect()
+    }
+    # node 3 is dst-only: degree 0, peeled round 1. Node 2 then loses its
+    # (2,3) edge and peels in round 2; node 1 survives with degree 1.
+    assert got == {1: (0, 1), 2: (2, 0), 3: (1, 0)}
+    # the symmetric default on the same input drops node 3 entirely (the
+    # documented contract violation this parameter exists to avoid)
+    sym = {
+        r["node"]
+        for r in kcore_peel(edges, k=1, rounds=2).collect()
+    }
+    assert 3 not in sym
+
+
+def test_kcore_peel_fixpoint_cap_falls_back_to_fixed_semantics(spark):
+    """until_fixpoint=True whose cap fires BEFORE convergence must equal
+    the fixed-rounds output (survivors = "not yet peeled" approximation):
+    a 6-chain at k=2 peels endpoints inward one layer per round, so
+    rounds=2 under the cap is still mid-peel (3 and 4 wrongly "survive")
+    and both modes must agree on that approximation."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    half = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    e = half + [(y, x) for x, y in half]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    fixed = {
+        r["node"]: (r["peeled_round"], r["degree"])
+        for r in kcore_peel(edges, k=2, rounds=2).collect()
+    }
+    capped = {
+        r["node"]: (r["peeled_round"], r["degree"])
+        for r in kcore_peel(edges, k=2, rounds=2, until_fixpoint=True).collect()
+    }
+    assert capped == fixed
+    # the capped approximation leaves 3 and 4 as unpeeled survivors
+    assert capped[3][0] == 0 and capped[4][0] == 0
+    # and with the cap lifted, fixpoint mode peels the whole chain
+    converged = {
+        r["node"]: (r["peeled_round"], r["degree"])
+        for r in kcore_peel(edges, k=2, rounds=10, until_fixpoint=True).collect()
+    }
+    assert all(pr > 0 for pr, _ in converged.values())
+
+
 def test_kcore_peel_k_zero_keeps_everything(spark):
     """k=0 peels nothing: every node survives with its true degree."""
     from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
@@ -2531,6 +2721,80 @@ def test_kcore_peel_k_zero_keeps_everything(spark):
     assert got == {1: (0, 1), 2: (0, 2), 3: (0, 1)}
 
 
+def test_cms_never_undercounts_and_unseen_key_reads_zero_or_collision(spark):
+    """The count-min one-sided error contract: for EVERY key in the
+    stream, cms_est >= exact count; an unseen key's estimate is >= 0 and
+    only ever positive through collisions. Also pins the bounded-state
+    claim: the cell table has <= depth*width rows."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [(f"k{i % 37}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "item string")
+    sketch = cms_sketch(df, "item", depth=4, width=256)
+    assert sketch.cells.count() <= 4 * 256
+    exact = {r.item: r.cnt for r in df.groupBy("item").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    cand = spark.createDataFrame(
+        [(k,) for k in exact] + [("never-seen-key",)], "item string"
+    )
+    est = {r.item: r.cms_est for r in cms_estimate(cand, sketch, "item").collect()}
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+    assert est["never-seen-key"] >= 0
+    # with 37 keys in 4x256 cells, collisions are rare: estimates exact
+    assert sum(1 for k, n in exact.items() if est[k] == n) >= 35
+
+
+def test_cms_sketches_merge_by_cell_sum(spark):
+    """Mergeability — THE 100-TB property: summing two shards' cell
+    tables yields exactly the sketch of the union stream, so per-shard
+    sketches combine in one tiny aggregate."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.sketches import (
+        CountMinSketch,
+        cms_estimate,
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([(f"k{i % 11}",) for i in range(500)], "item string")
+    b = spark.createDataFrame([(f"k{i % 7}",) for i in range(300)], "item string")
+    sa, sb = cms_sketch(a, "item", width=128), cms_sketch(b, "item", width=128)
+    merged_cells = (
+        sa.cells.unionByName(sb.cells)
+        .groupBy("cms_row", "cms_cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = CountMinSketch(cells=merged_cells, depth=4, width=128)
+    whole = cms_sketch(a.unionByName(b), "item", width=128)
+    mc = {(r.cms_row, r.cms_cell): r.cnt for r in merged.cells.collect()}
+    wc = {(r.cms_row, r.cms_cell): r.cnt for r in whole.cells.collect()}
+    assert mc == wc
+    cand = spark.createDataFrame([("k0",), ("k5",), ("k9",)], "item string")
+    em = {r.item: r.cms_est for r in cms_estimate(cand, merged, "item").collect()}
+    ew = {r.item: r.cms_est for r in cms_estimate(cand, whole, "item").collect()}
+    assert em == ew
+
+
+def test_cms_invalid_params_and_null_keys(spark):
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.sketches import (
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([("a",), (None,)], "item string")
+    with pytest.raises(ValueError):
+        cms_sketch(df, "item", depth=0)
+    with pytest.raises(ValueError):
+        cms_sketch(df, "item", depth=32)
+    with pytest.raises(ValueError):
+        cms_sketch(df, "item", width=8)
+    # NULL keys are skipped: the single non-null key fills exactly
+    # depth cells with count 1
+    cells = cms_sketch(df, "item", depth=3, width=64).cells.collect()
+    assert len(cells) == 3 and all(r.cnt == 1 for r in cells)
+
+
 def test_bloom_no_false_negatives_and_null_fails(spark):
     """Every build key must pass its own bloom (no false negatives —
     the contract pruning correctness rests on); NULL probe keys fail."""
@@ -2540,14 +2804,16 @@ def test_bloom_no_false_negatives_and_null_fails(spark):
     )
 
     build = spark.createDataFrame([(i,) for i in range(50)], "k long")
-    pos = bloom_build_positions(build, "k", m_bits=1024, k_hashes=3)
-    assert 0 < len(pos) <= 150 and all(0 <= p < 1024 for p in pos)
+    bloom = bloom_build_positions(build, "k", m_bits=1024, k_hashes=3)
+    assert (bloom.m_bits, bloom.k_hashes) == (1024, 3)
+    assert 0 < len(bloom.positions) <= 150
+    assert all(0 <= p < 1024 for p in bloom.positions)
     probe = spark.createDataFrame(
         [(i,) for i in range(50)] + [(None,)], "k long"
     )
     got = {
         r["k"]: r["passes_bloom"]
-        for r in bloom_prune(probe, pos, "k", m_bits=1024, k_hashes=3).collect()
+        for r in bloom_prune(probe, bloom, "k").collect()
     }
     assert all(got[i] for i in range(50))
     assert got[None] is False
@@ -2593,14 +2859,16 @@ def test_bloom_fp_rate_sane_and_invalid_args(spark):
     )
 
     build = spark.createDataFrame([(i,) for i in range(50)], "k long")
-    pos = bloom_build_positions(build, "k", m_bits=4096, k_hashes=2)
+    bloom = bloom_build_positions(build, "k", m_bits=4096, k_hashes=2)
     probe = spark.createDataFrame([(i,) for i in range(1000, 1500)], "k long")
     n_fp = (
-        bloom_prune(probe, pos, "k", m_bits=4096, k_hashes=2)
+        bloom_prune(probe, bloom, "k")
         .filter(F.col("passes_bloom"))
         .count()
     )
     assert n_fp < 25  # expected ~0.06% of 500; generous bound
+    # redundant overrides are allowed only when they MATCH the build
+    bloom_prune(probe, bloom, "k", m_bits=4096, k_hashes=2)
     with pytest.raises(ValueError):
         bloom_build_positions(build, "k", m_bits=100)  # not multiple of 64
     with pytest.raises(ValueError):
@@ -2609,6 +2877,13 @@ def test_bloom_fp_rate_sane_and_invalid_args(spark):
         bloom_build_positions(build, "k", m_bits=4096, k_hashes=0)
     with pytest.raises(ValueError):
         bloom_prune(probe, [4096], "k", m_bits=4096)  # position out of range
+    # the build/probe lockstep contract is now ENFORCED, not documented:
+    # a probe-side k_hashes or m_bits differing from the build's raises
+    # instead of silently manufacturing false negatives
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_prune(probe, bloom, "k", k_hashes=3)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_prune(probe, bloom, "k", m_bits=8192)
 
 
 def test_video_scene_cuts_planted_cut_and_corrupt(spark):

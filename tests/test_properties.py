@@ -104,6 +104,74 @@ def test_simhash_banding_finds_every_bounded_hamming_pair(spark):
     assert banded == brute
 
 
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    n_docs=st.integers(min_value=2, max_value=12),
+    threshold_ppm=st.sampled_from([300000, 500000, 700000, 800000, 1000000]),
+    ngram=st.sampled_from([1, 3]),
+)
+@settings(max_examples=10, deadline=None)
+def test_jaccard_prefix_join_matches_brute_force_random(
+    spark, seed, n_docs, threshold_ppm, ngram
+):
+    """On random small-vocabulary corpora across the threshold range and
+    both set constructions (unigram tokens / 3-shingles with whole-doc
+    fallback), the prefix-filter join equals a hand-rolled exact-Jaccard
+    brute force — any prefix-length off-by-one, global-order
+    inconsistency, size-filter overreach, dup-collapse/expansion bug, or
+    ppm-truncation mismatch diverges somewhere here (including
+    threshold_ppm=1000000: exact-duplicate mining, where the prefix is a
+    single element)."""
+    import random
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = []
+    for i in range(n_docs):
+        n = rng.randint(1, 8)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # force duplicate clusters so the collapse/expansion path is hit
+    if n_docs >= 4:
+        rows[1] = (1, rows[0][1])
+        rows[3] = (3, rows[2][1])
+
+    def elems(s):
+        seq = s.lower().strip().split()
+        if ngram == 1:
+            return set(seq)
+        if len(seq) >= ngram:
+            return {
+                " ".join(seq[i : i + ngram])
+                for i in range(len(seq) - ngram + 1)
+            }
+        return {" ".join(seq)}
+
+    expect = {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i >= j:
+                continue
+            sa, sb = elems(ta), elems(tb)
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            ppm = inter * 1_000_000 // union
+            if ppm >= threshold_ppm:
+                expect[(i, j)] = (len(sa), len(sb), inter, ppm)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.size_a, r.size_b, r.n_common, r.jaccard_ppm)
+        for r in jaccard_prefix_join(
+            df, threshold_ppm=threshold_ppm, ngram=ngram
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_minhash_signature_estimates_jaccard(spark):
     """Signature agreement rate ≈ true Jaccard (MinHash's defining property),
     within binomial tolerance at 64 hashes, over real near-dup pairs."""
@@ -465,6 +533,73 @@ def test_kcore_peel_matches_reference_on_random_graphs(
         for row in kcore_peel(df, k=k, rounds=rounds).collect()
     }
     assert got == expect
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    n_nodes=st.integers(min_value=2, max_value=12),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_kcore_peel_fixpoint_matches_converged_reference(spark, seed, n_nodes, k):
+    """until_fixpoint=True with a generous cap equals a run-to-convergence
+    synchronous-peeling reference: every peeled node carries its true
+    peel round, and the peeled_round=0 survivors are the EXACT Seidman
+    k-core (not the fixed-budget "not yet peeled" approximation). On an
+    n-node graph convergence needs < n rounds, so cap=n_nodes+2 always
+    converges and the early-exit path is the one exercised."""
+    import random
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    rng = random.Random(seed)
+    half = sorted(
+        {
+            (a, b)
+            for a in range(n_nodes)
+            for b in range(a + 1, n_nodes)
+            if rng.random() < 0.45
+        }
+    )
+    if not half:
+        half = [(0, 1)]
+    e = half + [(b, a) for a, b in half]
+
+    # reference: synchronous peel RUN TO CONVERGENCE (no round cap)
+    edges = set(e)
+    alive = {a for a, _ in edges}
+    expect = {}
+    r = 0
+    while True:
+        r += 1
+        deg = {n: 0 for n in alive}
+        for a, b in edges:
+            deg[a] += 1
+        dead = {n for n in alive if deg[n] < k}
+        if not dead:
+            for n in alive:
+                expect[n] = (0, deg[n])
+            break
+        for n in dead:
+            expect[n] = (r, deg[n])
+        alive -= dead
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+        if not alive:
+            break
+
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {
+        row["node"]: (row["peeled_round"], row["degree"])
+        for row in kcore_peel(
+            df, k=k, rounds=n_nodes + 2, until_fixpoint=True
+        ).collect()
+    }
+    assert got == expect
+    # survivors form the true k-core: every survivor's reported degree
+    # (its degree within the survivor-induced subgraph) is >= k
+    assert all(d >= k for n, (pr, d) in got.items() if pr == 0)
 
 
 @given(
