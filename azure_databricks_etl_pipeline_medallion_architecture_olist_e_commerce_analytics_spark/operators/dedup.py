@@ -102,6 +102,261 @@ def jaccard_pairs(
     )
 
 
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 800000,
+    ngram: int = 1,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity self-join via PREFIX FILTERING
+    (the SSJoin/AllPairs/PPJoin family: Chaudhuri, Ganti & Kaushik, ICDE
+    2006; Bayardo, Ma & Srikant, WWW 2007; Xiao et al., WWW 2008) — the
+    deterministic complement to :func:`minhash_lsh_pairs`: the LSH path
+    trades recall for speed, the brute-force :func:`jaccard_pairs` only
+    runs on bounded inputs; this one returns EXACTLY the ≥-threshold
+    pairs (provably no misses) while never materializing the O(n²)
+    cross join.
+
+    The prefix-filter lemma: order every document's tokens by one GLOBAL
+    total order (here: document-frequency ascending, then token — so the
+    rarest tokens come first) and keep each document's first
+    ``p = |d| − ⌈t·|d|⌉ + 1`` tokens. Jaccard(a,b) ≥ t implies
+    ``|a∩b| ≥ ⌈t·max(|a|,|b|)⌉``, and two sets overlapping that much
+    MUST share a token within these prefixes — so the equi-join of
+    prefixes on token is a complete candidate generator. Rare-first
+    ordering makes it sharp: hot tokens (huge join fan-out) are exactly
+    the ones excluded from prefixes.
+
+    Plan — EXACT-DUP COLLAPSE first, prefix filter second (the
+    production layering): Jaccard depends only on the token SET, so
+    documents with identical sets are grouped by a sorted-set md5
+    fingerprint and the whole similarity join runs on ONE representative
+    per distinct set. Without this, a cluster of c byte-identical
+    documents (the normal shape of a crawled corpus) generates
+    p·c²/2 candidate rows through every prefix token; with it, the
+    cluster costs ONE set and the c²/2 true pairs are re-expanded at
+    output time (within-group pairs are jaccard=1 by construction;
+    cross-group pairs inherit their set-pair's values). Then on distinct
+    sets: tokens explode → set-frequency aggregate (map-side combined,
+    Heaps-law bounded) → per-SET window ranks tokens rare-first
+    (partitioned by set — never a global sort) → prefix rows equi-join
+    on token with the size filter ``min·1e6 ≥ t_ppm·max`` (implied by
+    the threshold; prunes only) → distinct candidate pairs → verify via
+    ``array_intersect`` in integer ppm. The DuckDB oracle runs the NAIVE
+    all-pairs form, pinning that neither the collapse nor the prefix
+    filter loses or fabricates a pair.
+
+    Scale (100 TB): every join/aggregate is keyed (fingerprint, token,
+    or set id); candidate count is Σ_tok df_prefix(tok)² over DISTINCT
+    sets, driven by RARE tokens only (hot tokens are exactly the ones
+    prefixes exclude); the expansion joins are output-sized. NULL/absent
+    text yields no token rows, so such docs never pair (the oracle's
+    NULL list ops agree).
+
+    ``ngram`` picks the set element: 1 = distinct unigram tokens (the
+    `tokens_col` convention), n > 1 = distinct word n-gram SHINGLES of
+    the raw (non-deduplicated, order-preserving) token sequence, with
+    the `_shingles` whole-doc fallback for docs shorter than n. On a
+    small-vocabulary corpus unigram prefix filtering degenerates (every
+    "rare" token is still shared by thousands of docs — measured 3.8 M
+    candidate set-pairs on 3 935 distinct sets at sf0.1); shingling
+    restores the Zipf tail the lemma needs (24 151 distinct 3-shingles,
+    9 122 candidates on the same corpus — 420× fewer) and is what
+    production near-dup dedup actually hashes. Shingles are built from
+    the RAW sequence, not the distinct token array, because DuckDB's
+    ``list_distinct`` does not promise first-occurrence order — set
+    semantics are applied AFTER shingling, where order no longer
+    matters, keeping the oracle replay engine-exact.
+
+    Returns (id_a, id_b, size_a, size_b, n_common, jaccard_ppm), pairs
+    with ``jaccard_ppm ≥ threshold_ppm`` and ``id_a < id_b``; sizes and
+    overlap count SET ELEMENTS (tokens or shingles per ``ngram``).
+    """
+    if not 1 <= threshold_ppm <= 1_000_000:
+        raise ValueError(
+            f"threshold_ppm must be in [1, 1000000], got {threshold_ppm}"
+        )
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    from pyspark.sql import Window
+
+    if ngram == 1:
+        elems = tokens_col(text_col)
+    else:
+        raw = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        elems = F.array_distinct(_shingles(raw, ngram))
+    # int64-hash the distinct elements immediately (the
+    # substring_dedup_hashed discipline): every downstream sort /
+    # explode / shuffle / array_intersect then moves 8-byte longs
+    # instead of ~30-byte shingle strings. Set sizes and intersections
+    # are preserved up to xxhash64 collisions (~|vocab|²/2⁶⁵ — the same
+    # negligible-collision assumption the hashed substring twin
+    # documents), so the string-replaying oracle still value-matches.
+    sets = F.transform(elems, lambda x: F.xxhash64(x))
+    # NULL text is excluded BEFORE shingling: the _shingles short-doc
+    # fallback would otherwise wrap a NULL join into a [NULL] one-element
+    # set and spuriously pair all NULL-text docs with each other
+    docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), sets.alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    # exact-dup collapse: one representative per distinct element SET.
+    # Separator: elements never contain "\n" (tokens split on \s+; a
+    # shingle joins them with single spaces), so the newline-joined
+    # sorted-set fingerprint is collision-free up to md5.
+    # ONE checkpoint of the (id, set, fingerprint) projection: the
+    # tokenize/shingle expression tree is the expensive per-row work, so
+    # members and the group table both derive from the materialized
+    # blocks instead of each re-running it. The fingerprint md5s the
+    # SORTED int64 element array (sorting longs, not shingle strings) —
+    # 128 bits, because a fingerprint collision MERGES two different
+    # sets and corpus-scale doc counts make a 64-bit birthday bound
+    # non-negligible (billions of docs → ~percent), unlike the per-
+    # element hash where the bound is over the much smaller vocabulary.
+    fp = docs.select(
+        "id",
+        "s",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.array_sort("s"), lambda x: x.cast("string"))
+            )
+        ).alias("fp"),
+    ).localCheckpoint()
+    members = fp.select("id", "fp")
+    base = (
+        fp.groupBy("fp")
+        .agg(
+            F.min("id").alias("gid"),
+            F.min_by("s", "id").alias("s"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .localCheckpoint()
+    )
+    t = base.select("gid", F.explode("s").alias("tok"))
+    sizes = base.select("gid", F.size("s").cast("long").alias("sz"))
+    vocab = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    # per-set rare-first rank; the window partitions by set id — small
+    # per-set sorts, no global ordering anywhere
+    w = Window.partitionBy("gid").orderBy(F.asc("df_t"), F.asc("tok"))
+    ranked = (
+        t.join(vocab, "tok")
+        .join(sizes, "gid")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    # p = sz - ceil(t*sz) + 1, all-integer: ceil(a/b) = (a + b - 1) div b
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(f"({threshold_ppm}L * sz + 999999) div 1000000")
+        + F.lit(1)
+    ).select("gid", "tok", "sz")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.gid") < F.col("b.gid"))
+            # size filter (implied by jac >= t: t <= min/max): prune only
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * F.lit(1_000_000)
+                >= F.lit(threshold_ppm) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
+        .distinct()
+    )
+    arrs = base.select(
+        F.col("gid"), F.col("fp"), "s", F.size("s").cast("long").alias("sz")
+    )
+    set_pairs = (
+        cand.join(
+            arrs.select(
+                F.col("gid").alias("gid_a"),
+                F.col("fp").alias("fp_a"),
+                F.col("s").alias("s_a"),
+                F.col("sz").alias("size_a"),
+            ),
+            "gid_a",
+        )
+        .join(
+            arrs.select(
+                F.col("gid").alias("gid_b"),
+                F.col("fp").alias("fp_b"),
+                F.col("s").alias("s_b"),
+                F.col("sz").alias("size_b"),
+            ),
+            "gid_b",
+        )
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("long"),
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(n_common * 1000000L) div (size_a + size_b - n_common)"),
+        )
+        .filter(F.col("jaccard_ppm") >= threshold_ppm)
+        .select("fp_a", "fp_b", "size_a", "size_b", "n_common", "jaccard_ppm")
+    )
+    # expansion 1: cross-group — every member of A × every member of B,
+    # reoriented so id_a < id_b (jaccard is symmetric; sizes travel WITH
+    # their doc when the orientation flips)
+    ma = members.select(F.col("fp").alias("fp_a"), F.col("id").alias("ida"))
+    mb = members.select(F.col("fp").alias("fp_b"), F.col("id").alias("idb"))
+    flip = F.col("ida") > F.col("idb")
+    cross = (
+        set_pairs.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            F.when(flip, F.col("size_b")).otherwise(F.col("size_a")).alias(
+                "sza"
+            ),
+            F.when(flip, F.col("size_a")).otherwise(F.col("size_b")).alias(
+                "szb"
+            ),
+            "n_common",
+            "jaccard_ppm",
+        )
+        .withColumnsRenamed({"sza": "size_a", "szb": "size_b"})
+        .select(
+            "id_a", "id_b", "size_a", "size_b", "n_common", "jaccard_ppm"
+        )
+    )
+    # expansion 2: within-group — identical sets are jaccard = 1e6 ppm,
+    # which passes every valid threshold; all (a < b) pairs inside each
+    # multi-member group
+    wa = members.alias("wa")
+    wb = members.alias("wb")
+    within = (
+        wa.join(
+            wb,
+            (F.col("wa.fp") == F.col("wb.fp"))
+            & (F.col("wa.id") < F.col("wb.id")),
+        )
+        .join(
+            base.select(
+                F.col("fp").alias("__gfp"),
+                F.size("s").cast("long").alias("sz"),
+            ),
+            F.col("wa.fp") == F.col("__gfp"),
+        )
+        .select(
+            F.col("wa.id").alias("id_a"),
+            F.col("wb.id").alias("id_b"),
+            F.col("sz").alias("size_a"),
+            F.col("sz").alias("size_b"),
+            F.col("sz").alias("n_common"),
+            F.lit(1_000_000).cast("long").alias("jaccard_ppm"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def minhash_signature(shingles, num_hashes: int = 64, family: str = "murmur3"):
     """MinHash signature array over a shingle-array column/expression.
 

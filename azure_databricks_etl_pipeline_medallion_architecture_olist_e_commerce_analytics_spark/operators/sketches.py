@@ -26,10 +26,117 @@ state bounded by O(k × partitions) instead of O(distinct items).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class CountMinSketch(NamedTuple):
+    """A built count-min sketch WITH the parameters it was built under —
+    the same make-mismatch-unrepresentable packaging as the bloom
+    filter's ``BloomFilter`` (round-10: a probe-side depth/width
+    differing from the build's would silently undercount / scramble
+    cells; carrying them with the cell table removes the failure mode).
+
+    ``cells`` is a DataFrame of (cms_row, cms_cell, cnt) with at most
+    ``depth × width`` rows regardless of input size — the bounded,
+    MERGEABLE sketch state (union-by-sum of two sketches' cells is the
+    sketch of the union; the property that lets 100 TB of shards each
+    sketch locally and combine in one tiny aggregate)."""
+
+    cells: DataFrame
+    depth: int
+    width: int
+
+
+def _cms_cell_expr(key_expr: str, row_i: int, width: int):
+    """The replayable cell hash of one sketch row: 60 md5 bits mod width
+    (the bloom filter's engine-portable hash family — DuckDB replays it
+    as ``('0x' || substr(md5(key || '#i'), 1, 15))::BIGINT % width``).
+    Production swaps in xxhash64(key, seed=i); identical plan shape."""
+    return F.expr(
+        f"cast(conv(substring(md5(concat({key_expr}, '#{row_i}')), 1, 15),"
+        f" 16, 10) as bigint) % {width}"
+    )
+
+
+def cms_sketch(
+    df: DataFrame, col: str = "item", depth: int = 4, width: int = 1024
+) -> CountMinSketch:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over one
+    string-castable column: ``depth`` hash rows × ``width`` counters.
+    ONE map-side-combined aggregate whose state is bounded by
+    depth × width CELLS — never O(distinct keys) (the Misra-Gries /
+    HLL++ discipline; CMS completes the classic sketch trio with POINT
+    frequency estimates for ANY key, asked after the fact, with a
+    one-sided error: estimates never undercount, and overshoot ≤ εn
+    with ε = e/width at probability 1 − (1/e)^depth). NULL keys are
+    skipped (no NULL frequency semantics)."""
+    if depth < 1 or depth > 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    if width < 16:
+        raise ValueError(f"width must be >= 16, got {width}")
+    keys = df.select(F.col(col).cast("string").alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+    pairs = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cms_row"),
+                        _cms_cell_expr("__k", i, width).alias("cms_cell"),
+                    )
+                    for i in range(1, depth + 1)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.cms_row", "rc.cms_cell")
+    cells = pairs.groupBy("cms_row", "cms_cell").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return CountMinSketch(cells=cells, depth=depth, width=width)
+
+
+def cms_estimate(
+    candidates: DataFrame, sketch: CountMinSketch, col: str = "item"
+) -> DataFrame:
+    """Point-frequency estimates for a candidate-key DataFrame against a
+    built sketch: each key hashes to one cell per row (map-side), joins
+    the BROADCAST cell table (≤ depth × width rows — driver-known
+    bound), and takes the MIN count across rows. A key whose cell was
+    never touched reads 0. Adds a ``cms_est`` column; parameters come
+    from the sketch object, so build/probe can never disagree."""
+    d, w = sketch.depth, sketch.width
+    keyed = candidates.withColumn("__k", F.col(col).cast("string"))
+    probe = keyed.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cms_row"),
+                        _cms_cell_expr("__k", i, w).alias("cms_cell"),
+                    )
+                    for i in range(1, d + 1)
+                ]
+            )
+        ).alias("rc"),
+    ).select("*", "rc.cms_row", "rc.cms_cell").drop("rc")
+    group_cols = [c for c in keyed.columns if c != "__k"]
+    return (
+        probe.join(
+            F.broadcast(sketch.cells), ["cms_row", "cms_cell"], "left"
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "cms_est"
+            )
+        )
+    )
 
 
 def _misra_gries_partition(k: int):

@@ -615,6 +615,50 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.8)
 
 
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-shingle Jaccard ≥ 0.8 near-dup pairs over the FULL
+    documents table via prefix filtering (round-10, operators/dedup.py::
+    jaccard_prefix_join — the SSJoin/AllPairs/PPJoin family). Completes
+    the dedup-family triangle: `dedup_jaccard` is brute force and
+    therefore BOUNDED to doc_id < 300; `dedup_minhash_lsh` covers the
+    full table but is probabilistic (banding can miss); this one covers
+    the full table AND is provably complete: exact-duplicate sets first
+    collapse to one representative per sorted-set fingerprint (the
+    c-identical-docs cluster that would otherwise push p·c²/2 candidate
+    rows through every prefix token costs ONE set), then candidates
+    come from an equi-join of rare-first shingle PREFIXES
+    (p = |d| − ⌈0.8·|d|⌉ + 1 elements per set), which the prefix-filter
+    lemma guarantees loses no ≥-threshold pair, then exact integer-ppm
+    verification and output-time pair re-expansion.
+
+    3-SHINGLES, not unigrams, deliberately: this corpus's vocabulary is
+    small, so unigram "rare" tokens are shared by thousands of docs and
+    the lemma has nothing to bite on (measured at sf0.1: 3.8 M candidate
+    set-pairs from 3 935 sets). Shingling restores the discriminative
+    tail — 24 151 distinct shingles, 9 122 candidates, 420× fewer — and
+    matches what production near-dup pipelines hash.
+
+    The DuckDB oracle deliberately runs the NAIVE all-pairs form over
+    the same shingle sets — a value match therefore pins the
+    completeness claim itself (collapse + prefix filter), not just the
+    arithmetic.
+
+    Scale: every join/aggregate is keyed (fingerprint, shingle, or set
+    id); candidate count is driven by RARE-shingle frequencies (hot
+    shingles are exactly the ones prefixes exclude), and the per-set
+    window never sorts globally. The 100-TB posture is
+    LSH-for-recall-tuning vs prefix-join-for-exactness, same verify
+    kernel."""
+    from .operators.dedup import jaccard_prefix_join
+
+    tune_session(spark)
+    # spread: documents parquet arrives in O(1) partitions at small SF;
+    # the per-row shingle construction is the dominant map cost and must
+    # parallelize across cores
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return jaccard_prefix_join(docs, threshold_ppm=800000, ngram=3)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters → canonical-doc decision:
     connected components (large-star/small-star contraction) over the exact
@@ -879,6 +923,19 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and, on clustered corpora, residual ≥ vector-coded at each nprobe
     (the planted-cluster unit).
 
+    MATRIX GEOMETRY (why no cell saturates): every tier indexes with
+    ``n_centroids=16`` while the sweep stops at nprobe=4, so even the
+    widest cell probes only 1/4 of the cells and its recall stays
+    strictly informative (observed at sf0.01: IVF climbs 316666 →
+    396666 → 563333 ppm across the sweep — a real tuning curve, not a
+    pinned 10⁶ endpoint). nprobe=n_centroids is deliberately EXCLUDED
+    from the sweep: at full probe the IVF tier is bitwise brute force
+    (that identity is already unit-pinned on the operator), so the cell
+    would measure the harness, not the index. Because 16 cells ≫ the
+    4-probe cap at EVERY sf, the curve keeps this shape as the corpus
+    grows — no per-SF n_centroids scaling is needed for the eval to
+    stay informative.
+
     Shape: the exact top-3 pair set is one bounded brute-force pass
     (localCheckpointed — reused by the total and the hit join); each tier
     runs ONE index build via the operators' nprobes sweep mode (scoring
@@ -1028,9 +1085,11 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     build = supp.filter(F.col("s_nationkey") == 7).select("s_suppkey")
-    positions = bloom_build_positions(build, "s_suppkey", m_bits=8192, k_hashes=2)
+    # the returned BloomFilter carries (m_bits, k_hashes) so the probe
+    # can't drift from the build parameters
+    bloom = bloom_build_positions(build, "s_suppkey", m_bits=8192, k_hashes=2)
     probe = li.select("l_returnflag", "l_suppkey")
-    tagged = bloom_prune(probe, positions, "l_suppkey", m_bits=8192, k_hashes=2)
+    tagged = bloom_prune(probe, bloom, "l_suppkey")
     truth = F.broadcast(
         build.select(F.col("s_suppkey").alias("__true_k")).distinct()
     )
@@ -3161,6 +3220,52 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "token", k=60).withColumnRenamed("item", "token")
 
 
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates (round-10,
+    operators/sketches.py::cms_sketch/cms_estimate — Cormode &
+    Muthukrishnan 2005), completing the sketch trio: Misra-Gries finds
+    WHO is frequent (`heavy_hitters`), HLL++ counts HOW MANY distinct
+    (`sketch_distinct`), CMS answers "how often is KEY x?" for any key,
+    after the fact, from depth×width bounded state — the mergeable
+    per-shard counter a 100 TB telemetry/token pipeline keeps where an
+    exact per-key aggregate would hold O(distinct) state.
+
+    Shape: sketch build is ONE map-side-combined aggregate over
+    (row, cell) pairs (≤ 4×2048 cells regardless of corpus size;
+    shard-local sketches union by cell-sum); the probe side takes the
+    exact top-25 tokens (deterministic ties by token) and reads each
+    one's min-over-rows cell count from the BROADCAST cell table.
+
+    Output (token, exact_freq, cms_est, over_ppm) value-pins the CMS
+    contract itself: the md5 hash family is replayed cell-for-cell in
+    DuckDB, so `cms_est` must match EXACTLY, and the one-sided error
+    guarantee (cms_est ≥ exact_freq, always) plus the collision
+    overshoot in integer ppm are checked as VALUES, not narrative."""
+    from .operators.sketches import cms_estimate, cms_sketch
+
+    tune_session(spark)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    sketch = cms_sketch(toks, "token", depth=4, width=2048)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_freq"))
+        .orderBy(F.desc("exact_freq"), F.asc("token"))
+        .limit(25)
+    )
+    est = cms_estimate(top, sketch, "token")
+    return est.select(
+        "token",
+        "exact_freq",
+        "cms_est",
+        F.expr(
+            "CAST(((cms_est - exact_freq) * 1000000) div exact_freq AS BIGINT)"
+        ).alias("over_ppm"),
+    )
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): wide per-part metric columns rotated into long
     (part, metric, value) rows — the inverse of pivot_status, and the
@@ -4503,7 +4608,14 @@ def q_kcore_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic by construction (synchronous rounds, integer degrees —
     no tie-breaking needed at all), so the oracle is the same 3 rounds
-    unrolled as chained CTEs in DuckDB: exact integer equality.
+    unrolled as chained CTEs in DuckDB: exact integer equality. MODE:
+    this catalog query deliberately runs the FIXED-ROUNDS form
+    (``until_fixpoint=False``) — a static SQL oracle cannot unroll a
+    data-dependent convergence depth; the engine's
+    ``until_fixpoint=True`` mode (early-exit on a zero-removal round,
+    at which point survivors are the exact Seidman k-core) is pinned
+    against a run-to-convergence reference in
+    tests/test_operators.py / test_properties.py instead.
 
     Scale shape: one map-side-combined degree aggregate + two left-semi
     survivor joins per round against the localCheckpoint-ed edge list;
@@ -8147,6 +8259,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_distinct_users": q_streaming_distinct_users,
     "unpivot_metrics": q_unpivot_metrics,
     "heavy_hitters": q_heavy_hitters,
+    "cms_topk": q_cms_topk,
     "embedding_centroids": q_embedding_centroids,
     "full_outer_join": q_full_outer_join,
     "pii_scrub": q_pii_scrub,
@@ -8188,6 +8301,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_jaccard": q_dedup_jaccard,
+    "jaccard_prefix_join": q_jaccard_prefix_join,
     "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -8246,54 +8360,57 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # CORRECTNESS row lead, then queries new this round, then a regression
 # rotation over the highest-value already-green shapes.
 _DRIVER_PRIORITY = [
-    # Round-9 budget (50 slots), per the OLDEST-FIRST rotation rule (the
-    # round-7 verdict's amendment: at 240 queries / 50 slots the
-    # achievable freshness bound is "oldest <= ~5 rounds", so every round
-    # leads with the stalest cumulative rows rather than chasing a fixed
-    # age cap).
-    #   slots 1-8   — every query with NO driver row at all: the six
-    #                 second-batch round-9 additions (kcore_decompose,
-    #                 preference_pairs, bloom_prune_join,
-    #                 keyword_textrank, embedding_pca_power,
-    #                 video_scene_cuts) plus ivfpq_residual_topk (NEW —
-    #                 promoted from unit-only per the r8 verdict ask #1)
-    #                 and ann_recall_eval (CHANGED — widened to the
-    #                 index-tier matrix, ask #5). Brand-new queries
-    #                 outrank stale-but-green ones: a query that has
-    #                 NEVER had a hard row is the bigger correctness gap.
-    #   slots 9-50  — the oldest cumulative block (newest green row r04),
-    #                 oldest-first: 42 of its 48 fit; the remaining 6
-    #                 (tpch_q2, tpch_q20, unpivot_metrics,
-    #                 weighted_median, zipf_head_share + 1) lead r10.
-    #   past 50     — remaining round-9 new/changed: the hashed
-    #                 substring twin, the real audio/video/media decode
-    #                 family, and multimodal_decode (bounded-inflate
-    #                 hardening, output unchanged) ride past the prefix —
-    #                 all value-verified by driver_sim and the canonical
-    #                 sf1 sweep this round.
-    # --- new / changed in round 9, never driver-tested (slots 1-8) ---
-    "kcore_decompose", "preference_pairs", "bloom_prune_join",
-    "keyword_textrank", "embedding_pca_power", "video_scene_cuts",
-    "ivfpq_residual_topk", "ann_recall_eval",
-    # --- refresh: newest green row is r04 (oldest-first) ---
-    "ab_test_zscore", "benford_deviation", "chi_square", "class_rebalance",
-    "cohort_retention", "correlated_subquery", "correlation_matrix",
-    "dau_wau", "degree_assortativity", "embedding_centroids",
-    "event_transitions", "ewma_smooth", "exists_subquery",
-    "feature_hashing", "full_outer_join", "gini_concentration",
-    "global_median_select", "group_normalize", "group_topk",
-    "heavy_hitters", "incremental_agg", "interval_merge", "longest_streak",
-    "mode_per_group", "new_vs_returning", "oov_rate", "pagerank_weighted",
-    "pii_scrub", "ratio_to_report", "rfm_segments", "robust_zscore",
-    "robust_zscore_approx", "running_totals_window",
-    "shortest_path_weighted", "skew_profile", "source_overlap",
-    "stratified_sample", "streaming_distinct_users", "target_encoding",
-    "token_diversity", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q2",
-    "tpch_q20", "unpivot_metrics", "weighted_median", "zipf_head_share",
-    # --- past the 50-slot prefix ---
-    "substring_dedup_hashed", "audio_decode", "audio_window_energy",
-    "video_decode", "video_frame_sample", "media_decode",
-    "multimodal_decode",
+    # Round-10 budget (50 slots), OLDEST-FIRST rotation rule (round-7
+    # verdict amendment): every round leads with the queries carrying
+    # the weakest driver signal, then refreshes the stalest cumulative
+    # block.
+    #   slots 1-6   — the ONLY queries with no driver CORRECTNESS row
+    #                 ever (the round-9 first batch; the r9 50-slot
+    #                 prefix was consumed before they could rotate in —
+    #                 r9 verdict ask #1 names them explicitly).
+    #   slots 7-12  — the six r4-stale rows (newest green row r04), the
+    #                 oldest cumulative block remaining.
+    #   slots 13-14 — round-10 changed call paths: bloom_prune_join now
+    #                 routes build params through the BloomFilter object
+    #                 (plan-identical, re-pin the value), kcore_decompose
+    #                 sits on the refactored kcore_peel body (fixed-
+    #                 rounds path value-identical; fresh row pins it).
+    #   slots 15-16 — NEW round-10: jaccard_prefix_join (exact
+    #                 prefix-filter similarity self-join), cms_topk
+    #                 (count-min sketch point estimates).
+    #   slots 17-50 — the r5-stale block (newest green row r05),
+    #                 oldest-first: 34 of its 48 fit; the remaining 14
+    #                 (rank_fusion_rrf .. winnow_fingerprints) lead the
+    #                 r11 refresh.
+    # --- never driver-tested (slots 1-6) ---
+    "audio_decode", "audio_window_energy", "video_decode",
+    "video_frame_sample", "media_decode", "substring_dedup_hashed",
+    # --- r4-stale (slots 7-12) ---
+    "tpch_q2", "tpch_q16", "tpch_q20", "unpivot_metrics",
+    "weighted_median", "zipf_head_share",
+    # --- round-10 changed call paths (slots 13-14) ---
+    "bloom_prune_join", "kcore_decompose",
+    # --- NEW round-10 (slots 15-16) ---
+    "jaccard_prefix_join", "cms_topk",
+    # --- refresh: newest green row is r05 (oldest-first; slots 17-50) ---
+    "ann_topk_ivf", "ann_topk_np", "attribution_linear", "autocorrelation",
+    "bfs_reach", "cdc_apply", "corpus_expectations", "corpus_gold_mix",
+    "corpus_gold_survivors", "corpus_silver_docs",
+    "corpus_streaming_ingest", "corpus_survivors_agg",
+    "csv_ingest_roundtrip", "cusum_changepoint", "decile_lift",
+    "dedup_components", "dedup_simhash", "dedup_survivors",
+    "embedding_dup_pairs_lsh", "event_entropy", "gold_dim_customers",
+    "gold_dim_date", "iqr_outliers", "k_anonymity_audit",
+    "kl_divergence_sources", "leakage_safe_split", "lm_perplexity",
+    "lm_perplexity_pruned", "merge_upsert", "mutual_information",
+    "order_totals", "pagerank_trade", "pareto_customers",
+    "profile_table_approx", "rank_fusion_rrf",
+    # --- past the 50-slot prefix: the r5 tail riding to r11 ---
+    "scd2_customers",
+    "seasonality_dow", "streaming_running_totals", "streaming_stream_join",
+    "time_weighted_avg", "token_drift", "token_entropy", "tpch_q1",
+    "tpch_q21", "user_paths", "weighted_median_approx", "window_dedup",
+    "winnow_fingerprints",
 ]
 SPARK_QUERIES = {
     **{k: SPARK_QUERIES[k] for k in _DRIVER_PRIORITY if k in SPARK_QUERIES},
@@ -10298,6 +10415,36 @@ ORACLES: dict[str, str] = {
              MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1
     """,
+    "jaccard_prefix_join": """
+      WITH raw AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text, ' ')), '\\s+') AS t
+        FROM documents
+        WHERE text IS NOT NULL
+      ),
+      tok AS (
+        -- 3-shingles of the raw token sequence (whole-doc fallback for
+        -- short docs), deduplicated AFTER shingling — the operator's
+        -- exact construction
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                 THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                                   i -> array_to_string(t[i:i+2], ' ')))
+                 ELSE [array_to_string(t, ' ')] END AS s
+        FROM raw
+      ),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(a.s) AS BIGINT) AS size_a,
+               CAST(len(b.s) AS BIGINT) AS size_b,
+               CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common
+        FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      )
+      SELECT id_a, id_b, size_a, size_b, n_common,
+             (n_common * 1000000) // (size_a + size_b - n_common) AS jaccard_ppm
+      FROM pairs
+      WHERE (n_common * 1000000) // (size_a + size_b - n_common) >= 800000
+    """,
     "dedup_jaccard": """
       WITH tok AS (
         SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS s
@@ -11186,6 +11333,43 @@ ORACLES["heavy_hitters"] = """
     FROM t
     GROUP BY token
     HAVING COUNT(*) > (SELECT COUNT(*) FROM t) / 60.0
+"""
+
+# cms_topk: replay the 4×2048 count-min sketch cell-for-cell — the same
+# 60-md5-bit hash family as the bloom filter ('0x' + 15 hex digits casts
+# to BIGINT), build via GROUP BY (row, cell), probe via min-over-rows.
+ORACLES["cms_topk"] = """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text, ' ')), '\\s+')) AS token
+      FROM documents
+    ),
+    t AS (SELECT token FROM toks WHERE token <> ''),
+    rows_d AS (SELECT unnest([1, 2, 3, 4]) AS cms_row),
+    cells AS (
+      SELECT cms_row,
+             ('0x' || substr(md5(token || '#' || cms_row), 1, 15))::BIGINT % 2048 AS cms_cell,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM t CROSS JOIN rows_d
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_freq
+      FROM t GROUP BY token
+      ORDER BY exact_freq DESC, token
+      LIMIT 25
+    ),
+    est AS (
+      SELECT tp.token, tp.exact_freq, MIN(c.cnt) AS cms_est
+      FROM top tp
+      CROSS JOIN rows_d d
+      JOIN cells c
+        ON c.cms_row = d.cms_row
+       AND c.cms_cell = ('0x' || substr(md5(tp.token || '#' || d.cms_row), 1, 15))::BIGINT % 2048
+      GROUP BY tp.token, tp.exact_freq
+    )
+    SELECT token, exact_freq, cms_est,
+           ((cms_est - exact_freq) * 1000000) // exact_freq AS over_ppm
+    FROM est
 """
 
 ORACLES["embedding_centroids"] = """

@@ -85,6 +85,8 @@ TEXT_QUERIES = [
     "substring_trim",
     "preference_pairs",
     "keyword_textrank",
+    "jaccard_prefix_join",
+    "cms_topk",
 ]
 
 
