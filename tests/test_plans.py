@@ -756,6 +756,33 @@ def test_bloom_prune_probe_is_codegen_single_exchange(spark):
     assert m and int(m.group(1)) >= 1, code[:300]
 
 
+def test_jaccard_prefix_join_plan_keyed_joins_no_cartesian(spark):
+    """The exact similarity self-join must never fall back to a product:
+    the candidate generator is an equi-join on the int64 shingle key,
+    verification and expansion are keyed hash/sort-merge joins, the
+    per-set rank window partitions by set id (never a global sort), and
+    no Python appears anywhere in the plan."""
+    plan = _formatted_plan(SPARK_QUERIES["jaccard_prefix_join"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the collapse phase ran into eager checkpoints — the visible plan
+    # reads their scans, so every window is the per-set prefix rank
+    # (partitionBy gid), never an unpartitioned global window
+    assert "Window" not in plan or "gid" in plan
+
+
+def test_cms_topk_probe_is_broadcast_min_no_python(spark):
+    """The sketch probe must read the bounded cell table via broadcast
+    hash join (<= depth*width rows — shuffling the probe against it
+    would defeat the sketch), with zero Python anywhere."""
+    plan = _formatted_plan(SPARK_QUERIES["cms_topk"](spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:1200]
+
+
 def test_keyword_textrank_topk_is_group_limit(spark):
     """The global top-25 over the word graph must be a WindowGroupLimit
     (per-partition partial top-k before the single-partition rank), and

@@ -573,6 +573,26 @@ ANNOTATIONS = {
         "fan-out O(n_frames-1) rows per payload, per-pixel work never "
         "touches Python scalars."
     ),
+    "jaccard_prefix_join": (
+        "Exact set-similarity self-join (SSJoin/AllPairs): the "
+        "tokenize/shingle/int64-hash/fingerprint projection materializes "
+        "ONCE (eager localCheckpoint — upstream of everything shown "
+        "here), exact-dup sets collapse to one representative, then a "
+        "rare-first prefix equi-join on the int64 shingle key generates "
+        "provably complete candidates (hot shingles are excluded from "
+        "prefixes by construction), array_intersect verification, and "
+        "output-sized member re-expansion joins. Every exchange is "
+        "keyed (fingerprint / shingle / set id); no global sort, no "
+        "cartesian anywhere."
+    ),
+    "cms_topk": (
+        "Count-min sketch: build is ONE map-side-combined aggregate to "
+        "<= depth*width cells (bounded state, never O(distinct keys)); "
+        "the exact top-25 probe side hashes map-side and joins the "
+        "BROADCAST cell table, min-over-rows per key. The only "
+        "non-sketch exchanges are the exact-count aggregate the output "
+        "value-pins the estimates against."
+    ),
 }
 
 

@@ -103,6 +103,9 @@ PROBE = [
     "keyword_textrank", # O(tokens) adjacency explode + word-graph pagerank
     "embedding_pca_power",  # 3 rounds x (zip_with fold + 64-col agg)
     "video_scene_cuts", # per-pair numpy SAD over real Y4M frames
+    # round-10 additions
+    "jaccard_prefix_join",  # dup-collapse + rare-first prefix candidates
+    "cms_topk",         # depth*width bounded sketch, broadcast probe
     # streaming (availableNow, state-store bound)
     "streaming_window_agg",
     "streaming_running_totals",

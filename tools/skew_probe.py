@@ -433,6 +433,71 @@ def probe_round9_hostiles(spark) -> None:
         )
 
 
+def probe_round10_hostiles(spark) -> None:
+    """Eighth section (round-10): the new operators under their natural
+    hostile shapes.
+
+    - jaccard_prefix_join on the 50%-hot boilerplate corpus: the hot
+      shingles appear in HALF the corpus, so their doc-frequency ranks
+      them LAST in every rare-first prefix — they are excluded from
+      candidate generation by construction, and the join must stay
+      flat. (The complementary hostile — one giant exact-duplicate
+      cluster — is absorbed by the fingerprint collapse: c identical
+      docs cost ONE set; only the true c²/2 output pairs are emitted.)
+    - cms_topk on the same corpus: the hot tokens concentrate a few
+      cells, but cell counts combine map-side — flat is the pass.
+    - media_decode under hostile BYTES: payloads truncated to 40 bytes
+      (past every container's magic, so the router commits to a codec
+      and the parse fails) on half the docs — the all-NULL error path
+      must cost no more than clean decoding and never throw.
+    """
+    from pyspark.sql import functions as F2
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media_meta,
+    )
+
+    hot_dir = _ensure_gram_hot_corpus(spark)
+    print()
+    print("## Round-10 hostile (hot-shingle prefix join / hot-token cms /"
+          " corrupt-payload media router)")
+    print()
+    print("| query | uniform sf1 (s) | hostile sf1 (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in ("jaccard_prefix_join", "cms_topk"):
+        fn = SPARK_QUERIES[name]
+        t_u = time_noop(spark, fn, SRC)
+        t_s = time_noop(spark, fn, hot_dir)
+        print(f"| {name} | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |", flush=True)
+
+    docs = load_table(spark, SRC, "documents").select("doc_id")
+    clean = attach_media_payload(docs)
+
+    def run(df):
+        t0 = time.perf_counter()
+        decode_media_meta(df).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    corrupt = clean.withColumn(
+        "payload",
+        F2.when(
+            F2.col("doc_id") % 2 == 0, F2.expr("substring(payload, 1, 40)")
+        ).otherwise(F2.col("payload")),
+    )
+    run(clean)  # warm
+    t_u = min(run(clean), run(clean))
+    t_s = min(run(corrupt), run(corrupt))
+    n_null = (
+        decode_media_meta(corrupt).filter(F2.col("format").isNull()).count()
+    )
+    print(
+        f"| media_decode (50% truncated-past-magic payloads; {n_null} "
+        f"NULL rows) | {t_u:.2f} | {t_s:.2f} | {t_s / t_u:.1f}x |",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     if not os.path.exists(os.path.join(OUT, "events.parquet")):
         build()
@@ -453,3 +518,4 @@ if __name__ == "__main__":
     probe_round7_hostiles(spark)
     probe_round8_hostiles(spark)
     probe_round9_hostiles(spark)
+    probe_round10_hostiles(spark)
