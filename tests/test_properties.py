@@ -603,6 +603,59 @@ def test_kcore_peel_fixpoint_matches_converged_reference(spark, seed, n_nodes, k
 
 
 @given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    n_keys=st.integers(min_value=1, max_value=30),
+    depth=st.sampled_from([1, 2, 4]),
+    width=st.sampled_from([16, 64, 256]),
+)
+@settings(max_examples=6, deadline=None)
+def test_cms_one_sided_error_on_random_streams(spark, seed, n_keys, depth, width):
+    """Count-min's defining guarantee on random streams across the
+    (depth, width) grid — including width=16, where collisions are
+    common: EVERY key's estimate >= its exact count (never under), and
+    the estimate is exact whenever the key's min-row cell is
+    collision-free. Replays the md5 cell hash in Python to verify the
+    sketch table itself, not just the estimates."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rng = random.Random(seed)
+    stream = [f"key{rng.randint(0, n_keys - 1)}" for _ in range(300)]
+    exact = Counter(stream)
+    df = spark.createDataFrame([(s,) for s in stream], "item string")
+    sketch = cms_sketch(df, "item", depth=depth, width=width)
+
+    def cell(key, row):
+        h = hashlib.md5(f"{key}#{row}".encode()).hexdigest()[:15]
+        return int(h, 16) % width
+
+    # replay: every cell count equals the sum of exact counts of keys
+    # hashing there
+    expect_cells = Counter()
+    for k, n in exact.items():
+        for r in range(1, depth + 1):
+            expect_cells[(r, cell(k, r))] += n
+    got_cells = {
+        (r.cms_row, r.cms_cell): r.cnt for r in sketch.cells.collect()
+    }
+    assert got_cells == dict(expect_cells)
+
+    cand = spark.createDataFrame([(k,) for k in exact], "item string")
+    est = {r.item: r.cms_est for r in cms_estimate(cand, sketch, "item").collect()}
+    for k, n in exact.items():
+        assert est[k] >= n
+        assert est[k] == min(
+            expect_cells[(r, cell(k, r))] for r in range(1, depth + 1)
+        )
+
+
+@given(
     positions=st.lists(
         st.integers(min_value=0, max_value=1023), max_size=40, unique=True
     ),
