@@ -8404,9 +8404,9 @@ _DRIVER_PRIORITY = [
     "kl_divergence_sources", "leakage_safe_split", "lm_perplexity",
     "lm_perplexity_pruned", "merge_upsert", "mutual_information",
     "order_totals", "pagerank_trade", "pareto_customers",
-    "profile_table_approx", "rank_fusion_rrf",
+    "profile_table_approx",
     # --- past the 50-slot prefix: the r5 tail riding to r11 ---
-    "scd2_customers",
+    "rank_fusion_rrf", "scd2_customers",
     "seasonality_dow", "streaming_running_totals", "streaming_stream_join",
     "time_weighted_avg", "token_drift", "token_entropy", "tpch_q1",
     "tpch_q21", "user_paths", "weighted_median_approx", "window_dedup",
