@@ -10433,17 +10433,63 @@ ORACLES: dict[str, str] = {
                  ELSE [array_to_string(t, ' ')] END AS s
         FROM raw
       ),
-      pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(a.s) AS BIGINT) AS size_a,
-               CAST(len(b.s) AS BIGINT) AS size_b,
-               CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common
-        FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      -- The oracle is deliberately NOT the engine's algorithm, but it
+      -- is also not brute-force all-pairs (O(n²) list intersections
+      -- grind at the sf1 sweep's 50k docs). Two engine-independent
+      -- reductions keep it honest AND tractable:
+      --   1. group docs by the LITERAL sorted set value — exact set
+      --      equality, strictly stronger than the engine's 128-bit
+      --      fingerprint collapse, so the collapse itself is checked;
+      --   2. set-level candidates = distinct sets sharing AT LEAST ONE
+      --      element — trivially complete (jaccard > 0 requires a
+      --      shared element; no prefix lemma involved), a strict
+      --      superset of the engine's prefix-filtered candidates.
+      -- The full brute-force equivalence is additionally pinned by
+      -- pytest (operator vs jaccard_pairs on the corpus; hypothesis vs
+      -- a python brute force across thresholds/ngrams).
+      sets AS (SELECT doc_id, list_sort(s) AS ss FROM tok),
+      grp AS (SELECT ss, MIN(doc_id) AS gid FROM sets GROUP BY ss),
+      mem AS (SELECT s2.doc_id AS id, g.gid FROM sets s2 JOIN grp g ON s2.ss = g.ss),
+      gsz AS (SELECT gid, CAST(len(ss) AS BIGINT) AS sz FROM grp),
+      el AS (SELECT gid, unnest(ss) AS e FROM grp),
+      -- the element equi-join IS the intersection: elements are distinct
+      -- within a set, so each shared element contributes exactly one
+      -- (ga, gb) row and COUNT(*) per pair equals |A ∩ B| — no per-pair
+      -- list_intersect over a 10⁸-candidate set
+      cand AS (
+        SELECT a.gid AS ga, b.gid AS gb, CAST(COUNT(*) AS BIGINT) AS nc
+        FROM el a JOIN el b ON a.e = b.e AND a.gid < b.gid
+        GROUP BY 1, 2
+      ),
+      spairs AS (
+        SELECT c.ga, c.gb, a.sz AS sza, b.sz AS szb, c.nc
+        FROM cand c
+        JOIN gsz a ON a.gid = c.ga
+        JOIN gsz b ON b.gid = c.gb
+      ),
+      vpairs AS (
+        SELECT ga, gb, sza, szb, nc,
+               (nc * 1000000) // (sza + szb - nc) AS ppm
+        FROM spairs
+        WHERE (nc * 1000000) // (sza + szb - nc) >= 800000
+      ),
+      cross_pairs AS (
+        SELECT LEAST(ma.id, mb.id) AS id_a, GREATEST(ma.id, mb.id) AS id_b,
+               CASE WHEN ma.id < mb.id THEN vp.sza ELSE vp.szb END AS size_a,
+               CASE WHEN ma.id < mb.id THEN vp.szb ELSE vp.sza END AS size_b,
+               vp.nc AS n_common, vp.ppm AS jaccard_ppm
+        FROM vpairs vp
+        JOIN mem ma ON ma.gid = vp.ga
+        JOIN mem mb ON mb.gid = vp.gb
+      ),
+      within_pairs AS (
+        SELECT ma.id AS id_a, mb.id AS id_b, g.sz AS size_a, g.sz AS size_b,
+               g.sz AS n_common, CAST(1000000 AS BIGINT) AS jaccard_ppm
+        FROM mem ma
+        JOIN mem mb ON ma.gid = mb.gid AND ma.id < mb.id
+        JOIN gsz g ON g.gid = ma.gid
       )
-      SELECT id_a, id_b, size_a, size_b, n_common,
-             (n_common * 1000000) // (size_a + size_b - n_common) AS jaccard_ppm
-      FROM pairs
-      WHERE (n_common * 1000000) // (size_a + size_b - n_common) >= 800000
+      SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs
     """,
     "dedup_jaccard": """
       WITH tok AS (
