@@ -22,6 +22,36 @@ from pyspark.sql import functions as F
 from ..sources.loader import spread_partitions
 
 
+def _sql_scalar_lit(x, kind: str) -> str:
+    if x is None:
+        return f"CAST(NULL AS {'DOUBLE' if kind == 'double' else 'BIGINT'})"
+    if kind == "double":
+        v = float(x)
+        if v != v or v == float("inf") or v == float("-inf"):
+            return f"CAST('{v}' AS DOUBLE)"
+        return repr(v) + "D"
+    return str(int(x)) + "L"
+
+
+def sql_array_lit(data, kind: str = "double") -> str:
+    """A (nested) array literal as ONE SQL string for ``F.expr``.
+
+    Round-10 optimization: building literal codebooks / centroid tables
+    element-by-element with ``F.lit`` costs one py4j round-trip per value —
+    a 16×64 centroid table or an 8×16×8 codebook is 1000+ driver RPCs,
+    measured as SECONDS of DataFrame-construction time per ANN query
+    (construction re-runs on every invocation; the bench and any real
+    caller pay it every time). One generated SQL string parses JVM-side in
+    milliseconds and constant-folds to the identical Literal. Values are
+    exact: ``repr(float)`` round-trips doubles bit-for-bit, ints print
+    exactly. ``kind`` is ``'double'`` (D-suffixed) or ``'long'``
+    (L-suffixed); ``None`` scalars become typed NULLs.
+    """
+    if isinstance(data, (list, tuple)):
+        return "array(" + ", ".join(sql_array_lit(e, kind) for e in data) + ")"
+    return _sql_scalar_lit(data, kind)
+
+
 def dot_col(a, b):
     """Σ aᵢ·bᵢ as a left-fold (deterministic summation order)."""
     return F.aggregate(
@@ -223,9 +253,7 @@ def kmeans_centroids(
         # deterministically with zero shuffle and zero join.
         candidates = [
             F.struct(
-                cosine_col(
-                    F.col("v"), F.array(*[F.lit(x) for x in vec])
-                ).alias("s"),
+                cosine_col(F.col("v"), F.expr(sql_array_lit(vec))).alias("s"),
                 F.lit(-cid).alias("n"),
             )
             for cid, vec in cents
@@ -256,6 +284,24 @@ def kmeans_centroids(
     )
 
 
+def _fold_norm(vec) -> float | None:
+    """Driver-side replay of ``norm_col`` (left-fold sum of squares, then
+    sqrt) — bit-identical to the engine fold: Python floats ARE IEEE-754
+    doubles and the additions run in the same element order. Returns None
+    when the engine fold would return NULL (NULL vector / NULL element)."""
+    import math
+
+    if vec is None:
+        return None
+    acc = 0.0
+    for x in vec:
+        if x is None:
+            return None
+        v = float(x)
+        acc = acc + v * v
+    return math.sqrt(acc)
+
+
 def ivf_assign_ranked(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -267,22 +313,41 @@ def ivf_assign_ranked(
 ) -> DataFrame:
     """Rank every vector's ``max_rank`` nearest coarse centroids.
 
-    The shared assignment kernel: centroids broadcast (n_centroids rows),
-    nearness ranked per vector by (cosine desc, centroid_id asc), rows kept
-    through rank ``max_rank`` with the rank exposed as ``probe_rank``.
+    The shared assignment kernel, value-identical to the original
+    broadcast-join formulation but ZERO-SHUFFLE (round-10 optimization):
+    the bounded centroid table (n_centroids rows — collected to the
+    driver, the same O(centroids) driver traffic the broadcast paid) is
+    baked in as literals, each row computes its n_centroids cosines in
+    one projection, and the per-vector (cosine desc, centroid_id asc)
+    ranking is a ``sort_array`` over an n_centroids-element struct array
+    instead of a row_number window. The pre-rewrite plan paid a
+    BroadcastNestedLoopJoin ×n_centroids row blowup (each blown-up row
+    carrying the full vector) plus an Exchange + two sorts for the
+    window — per CONSUMER subtree (corpus and query sides each re-planned
+    it). Now assignment is a pure map over the scan: filters (e.g. the
+    bounded query batch) push all the way down, and no vector ever
+    crosses the wire for ranking.
+
+    Ordering equivalence with the window (pinned by the unchanged
+    oracles): struct sort compares ``s`` first — descending puts NULL
+    cosines last (null struct-field compares smallest) and NaN first
+    (double ordering treats NaN as largest), exactly
+    ``_csim DESC NULLS LAST``; ties fall to ``nc = -centroid_id``
+    descending = centroid_id ascending. Norms of the literal centroids
+    are precomputed driver-side by replaying the engine's left fold in
+    Python doubles (bit-identical); the row vector's norm is computed
+    once per row instead of once per (row, centroid) pair.
+
     ``max_rank=1`` is the classic cell assignment (:func:`ivf_assign`);
     ``max_rank=nprobe`` is the multi-cell QUERY-side probe list — the
-    recall knob of a production IVF index (probe the nprobe nearest cells
-    instead of one; candidates grow ~linearly, recall climbs toward exact).
+    recall knob of a production IVF index.
 
-    ``kmeans_iterations=0`` uses the first ``n_centroids`` vectors by id as
-    centroids — deterministic and cheap; ``> 0`` refines them with
-    distributed Lloyd iterations (:func:`kmeans_centroids`) for better
-    bucket balance/recall, same plan shape either way. A caller who
-    already holds the seed rows (ivfpq_topk collects them for the PQ
-    codebook anyway) passes ``centroids`` — a
-    (centroid_id, centroid_vec) frame — to skip this function's own
-    top-k seed scan over the corpus.
+    ``kmeans_iterations=0`` uses the first ``n_centroids`` vectors by id
+    as centroids — deterministic and cheap; ``> 0`` refines them with
+    distributed Lloyd iterations (:func:`kmeans_centroids`). A caller who
+    already holds the seed rows passes ``centroids`` — a
+    (centroid_id, centroid_vec) frame, still accepted and collected here
+    (bounded by contract).
     """
     if centroids is not None:
         if kmeans_iterations > 0:
@@ -291,27 +356,69 @@ def ivf_assign_ranked(
                 "kmeans_iterations>0, not both — refining caller-supplied "
                 "centroids here would silently retrain the caller's model"
             )
+        cents = [
+            (int(r["centroid_id"]), r["centroid_vec"])
+            for r in centroids.collect()
+        ]
+        cents.sort(key=lambda t: t[0])
     elif kmeans_iterations > 0:
-        centroids = kmeans_centroids(
-            df, vec_col, id_col, n_centroids, kmeans_iterations
-        )
+        cents = [
+            (int(r["centroid_id"]), r["centroid_vec"])
+            for r in kmeans_centroids(
+                df, vec_col, id_col, n_centroids, kmeans_iterations
+            ).collect()
+        ]
+        cents.sort(key=lambda t: t[0])
     else:
-        centroids = (
-            df.orderBy(id_col)
-            .limit(n_centroids)
-            .select(
-                F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-                F.col(vec_col).alias("centroid_vec"),
+        seeds = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+        cents = [(i + 1, row[vec_col]) for i, row in enumerate(seeds)]
+    out_cols = [F.col(c) for c in df.columns]
+    if not cents:
+        # empty corpus: the crossJoin against zero centroids produced zero
+        # rows; an F.array() of zero structs would be an untyped literal
+        return df.select(
+            *out_cols,
+            F.lit(None).cast("int").alias("centroid_id"),
+            F.lit(None).cast("int").alias("probe_rank"),
+        ).limit(0)
+    # The whole per-row ranking is ONE generated SQL expression (a single
+    # F.expr parse): building it from F.lit/lambda Columns instead costs
+    # ~1 s of py4j round-trips per invocation (measured) — pure driver
+    # overhead the bench pays on every run. The folds are the exact SQL
+    # spelling of dot_col/norm_col, so every double is bit-identical.
+    vref = f"`{vec_col}`"
+    entries = []
+    for cid, vec in cents:
+        cn = _fold_norm(vec)
+        if cn is None:
+            # NULL centroid vector / NULL element: every cosine against it
+            # is NULL — same as the fold over the literal would yield
+            sim = "CAST(NULL AS DOUBLE)"
+        else:
+            sim = (
+                f"aggregate(zip_with({vref}, {sql_array_lit(vec)},"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"
+                " (acc, v) -> acc + v)"
+                f" / (__nv * {_sql_scalar_lit(cn, 'double')})"
             )
-        )
-    sim = cosine_col(F.col(vec_col), F.col("centroid_vec"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+        entries.append(f"struct({sim} AS s, {-cid} AS nc)")
+    ranked = F.expr(
+        f"slice(sort_array(array({', '.join(entries)}), false), 1, {max_rank})"
+    )
+    nv = F.expr(
+        f"SQRT(aggregate(transform({vref},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D,"
+        " (acc, v) -> acc + v))"
+    )
     return (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("_csim", sim)
-        .withColumn("probe_rank", F.row_number().over(w))
+        df.withColumn("__nv", nv)
+        .select(*out_cols, F.posexplode(ranked).alias("__pos", "__sc"))
+        .select(
+            *out_cols,
+            (-F.col("__sc.nc")).alias("centroid_id"),
+            (F.col("__pos") + F.lit(1)).alias("probe_rank"),
+        )
         .filter(F.col("probe_rank") <= max_rank)
-        .drop("centroid_vec", "_csim")
     )
 
 
@@ -725,12 +832,9 @@ def _float_codebook_lit(seeds, vec_col: str, m_subspaces: int, d_sub: int):
         ]
         for m in range(m_subspaces)
     ]
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in code]) for code in codebook[m]])
-            for m in range(m_subspaces)
-        ]
-    )
+    # ONE parsed SQL literal instead of m*codes*d_sub F.lit py4j calls
+    # (~1 s of construction per invocation at the 8x16x8 default)
+    return F.expr(sql_array_lit(codebook))
 
 
 def _rank_topk(pairs: DataFrame, score_col: str, k: int) -> DataFrame:
@@ -933,14 +1037,9 @@ def pq_topk_trained(
     ]
 
     def cb_lit():
-        return F.array(
-            *[
-                F.array(
-                    *[F.array(*[F.lit(v) for v in code]) for code in codebook[m]]
-                )
-                for m in range(m_subspaces)
-            ]
-        )
+        # re-generated per round (the codebook mutates); one SQL parse per
+        # call instead of m*codes*d_sub F.lit py4j round-trips
+        return F.expr(sql_array_lit(codebook, kind="long"))
 
     vm_expr = F.transform(
         F.col(vec_col),
@@ -1111,9 +1210,9 @@ def ivfpq_residual_topk(
     assigned = ranked.filter(F.col("probe_rank") == 1)
 
     # centroid micro table as ONE literal: element_at(cents, centroid_id)
-    cents_lit = F.array(
-        *[F.array(*[F.lit(v) for v in c]) for c in cent_micro]
-    )
+    # (single SQL parse — n_centroids*dim F.lit calls measured ~1 s of
+    # construction per invocation)
+    cents_lit = F.expr(sql_array_lit(cent_micro, kind="long"))
     vm_expr = F.transform(
         F.col(vec_col),
         lambda x: F.floor(F.lit(1_000_000.0) * x.cast("double")).cast("long"),
@@ -1157,12 +1256,7 @@ def ivfpq_residual_topk(
         # is exactly zero — the single zero code is the exact encoding
         codebook = [[[0] * d_sub] for _ in range(m_subspaces)]
     n_codes = len(codebook[0])
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in code]) for code in codebook[m]])
-            for m in range(m_subspaces)
-        ]
-    )
+    cb_lit = F.expr(sql_array_lit(codebook, kind="long"))
 
     _dist = (
         "aggregate(sequence(1, {d}), CAST(0 AS BIGINT), (s, i) -> s"

@@ -1380,7 +1380,12 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere: redundancy is greatest() over ≤4 literal-vector folds, so
     the pass stays O(corpus · k · d) with zero shuffles beyond the
     argmax combine."""
-    from .operators.similarity import _valid_vectors, dot_col, norm_col
+    from .operators.similarity import (
+        _valid_vectors,
+        dot_col,
+        norm_col,
+        sql_array_lit,
+    )
 
     tune_session(spark)
     emb = _valid_vectors(load_table(spark, sf_dir, "embeddings"), "embedding", 64)
@@ -1391,7 +1396,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sel_rank int, vec_id long, relevance_micro bigint, "
             "redundancy_micro bigint, score_micro bigint",
         )
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0][0]])
+    qlit = F.expr(sql_array_lit([float(x) for x in qrow[0][0]]))
     pool = spread_partitions(
         emb.filter(F.col("vec_id") != 0).select(
             "vec_id",
@@ -1460,7 +1465,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel_ids.append(vid)
         sel_vec_lits.append(
-            (F.array(*[F.lit(x) for x in vec]), math.sqrt(sum(x * x for x in vec)))
+            (F.expr(sql_array_lit(vec)), math.sqrt(sum(x * x for x in vec)))
         )
     return spark.createDataFrame(
         [(r, i, rl, rd, sc) for r, i, rl, rd, sc in selected],
