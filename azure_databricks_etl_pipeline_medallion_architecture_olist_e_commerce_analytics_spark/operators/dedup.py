@@ -130,9 +130,10 @@ def jaccard_prefix_join(
 
     Plan — EXACT-DUP COLLAPSE first, prefix filter second (the
     production layering): Jaccard depends only on the token SET, so
-    documents with identical sets are grouped by a sorted-set md5
-    fingerprint and the whole similarity join runs on ONE representative
-    per distinct set. Without this, a cluster of c byte-identical
+    documents with identical sets are grouped by the sorted element-hash
+    array itself (exact set equality — no digest, no collision caveat)
+    and the whole similarity join runs on ONE representative per
+    distinct set. Without this, a cluster of c byte-identical
     documents (the normal shape of a crawled corpus) generates
     p·c²/2 candidate rows through every prefix token; with it, the
     cluster costs ONE set and the c²/2 true pairs are re-expanded at
@@ -197,45 +198,40 @@ def jaccard_prefix_join(
     # NULL text is excluded BEFORE shingling: the _shingles short-doc
     # fallback would otherwise wrap a NULL join into a [NULL] one-element
     # set and spuriously pair all NULL-text docs with each other
-    docs = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), sets.alias("s"))
-        .filter(F.col("s").isNotNull())
+    # No defensive filter on the DERIVED set column: ``s`` is provably
+    # non-NULL once text is (split/transform/CASE of a non-null input
+    # never yield NULL), and a filter on a derived expression gets pushed
+    # below the spread exchange where it RE-EVALUATES the whole
+    # shingle+hash tree on the scan's (single) input partition — measured
+    # ~4-5 s of duplicated single-threaded work per run at sf0.1 (the
+    # optimization guide's §4.4 duplicated-evaluation trap, HOF edition).
+    docs = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), sets.alias("s")
     )
     # exact-dup collapse: one representative per distinct element SET.
-    # Separator: elements never contain "\n" (tokens split on \s+; a
-    # shingle joins them with single spaces), so the newline-joined
-    # sorted-set fingerprint is collision-free up to md5.
-    # ONE checkpoint of the (id, set, fingerprint) projection: the
-    # tokenize/shingle expression tree is the expensive per-row work, so
-    # members and the group table both derive from the materialized
-    # blocks instead of each re-running it. The fingerprint md5s the
-    # SORTED int64 element array (sorting longs, not shingle strings) —
-    # 128 bits, because a fingerprint collision MERGES two different
-    # sets and corpus-scale doc counts make a 64-bit birthday bound
-    # non-negligible (billions of docs → ~percent), unlike the per-
-    # element hash where the bound is over the much smaller vocabulary.
-    fp = docs.select(
-        "id",
-        "s",
-        F.md5(
-            F.concat_ws(
-                ",", F.transform(F.array_sort("s"), lambda x: x.cast("string"))
-            )
-        ).alias("fp"),
-    ).localCheckpoint()
+    # The group/join key is the SORTED int64 element array ITSELF (round-10:
+    # the previous md5-of-stringified-array fingerprint paid a per-doc
+    # string materialization + digest AND carried a 128-bit collision
+    # caveat; grouping by the array value is exact set equality — zero
+    # collision risk above the per-element hash — and Spark groups/joins
+    # array<bigint> natively). The sorted array doubles as the
+    # representative set downstream (sorting changes no set operation).
+    # ONE checkpoint of the (id, key) projection: the tokenize/shingle
+    # expression tree is the expensive per-row work, so members and the
+    # group table both derive from the materialized blocks instead of
+    # each re-running it.
+    fp = docs.select("id", F.array_sort("s").alias("fp")).localCheckpoint()
     members = fp.select("id", "fp")
     base = (
         fp.groupBy("fp")
         .agg(
             F.min("id").alias("gid"),
-            F.min_by("s", "id").alias("s"),
             F.count(F.lit(1)).alias("n_members"),
         )
         .localCheckpoint()
     )
-    t = base.select("gid", F.explode("s").alias("tok"))
-    sizes = base.select("gid", F.size("s").cast("long").alias("sz"))
+    t = base.select("gid", F.explode("fp").alias("tok"))
+    sizes = base.select("gid", F.size("fp").cast("long").alias("sz"))
     vocab = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     # per-set rare-first rank; the window partitions by set id — small
     # per-set sorts, no global ordering anywhere
@@ -269,14 +265,13 @@ def jaccard_prefix_join(
         .distinct()
     )
     arrs = base.select(
-        F.col("gid"), F.col("fp"), "s", F.size("s").cast("long").alias("sz")
+        F.col("gid"), F.col("fp"), F.size("fp").cast("long").alias("sz")
     )
     set_pairs = (
         cand.join(
             arrs.select(
                 F.col("gid").alias("gid_a"),
                 F.col("fp").alias("fp_a"),
-                F.col("s").alias("s_a"),
                 F.col("sz").alias("size_a"),
             ),
             "gid_a",
@@ -285,14 +280,13 @@ def jaccard_prefix_join(
             arrs.select(
                 F.col("gid").alias("gid_b"),
                 F.col("fp").alias("fp_b"),
-                F.col("s").alias("s_b"),
                 F.col("sz").alias("size_b"),
             ),
             "gid_b",
         )
         .withColumn(
             "n_common",
-            F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("long"),
+            F.size(F.array_intersect(F.col("fp_a"), F.col("fp_b"))).cast("long"),
         )
         .withColumn(
             "jaccard_ppm",
@@ -341,7 +335,7 @@ def jaccard_prefix_join(
         .join(
             base.select(
                 F.col("fp").alias("__gfp"),
-                F.size("s").cast("long").alias("sz"),
+                F.size("fp").cast("long").alias("sz"),
             ),
             F.col("wa.fp") == F.col("__gfp"),
         )
