@@ -956,20 +956,39 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qf = F.col("vec_id") < 100
     sweep = (1, 2, 4)
-    exact = (
-        brute_force_topk(emb, k=3, query_filter=qf)
-        .select("query_id", "nbr_id")
-        .localCheckpoint()
-    )
+    # The ground truth and the three index tiers are INDEPENDENT until the
+    # final union, but each build runs eager driver jobs (seed collects,
+    # the sweep's scored-candidate localCheckpoint, the ground-truth
+    # checkpoint) — serially they dominated the query (measured ~6.6 s of
+    # construction vs ~1.5 s execution at sf0.1). Submit them from a small
+    # thread pool so the four builds' jobs back-fill each other's idle
+    # cores (optimization guide §2.6 — Spark's scheduler runs concurrent
+    # jobs fine; each build is deterministic and shares no state).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return (
+            brute_force_topk(emb, k=3, query_filter=qf)
+            .select("query_id", "nbr_id")
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_exact = pool.submit(_exact)
+        f_ivf = pool.submit(
+            ivf_topk, emb, k=3, n_centroids=16, nprobes=sweep, query_filter=qf
+        )
+        f_pq = pool.submit(ivfpq_topk, emb, k=3, nprobes=sweep, query_filter=qf)
+        f_res = pool.submit(
+            ivfpq_residual_topk, emb, k=3, nprobes=sweep, query_filter=qf
+        )
+        exact = f_exact.result()
+        tiers = [
+            ("ivf", f_ivf.result()),
+            ("ivfpq", f_pq.result()),
+            ("ivfpq_residual", f_res.result()),
+        ]
     tot = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    tiers = [
-        ("ivf", ivf_topk(emb, k=3, n_centroids=16, nprobes=sweep, query_filter=qf)),
-        ("ivfpq", ivfpq_topk(emb, k=3, nprobes=sweep, query_filter=qf)),
-        (
-            "ivfpq_residual",
-            ivfpq_residual_topk(emb, k=3, nprobes=sweep, query_filter=qf),
-        ),
-    ]
     parts = [
         t.select(
             F.lit(name).alias("index_tier"), "nprobe", "query_id", "nbr_id"
@@ -5814,7 +5833,14 @@ def _bpe_train(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple]:
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
         merges.append((rnd, a, b, cnt))
         # literal (non-regex) replace via call_function: symbols may contain
-        # regex/quote metacharacters from adversarial text
+        # regex/quote metacharacters from adversarial text.
+        # LAZY chaining (round-10): round r's aggregate replays the ≤K
+        # chained replaces over the ONE initial vocabulary checkpoint —
+        # a replace is a linear string scan over the vocab-bounded table,
+        # so the O(K²/2) replay is microseconds-per-row while the former
+        # per-round localCheckpoint cost one eager materialization JOB per
+        # round (~0.1 s of fixed per-job latency × K rounds × the two
+        # training consumers, pure driver overhead at any scale).
         vocab = vocab.select(
             F.call_function(
                 "replace",
@@ -5823,7 +5849,7 @@ def _bpe_train(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> list[tuple]:
                 F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
             ).alias("w"),
             "freq",
-        ).localCheckpoint()
+        )
     return merges
 
 
