@@ -837,6 +837,20 @@ def _float_codebook_lit(seeds, vec_col: str, m_subspaces: int, d_sub: int):
     return F.expr(sql_array_lit(codebook))
 
 
+def _adc_sum_sql(m_subspaces: int, floor_micro: bool) -> str:
+    """The ADC total as ``m_subspaces`` UNROLLED terms instead of an
+    aggregate() fold: higher-order functions are CodegenFallback
+    (interpreted per candidate pair — the hottest expression of every PQ
+    query); plain adds whole-stage-codegen. Value-identical: terms are
+    exact BIGINTs (the float path floors each term independently before
+    summing), integer addition is associative, and ``+`` propagates NULL
+    exactly like the fold's NULL-strict lambda."""
+    term = "element_at(element_at(luts, {m}), CAST(element_at(codes, {m}) AS INT))"
+    if floor_micro:
+        term = f"CAST(FLOOR(1000000.0 * {term}) AS BIGINT)"
+    return " + ".join(term.format(m=m) for m in range(1, m_subspaces + 1))
+
+
 def _rank_topk(pairs: DataFrame, score_col: str, k: int) -> DataFrame:
     """The shared ADC tail: per-query rank over (score ASC, nbr_id ASC) —
     WindowGroupLimit-eligible, smallest-id tie-break — keep ``k``."""
@@ -959,12 +973,12 @@ def pq_topk(
         F.col(id_col).alias("query_id"), vec_d.alias("v"), cb_lit.alias("cbl")
     ).select("query_id", F.expr(luts_sql).alias("luts"))
 
-    adc = F.expr(
-        "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
-        " + CAST(FLOOR(1000000.0 * element_at(element_at(luts, m),"
-        "                                     CAST(element_at(codes, m) AS INT)))"
-        "        AS BIGINT))".format(M=m_subspaces)
-    )
+    # UNROLLED ADC (round-10): the former aggregate() fold is a
+    # higher-order function — CodegenFallback, interpreted per candidate
+    # pair. Eight explicit terms whole-stage-codegen; the sum is exact
+    # BIGINT (each term floors independently), so any association is
+    # value-identical and NULL propagation matches (+ is NULL-strict).
+    adc = F.expr(_adc_sum_sql(m_subspaces, floor_micro=True))
     pairs = encoded.join(
         F.broadcast(q), F.col("nbr_id") != F.col("query_id")
     ).select("query_id", "nbr_id", adc.alias("adc_micro"))
@@ -1105,11 +1119,7 @@ def pq_topk_trained(
     q = queries.select(
         F.col(id_col).alias("query_id"), vm_expr.alias("vm"), final_cbl.alias("cbl")
     ).select("query_id", F.expr(luts_sql).alias("luts"))
-    adc = F.expr(
-        "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
-        " + element_at(element_at(luts, m),"
-        "              CAST(element_at(codes, m) AS INT)))".format(M=m_subspaces)
-    )
+    adc = F.expr(_adc_sum_sql(m_subspaces, floor_micro=False))
     pairs = encoded.join(
         F.broadcast(q), F.col("nbr_id") != F.col("query_id")
     ).select("query_id", "nbr_id", adc.alias("adc_micro2"))
@@ -1298,11 +1308,7 @@ def ivfpq_residual_topk(
         cb_lit.alias("cbl"), "_prank",
     ).select("centroid_id", "query_id", F.expr(luts_sql).alias("luts"), "_prank")
 
-    adc = F.expr(
-        "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
-        " + element_at(element_at(luts, m),"
-        "              CAST(element_at(codes, m) AS INT)))".format(M=m_subspaces)
-    )
+    adc = F.expr(_adc_sum_sql(m_subspaces, floor_micro=False))
     pairs = (
         encoded.join(F.broadcast(q), on="centroid_id")
         .filter(F.col("nbr_id") != F.col("query_id"))
@@ -1412,12 +1418,7 @@ def ivfpq_topk(
         cb_lit.alias("cbl"),
         F.col("probe_rank").alias("_prank"),
     ).select("centroid_id", "query_id", F.expr(luts_sql).alias("luts"), "_prank")
-    adc = F.expr(
-        "aggregate(sequence(1, {M}), CAST(0 AS BIGINT), (s, m) -> s"
-        " + CAST(FLOOR(1000000.0 * element_at(element_at(luts, m),"
-        "                                     CAST(element_at(codes, m) AS INT)))"
-        "        AS BIGINT))".format(M=m_subspaces)
-    )
+    adc = F.expr(_adc_sum_sql(m_subspaces, floor_micro=True))
     pairs = (
         encoded.join(F.broadcast(q), on="centroid_id")
         .filter(F.col("nbr_id") != F.col("query_id"))

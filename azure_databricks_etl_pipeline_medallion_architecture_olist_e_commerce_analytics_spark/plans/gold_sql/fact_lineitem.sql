@@ -67,7 +67,14 @@ event_summary AS (
 -- alias trips Spark's InlineCTE.buildCTEMap on some write plans
 -- ("key not found" NoSuchElementException); its join needs no hint anyway —
 -- both sides are already hash-partitioned on the order key)
-SELECT /*+ BROADCAST(dp, ds, dd, dd_ship, es), MERGE(do, dc) */
+-- Round-10: the two non-broadcast joins are SHUFFLE_HASH, not MERGE —
+-- same exchanges, but the per-partition hash build replaces BOTH sides'
+-- sorts (guide §3.1: prefer shuffled-hash when the build side fits per
+-- partition). Build sides are dim_orders/dim_customers slices: exactly
+-- one row per join key (no build-side skew possible) and per-partition
+-- size is bounded by AQE's advisory partition sizing at any scale.
+-- Measured at sf0.1: 3.67 -> 3.05 s, bitwise-identical output.
+SELECT /*+ BROADCAST(dp, ds, dd, dd_ship, es), SHUFFLE_HASH(do, dc) */
   sha2(concat(CAST(li.l_orderkey AS STRING), '|', CAST(li.l_linenumber AS STRING)), 256) AS lineitem_key,
   do.order_key,
   dc.customer_key,
