@@ -3625,7 +3625,13 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    t = emb.select("vec_id", F.col("embedding").alias("v"), norm_col(F.col("embedding")).alias("n"))
+    # spread BEFORE the pair scoring: the single-row-group scan otherwise
+    # streams every (train x broadcast-eval) cosine fold through ONE task
+    # (~2 s single-threaded at sf0.1); per-pair results are independent and
+    # the downstream aggregate is order-free, so the round-robin is safe
+    t = spread_partitions(emb).select(
+        "vec_id", F.col("embedding").alias("v"), norm_col(F.col("embedding")).alias("n")
+    )
     ev, tr = t.filter(F.col("vec_id") < 100).alias("e"), t.filter(
         F.col("vec_id") >= 100
     ).alias("t")
