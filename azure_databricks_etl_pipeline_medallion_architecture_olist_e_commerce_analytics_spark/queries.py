@@ -726,7 +726,9 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textops import analyze_documents
 
     tune_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the one-pass analysis projection is the dominant per-row
+    # cost and the single-row-group scan would run it on one task
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     return analyze_documents(docs)
 
 
