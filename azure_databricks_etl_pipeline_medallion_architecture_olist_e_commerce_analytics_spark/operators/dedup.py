@@ -85,7 +85,11 @@ def jaccard_pairs(
     """
     toks = tokens_col(text_col)
     sets = toks if ngram == 1 else F.array_distinct(_shingles(toks, ngram))
-    t = df.select(F.col(id_col).alias("id"), sets.alias("s"))
+    # spread: the bounded input arrives as one scan partition and the
+    # O(n²) pair stream (array_intersect per pair) would run on one task —
+    # round-10 in-session A/B: 1.3-1.5 s -> 0.3-0.5 s at the catalog's
+    # 300-doc slice. Pair results are per-row independent; order-free.
+    t = spread_partitions(df).select(F.col(id_col).alias("id"), sets.alias("s"))
     a = t.alias("a")
     b = t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
