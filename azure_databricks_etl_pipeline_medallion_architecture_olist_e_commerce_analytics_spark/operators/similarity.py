@@ -82,6 +82,7 @@ def brute_force_topk(
     k: int = 3,
     query_filter=None,
     exclude_group_col: str | None = None,
+    vectorized_dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -97,10 +98,33 @@ def brute_force_topk(
     unchanged; NULL groups pair with nothing (SQL NULL semantics — both
     engines drop them identically). The output then carries both group
     columns alongside the pair.
+
+    ``vectorized_dim`` (round-10, no-group path only): compute the raw
+    cosines in a mapInPandas kernel that REPLAYS the engine fold exactly —
+    per-dimension accumulation ``acc += C[:,i] * Q[:,i]`` is the same
+    IEEE-754 double sequence as the zip_with left fold (float32→float64
+    widening is exact, numpy ops are IEEE doubles), norms likewise, and
+    dot/(qn·nn) uses the identical operand order — so every emitted double
+    is bit-identical to the expression path and the Spark-side
+    round(…, 6) + rank pipeline is unchanged. Rows whose vector is NULL /
+    wrong-dim / null-element (or NULL id) are dropped up front, the same
+    robustness contract as :func:`brute_force_topk_np` (on clean oracle
+    data nothing is dropped and the output is bitwise the expression
+    path's — unit-pinned). Per-batch cost is vectorized numpy instead of
+    an interpreted 64-element lambda fold per pair.
     """
     # Norms are per-vector, not per-pair: compute them once on each side so
     # the O(n·m) join evaluates one fold (the dot product) per pair, not three.
     df = spread_partitions(df)
+    if vectorized_dim is not None:
+        if exclude_group_col is not None:
+            raise ValueError(
+                "vectorized_dim supports the no-group path only — the "
+                "hard-negative form keeps the expression plan"
+            )
+        return _brute_force_topk_foldexact(
+            df, id_col, vec_col, k, query_filter, vectorized_dim
+        )
     grp = [F.col(exclude_group_col)] if exclude_group_col else []
     corpus = df.select(
         F.col(id_col).alias("nbr_id"),
@@ -133,6 +157,82 @@ def brute_force_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank", *out_grp)
+    )
+
+
+def _brute_force_topk_foldexact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_filter,
+    dim: int,
+) -> DataFrame:
+    """The fold-exact vectorized brute-force path (see
+    :func:`brute_force_topk` ``vectorized_dim``): numpy per-dimension
+    accumulation replays the zip_with/aggregate left fold bit-for-bit;
+    rounding and ranking stay in Spark, unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    valid = _valid_vectors(df, vec_col, dim).filter(F.col(id_col).isNotNull())
+    queries = valid
+    if query_filter is not None:
+        queries = queries.filter(query_filter)
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return df.sparkSession.createDataFrame(
+            [], "query_id bigint, nbr_id bigint, cosine double, rank int"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    # query norms via the SAME left fold: acc = ((0 + x0²) + x1²) + …
+    qn_acc = np.zeros(len(q_ids), dtype=np.float64)
+    for i in range(dim):
+        qn_acc = qn_acc + Q[:, i] * Q[:, i]
+    qn = np.sqrt(qn_acc)
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, Q, qn))
+
+    def score(batches):
+        b_ids, b_Q, b_qn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            C = np.array([list(v) for v in pdf["_vec"]], dtype=np.float64)
+            cn_acc = np.zeros(len(ids), dtype=np.float64)
+            dot = np.zeros((len(ids), len(b_ids)), dtype=np.float64)
+            for i in range(dim):
+                ci = C[:, i]
+                cn_acc = cn_acc + ci * ci
+                # per-pair: dot += C[i]*Q[i] — the fold's add order
+                dot = dot + np.multiply.outer(ci, b_Q[:, i])
+            cn = np.sqrt(cn_acc)
+            # denominator operand order matches the expression:
+            # query_norm * nbr_norm (zero norms yield the same ±Inf/NaN
+            # IEEE results as the expression path — just quiet the warning)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = dot / (b_qn[None, :] * cn[:, None])
+            keep = ids[:, None] != b_ids[None, :]
+            ri, qi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": b_ids[qi],
+                    "nbr_id": ids[ri],
+                    "_raw": raw[ri, qi],
+                }
+            )
+
+    pairs = (
+        valid.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .mapInPandas(score, "query_id bigint, nbr_id bigint, _raw double")
+        .select("query_id", "nbr_id", F.round(F.col("_raw"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
     )
 
 

@@ -733,12 +733,19 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k neighbors (exact ANN baseline)."""
+    """Brute-force cosine top-k neighbors (exact ANN baseline).
+
+    Round-10: runs the fold-exact vectorized kernel (``vectorized_dim`` —
+    per-dimension numpy accumulation replays the expression fold
+    bit-for-bit; rounding/ranking stay in Spark), unit-pinned bitwise
+    against the expression path."""
     from .operators.similarity import brute_force_topk
 
     tune_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    out = brute_force_topk(emb, k=3, query_filter=F.col("vec_id") < 100)
+    out = brute_force_topk(
+        emb, k=3, query_filter=F.col("vec_id") < 100, vectorized_dim=64
+    )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -970,7 +977,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _exact():
         return (
-            brute_force_topk(emb, k=3, query_filter=qf)
+            brute_force_topk(emb, k=3, query_filter=qf, vectorized_dim=64)
             .select("query_id", "nbr_id")
             .localCheckpoint()
         )

@@ -798,6 +798,26 @@ def test_brute_force_topk_np_matches_fold_scorer(spark):
     assert ra == rb
 
 
+def test_brute_force_topk_vectorized_bitwise_equals_expression(spark):
+    """The round-10 fold-exact vectorized path (``vectorized_dim``) is
+    BITWISE the expression path: the numpy per-dimension accumulation
+    replays the zip_with left fold's IEEE sequence, so rounded cosines,
+    ranks, and tie-breaks are identical — compared on raw double bits via
+    repr, not approximately."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").repartition(8)
+    a = brute_force_topk(emb, k=3, query_filter=F.col("vec_id") < 40)
+    b = brute_force_topk(
+        emb, k=3, query_filter=F.col("vec_id") < 40, vectorized_dim=64
+    )
+    ra = sorted((r.query_id, r.rank, r.nbr_id, repr(r.cosine)) for r in a.collect())
+    rb = sorted((r.query_id, r.rank, r.nbr_id, repr(r.cosine)) for r in b.collect())
+    assert ra == rb
+
+
 def test_srp_lsh_planted_near_dups(spark):
     """SRP-LSH finds planted near-duplicates: recall >= 0.95 at s >= 0.9
     (S-curve 1-(1-p^8)^16 with p = 1 - arccos(s)/pi), precision exactly 1."""
