@@ -282,14 +282,21 @@ def test_fact_plan_shape_is_regression_locked(spark):
     (11 at sf0.001; cap with small headroom) — the star join order pays each
     of the two fact hash partitionings (orderkey chain, then custkey chain)
     once; (c) the two joins Catalyst's stats mispriced stay pinned by hint:
-    order-cardinality dim_orders merges (SMJ present even at this tiny SF,
-    where an unhinted plan would auto-broadcast a dim that is unbounded at
-    100 TB) while small dims broadcast (BHJ present)."""
+    order-cardinality dim_orders/dim_customers SHUFFLE_HASH (round-10: the
+    per-partition hash build replaces both SMJ sides' sorts — same
+    exchanges, build side is one row per join key so no build-side skew;
+    ShuffledHashJoin present even at this tiny SF, where an unhinted plan
+    would auto-broadcast a dim that is unbounded at 100 TB) while small
+    dims broadcast (BHJ present)."""
     plan = _formatted_plan(SPARK_QUERIES["gold_fact_lineitem"](spark, SF_SMALL))
     assert "RoundRobinPartitioning" not in plan, "bronze spread crept back"
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 14, f"{n_exchanges} exchanges (audited floor: 11)"
-    assert "SortMergeJoin" in plan, "dim_orders merge hint lost (would broadcast an unbounded dim)"
+    assert "ShuffledHashJoin" in plan, (
+        "dim_orders/dim_customers shuffle-hash hint lost (an unhinted plan "
+        "would broadcast an unbounded dim; a MERGE hint would re-add both "
+        "sides' sorts)"
+    )
     assert "BroadcastHashJoin" in plan
 
 
@@ -360,13 +367,14 @@ def test_profile_table_approx_hll_aggs_present(spark):
 
 
 def test_ivf_nprobe_plan_shape(spark):
-    """The nprobe path must keep the IVF contract: the ONLY nested-loop
-    joins are the two bounded 16-row centroid broadcasts (one per derived
-    side of the ranked assignment — the audited IVF-family shape); the
-    candidate join is an equi-join on centroid_id (never cartesian), and
-    both the probe-rank filter and the final top-k compile to
-    WindowGroupLimit so no partition materializes more than nprobe cell
-    ranks / k result rows before its shuffle."""
+    """The nprobe path must keep the IVF contract: since the round-10
+    zero-shuffle assignment rewrite there are NO nested-loop joins at all
+    (the centroid table is a literal inside a sorted-struct-array
+    projection — the old plan paid one bounded 16-row BNLJ + a window
+    exchange per derived side); the candidate join is an equi-join on
+    centroid_id (never cartesian), and the final top-k compiles to
+    WindowGroupLimit so no partition materializes more than k result rows
+    before its shuffle."""
     import re as _re
 
     plan = _formatted_plan(SPARK_QUERIES["ivf_nprobe_topk"](spark, SF_SMALL))
@@ -374,7 +382,7 @@ def test_ivf_nprobe_plan_shape(spark):
     # count detail headers, not tree echoes (formatted output shows each
     # node twice)
     bnlj = _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
-    assert len(bnlj) == 2, plan[:800]
+    assert len(bnlj) == 0, plan[:800]
     assert "WindowGroupLimit" in plan, plan[:500]
 
 
