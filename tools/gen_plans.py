@@ -43,7 +43,10 @@ ANNOTATIONS = {
         "chain (customer, dim_customers). Small dims ship as "
         "BroadcastExchange by explicit hint (stats mispriced the ~1k-row "
         "supplier dim into a full-fact SMJ exchange); order-cardinality "
-        "dim_orders is hinted MERGE — broadcasting it is unbounded at "
+        "dim_orders/dim_customers are hinted SHUFFLE_HASH (round-10: same "
+        "exchanges as the old MERGE hint, no sorts; one row per join key "
+        "on the build side, so per-partition builds stay bounded) — "
+        "broadcasting them is unbounded at "
         "100 TB. COUNT(DISTINCT) derives from size(collect_set) in the "
         "same pass, avoiding the Expand rewrite's second aggregation."
     ),
@@ -321,7 +324,9 @@ ANNOTATIONS = {
         "Containment is exact integer ppm over the pruned sets."
     ),
     "ivfpq_topk": (
-        "IVF-PQ composed: broadcast coarse assignment routes each vector "
+        "IVF-PQ composed: the zero-shuffle literal-centroid assignment "
+        "(round-10: a sorted-struct-array projection — no BNLJ, no window "
+        "exchange) routes each vector "
         "to one of 16 cells; candidates come from an equi-join on "
         "centroid_id against the bounded broadcast query side (a query "
         "touches ~1/16 of the corpus); scoring is the PQ/ADC literal-"
@@ -329,8 +334,9 @@ ANNOTATIONS = {
         "order-independent sums, WindowGroupLimit top-k."
     ),
     "ivf_nprobe_topk": (
-        "IVF with the nprobe=4 recall knob: ONE ranked-assignment pass "
-        "(broadcast 16 centroids, per-vector rank window) serves both "
+        "IVF with the nprobe=4 recall knob: the zero-shuffle ranked "
+        "assignment (round-10: literal centroids, sorted-struct-array "
+        "projection — no BNLJ, no window exchange) serves both "
         "sides — corpus keeps rank 1, queries keep ranks 1-4 — so the "
         "candidate join stays an equi-join on centroid_id with ~4x the "
         "single-probe candidates and zero pair duplication (each corpus "
