@@ -21,6 +21,30 @@ from pyspark.sql import functions as F
 
 from ..sources.loader import spread_partitions
 
+# Broadcasts created by the vectorized kernels, kept for explicit release.
+# A query function returns a LAZY DataFrame, so its broadcast must outlive
+# the call — but a bench/driver loop that re-invokes queries would otherwise
+# accumulate broadcast blocks for the whole session (the ContextCleaner only
+# reclaims them after Python GC drops the last reference). The bench's
+# release_cached_state() calls :func:`release_broadcasts` between queries;
+# after that, DataFrames built by earlier invocations must not be re-run.
+_LIVE_BROADCASTS: list = []
+
+
+def _register_broadcast(bc):
+    _LIVE_BROADCASTS.append(bc)
+    return bc
+
+
+def release_broadcasts() -> None:
+    """Destroy kernel broadcasts created since the last call (see above)."""
+    while _LIVE_BROADCASTS:
+        bc = _LIVE_BROADCASTS.pop()
+        try:
+            bc.destroy()
+        except Exception:  # already destroyed / context gone
+            pass
+
 
 def _sql_scalar_lit(x, kind: str) -> str:
     if x is None:
@@ -99,7 +123,8 @@ def brute_force_topk(
     engines drop them identically). The output then carries both group
     columns alongside the pair.
 
-    ``vectorized_dim`` (round-10, no-group path only): compute the raw
+    ``vectorized_dim`` (round-10; round-11 extends it to the
+    ``exclude_group_col`` hard-negative form): compute the raw
     cosines in a mapInPandas kernel that REPLAYS the engine fold exactly —
     per-dimension accumulation ``acc += C[:,i] * Q[:,i]`` is the same
     IEEE-754 double sequence as the zip_with left fold (float32→float64
@@ -110,20 +135,23 @@ def brute_force_topk(
     wrong-dim / null-element (or NULL id) are dropped up front, the same
     robustness contract as :func:`brute_force_topk_np` (on clean oracle
     data nothing is dropped and the output is bitwise the expression
-    path's — unit-pinned). Per-batch cost is vectorized numpy instead of
-    an interpreted 64-element lambda fold per pair.
+    path's — unit-pinned; on DIRTY data the two paths differ by design:
+    the expression path would emit NULL-cosine pairs for NULL/wrong-dim
+    vectors, the kernel drops such rows). Per-batch cost is vectorized
+    numpy instead of an interpreted 64-element lambda fold per pair.
+
+    CONTRACT: the query side is collected to the driver, so callers MUST
+    bound it (pass ``query_filter`` selecting a serving batch, ~≤10⁴
+    rows); ``query_filter=None`` with ``vectorized_dim`` would collect
+    the entire corpus. Every catalog caller passes a bounded filter.
     """
     # Norms are per-vector, not per-pair: compute them once on each side so
     # the O(n·m) join evaluates one fold (the dot product) per pair, not three.
     df = spread_partitions(df)
     if vectorized_dim is not None:
-        if exclude_group_col is not None:
-            raise ValueError(
-                "vectorized_dim supports the no-group path only — the "
-                "hard-negative form keeps the expression plan"
-            )
         return _brute_force_topk_foldexact(
-            df, id_col, vec_col, k, query_filter, vectorized_dim
+            df, id_col, vec_col, k, query_filter, vectorized_dim,
+            exclude_group_col=exclude_group_col,
         )
     grp = [F.col(exclude_group_col)] if exclude_group_col else []
     corpus = df.select(
@@ -167,34 +195,59 @@ def _brute_force_topk_foldexact(
     k: int,
     query_filter,
     dim: int,
+    exclude_group_col: str | None = None,
 ) -> DataFrame:
     """The fold-exact vectorized brute-force path (see
     :func:`brute_force_topk` ``vectorized_dim``): numpy per-dimension
     accumulation replays the zip_with/aggregate left fold bit-for-bit;
-    rounding and ranking stay in Spark, unchanged."""
+    rounding and ranking stay in Spark, unchanged.
+
+    ``exclude_group_col`` (round-11) carries the hard-negative group
+    inequality into the kernel: the group column rides the collected query
+    batch and the Arrow batch, and the self-pair mask gains
+    ``group_a != group_b``. NULL-group rows pair with NOTHING under the
+    expression path's SQL inequality (NULL != x is never true), so the
+    kernel drops them up front on both sides — the same up-front-drop
+    contract the no-group path already applies to NULL ids/vectors.
+    Emitted doubles stay bit-identical to the expression fold
+    (unit-pinned for both forms)."""
     import numpy as np
     import pandas as pd
 
     valid = _valid_vectors(df, vec_col, dim).filter(F.col(id_col).isNotNull())
+    grp_type = None
+    if exclude_group_col is not None:
+        valid = valid.filter(F.col(exclude_group_col).isNotNull())
+        grp_type = dict(df.dtypes)[exclude_group_col]
     queries = valid
     if query_filter is not None:
         queries = queries.filter(query_filter)
-    q_rows = queries.select(id_col, vec_col).collect()
+    out_grp = ["query_group", "nbr_group"] if exclude_group_col else []
+    empty_schema = "query_id bigint, nbr_id bigint, cosine double, rank int" + (
+        f", query_group {grp_type}, nbr_group {grp_type}" if grp_type else ""
+    )
+    q_cols = [id_col, vec_col] + (
+        [exclude_group_col] if exclude_group_col else []
+    )
+    q_rows = queries.select(*q_cols).collect()
     if not q_rows:
-        return df.sparkSession.createDataFrame(
-            [], "query_id bigint, nbr_id bigint, cosine double, rank int"
-        )
+        return df.sparkSession.createDataFrame([], empty_schema)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_grp = (
+        np.array([r[2] for r in q_rows]) if exclude_group_col else None
+    )
     # query norms via the SAME left fold: acc = ((0 + x0²) + x1²) + …
     qn_acc = np.zeros(len(q_ids), dtype=np.float64)
     for i in range(dim):
         qn_acc = qn_acc + Q[:, i] * Q[:, i]
     qn = np.sqrt(qn_acc)
-    bc = df.sparkSession.sparkContext.broadcast((q_ids, Q, qn))
+    bc = _register_broadcast(
+        df.sparkSession.sparkContext.broadcast((q_ids, Q, qn, q_grp))
+    )
 
     def score(batches):
-        b_ids, b_Q, b_qn = bc.value
+        b_ids, b_Q, b_qn, b_grp = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -214,25 +267,41 @@ def _brute_force_topk_foldexact(
             with np.errstate(divide="ignore", invalid="ignore"):
                 raw = dot / (b_qn[None, :] * cn[:, None])
             keep = ids[:, None] != b_ids[None, :]
+            if b_grp is not None:
+                g = pdf["_grp"].to_numpy()
+                keep &= g[:, None] != b_grp[None, :]
             ri, qi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "query_id": b_ids[qi],
-                    "nbr_id": ids[ri],
-                    "_raw": raw[ri, qi],
-                }
-            )
+            out = {
+                "query_id": b_ids[qi],
+                "nbr_id": ids[ri],
+                "_raw": raw[ri, qi],
+            }
+            if b_grp is not None:
+                out["query_group"] = b_grp[qi]
+                out["nbr_group"] = g[ri]
+            yield pd.DataFrame(out)
 
+    in_cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")] + (
+        [F.col(exclude_group_col).alias("_grp")] if exclude_group_col else []
+    )
+    kernel_schema = "query_id bigint, nbr_id bigint, _raw double" + (
+        f", query_group {grp_type}, nbr_group {grp_type}" if grp_type else ""
+    )
     pairs = (
-        valid.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .mapInPandas(score, "query_id bigint, nbr_id bigint, _raw double")
-        .select("query_id", "nbr_id", F.round(F.col("_raw"), 6).alias("cosine"))
+        valid.select(*in_cols)
+        .mapInPandas(score, kernel_schema)
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(F.col("_raw"), 6).alias("cosine"),
+            *out_grp,
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "cosine", "rank")
+        .select("query_id", "nbr_id", "cosine", "rank", *out_grp)
     )
 
 
@@ -279,7 +348,7 @@ def brute_force_topk_np(
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((q_ids, Qn))
+    bc = _register_broadcast(sc.broadcast((q_ids, Qn)))
 
     def score(batches):
         b_ids, b_Qn = bc.value

@@ -770,6 +770,11 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         query_filter=F.col("vec_id") < 100,
         exclude_group_col="label",
+        # round-11: the group-aware fold-exact kernel (bitwise equal to the
+        # expression pair fold — unit-pinned) replaces the interpreted
+        # 64-element lambda per pair; the bounded anchor batch is the
+        # collected side, per the operator's query_filter contract
+        vectorized_dim=64,
     )
     return out.select(
         "query_id",
@@ -975,6 +980,8 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jobs fine; each build is deterministic and shares no state).
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
     def _exact():
         return (
             brute_force_topk(emb, k=3, query_filter=qf, vectorized_dim=64)
@@ -982,14 +989,24 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
+    # inheritable_thread_target copies the CALLER's JVM thread-local
+    # properties (job group/description, cancellation scope) onto each
+    # worker invocation, so a driver-side cancel or bench label set on the
+    # main thread reaches the four concurrent builds (plain pool threads
+    # would not inherit them).
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_exact = pool.submit(_exact)
+        f_exact = pool.submit(inheritable_thread_target(_exact))
         f_ivf = pool.submit(
-            ivf_topk, emb, k=3, n_centroids=16, nprobes=sweep, query_filter=qf
+            inheritable_thread_target(ivf_topk),
+            emb, k=3, n_centroids=16, nprobes=sweep, query_filter=qf,
         )
-        f_pq = pool.submit(ivfpq_topk, emb, k=3, nprobes=sweep, query_filter=qf)
+        f_pq = pool.submit(
+            inheritable_thread_target(ivfpq_topk),
+            emb, k=3, nprobes=sweep, query_filter=qf,
+        )
         f_res = pool.submit(
-            ivfpq_residual_topk, emb, k=3, nprobes=sweep, query_filter=qf
+            inheritable_thread_target(ivfpq_residual_topk),
+            emb, k=3, nprobes=sweep, query_filter=qf,
         )
         exact = f_exact.result()
         tiers = [
@@ -2564,11 +2581,11 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from .sources.loader import normalize_ntz
+    from .sources.loader import normalize_ntz, raw_parquet_schema
     from .streaming.incremental import stream_source
 
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = raw_parquet_schema(spark, path)
     if os.path.isdir(path):
         # directory-of-part-files layout (Spark-written): stream the table
         # directory itself — a pathGlobFilter of "events.parquet" would
@@ -2593,7 +2610,13 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = windowed_event_counts(_stream_events(spark, sf_dir))
     # complete mode so windows still open at end-of-input are emitted too
     # (append mode would hold back the final watermark-uncommitted windows).
-    return run_to_memory(agg, "mem_stream_window_agg", output_mode="complete")
+    return run_to_memory(
+        agg, "mem_stream_window_agg", output_mode="complete",
+        # complete mode rewrites the full table every data batch — the
+        # zero-row finalization batch re-emits the same rows (see
+        # run_to_memory.skip_finalization)
+        skip_finalization=True,
+    )
 
 
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2638,11 +2661,12 @@ def q_corpus_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from .plans.corpus import corpus_silver_columns
+    from .sources.loader import raw_parquet_schema
     from .streaming.incremental import run_to_memory, stream_source
 
     tune_session(spark)
     path = _os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = raw_parquet_schema(spark, path)
     if _os.path.isdir(path):
         # directory-of-part-files layout: stream the table directory itself
         stream = stream_source(spark, path, schema=schema)
@@ -2663,7 +2687,10 @@ def q_streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     agg = sliding_event_counts(_stream_events(spark, sf_dir))
-    return run_to_memory(agg, "mem_stream_sliding_agg", output_mode="complete")
+    return run_to_memory(
+        agg, "mem_stream_sliding_agg", output_mode="complete",
+        skip_finalization=True,  # complete mode: final batch re-emits the same
+    )
 
 
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2672,7 +2699,10 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     agg = sessionized_event_counts(_stream_events(spark, sf_dir), gap="30 minutes")
-    return run_to_memory(agg, "mem_stream_sessionize", output_mode="complete")
+    return run_to_memory(
+        agg, "mem_stream_sessionize", output_mode="complete",
+        skip_finalization=True,  # complete mode: final batch re-emits the same
+    )
 
 
 def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2694,7 +2724,12 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     out = running_user_totals(_stream_events(spark, sf_dir))
-    return run_to_memory(out, "mem_stream_running_totals")
+    return run_to_memory(
+        out, "mem_stream_running_totals",
+        # NoTimeout state function: the zero-row finalization batch fires
+        # no timers and emits nothing
+        skip_finalization=True,
+    )
 
 
 def q_running_totals_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2739,7 +2774,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_events(spark, sf_dir), ["user_id", "event_type"], watermark="60 days"
     )
     out = run_to_memory(
-        deduped.select("user_id", "event_type"), "mem_stream_dedup"
+        deduped.select("user_id", "event_type"), "mem_stream_dedup",
+        # dedup emits each surviving row in the batch it arrives; the
+        # finalization batch only expires state
+        skip_finalization=True,
     )
     return out
 
@@ -2794,7 +2832,13 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us"
         ),
     )
-    return run_to_memory(joined, "mem_stream_stream_join")
+    return run_to_memory(
+        joined, "mem_stream_stream_join",
+        # inner stream-stream join: matches emit in the batch both rows
+        # arrive; the finalization batch only evicts state (measured ~0.7 s
+        # of pure state-store load/commit) — rows verified identical
+        skip_finalization=True,
+    )
 
 
 def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4599,21 +4643,29 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     if small:
         ls, ld = F.broadcast(ls), F.broadcast(ld)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
-    degs = (
-        edges.join(ls, "src")
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("degree_sum"))
-    )
-    intra = (
+    # degree_sum and intra_deg in ONE pass over the edge list (round-11):
+    # the former two-subtree form (edges⋈ls → count; edges⋈ls⋈ld → filter →
+    # count) scanned and joined the E-row edge list twice. Both are counts
+    # over the SAME src-label join — annotate each edge with both endpoint
+    # labels once and take degree_sum = count(*), intra_deg = count of
+    # label-equal rows, in a single map-side-combined aggregate. The ld join
+    # stays inner: under the symmetric-edges contract every dst appears as a
+    # src, so every edge row keeps exactly one match and counts are
+    # unchanged; labels with zero intra edges now aggregate to 0 directly
+    # (the old LEFT join + coalesce handled their absence).
+    stats = (
         edges.join(ls, "src")
         .join(ld, F.col("dst") == F.col("__dst_n"))
-        .filter(F.col("label") == F.col("__label_d"))
         .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("intra_deg"))
+        .agg(
+            F.count(F.lit(1)).alias("degree_sum"),
+            F.sum(
+                F.when(F.col("label") == F.col("__label_d"), 1).otherwise(0)
+            ).cast("long").alias("intra_deg"),
+        )
     )
     out = (
-        sizes.join(degs, "label")
-        .join(intra, "label", "left")
+        sizes.join(stats, "label")
         .select(
             F.when(F.col("label") % 2 == 0, F.lit("supplier"))
             .otherwise(F.lit("customer"))

@@ -818,6 +818,34 @@ def test_brute_force_topk_vectorized_bitwise_equals_expression(spark):
     assert ra == rb
 
 
+def test_brute_force_topk_vectorized_group_bitwise_equals_expression(spark):
+    """Round-11: the fold-exact kernel's ``exclude_group_col`` form (the
+    hard-negative path) is BITWISE the expression path — group inequality
+    mask, group output columns, rounded cosines, ranks, tie-breaks — and a
+    NULL-group row pairs with nothing on either path (SQL inequality)."""
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").repartition(8)
+    # plant a NULL-group row inside the query window: both paths must
+    # exclude it from every pair (query or neighbor side)
+    emb = emb.withColumn(
+        "label", F.when(F.col("vec_id") == 7, F.lit(None)).otherwise(F.col("label"))
+    )
+    kw = dict(k=3, query_filter=F.col("vec_id") < 40, exclude_group_col="label")
+    a = brute_force_topk(emb, **kw)
+    b = brute_force_topk(emb, vectorized_dim=64, **kw)
+    assert a.columns == b.columns
+    key = lambda r: (  # noqa: E731
+        r.query_id, r.rank, r.nbr_id, repr(r.cosine), r.query_group, r.nbr_group
+    )
+    ra = sorted(key(r) for r in a.collect())
+    rb = sorted(key(r) for r in b.collect())
+    assert ra == rb
+    assert not any(r[0] == 7 for r in ra)  # NULL-group anchor emits nothing
+
+
 def test_srp_lsh_planted_near_dups(spark):
     """SRP-LSH finds planted near-duplicates: recall >= 0.95 at s >= 0.9
     (S-curve 1-(1-p^8)^16 with p = 1 - arccos(s)/pi), precision exactly 1."""
