@@ -297,6 +297,13 @@ def release_cached_state(spark) -> None:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for jrdd in list(jmap.values()):
         jrdd.unpersist(False)
+    # kernel broadcasts (similarity module) are registered for explicit
+    # release — the ContextCleaner only reclaims them after Python GC
+    from azure_databricks_etl_pipeline_medallion_architecture_olist_e_commerce_analytics_spark.operators import (  # noqa: E501
+        similarity,
+    )
+
+    similarity.release_broadcasts()
     # NOTE: a System.gc() here was measured COUNTERPRODUCTIVE (round 5):
     # the full GC unloads cold generated classes, evicting JIT-compiled
     # code, and later queries repay compilation — TPC-H block 14.9s with
@@ -460,6 +467,12 @@ def main() -> None:
             / (calibration["calibration_blas_sec"] / CALIBRATION_ANCHOR_BLAS_SEC),
             3,
         ),
+        # Round-11 (r10 verdict ask #2): the per-query map rides the FINAL
+        # one-line summary too. The first payload line (the driver contract)
+        # already carries it, but a bounded log-tail capture can truncate
+        # that line away — putting the same map on the last line restores
+        # per-query visibility to anything that parses only the tail.
+        "per_query": timings,
     }
     try:
         with open(
