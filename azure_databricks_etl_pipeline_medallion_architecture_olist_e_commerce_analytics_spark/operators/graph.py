@@ -589,16 +589,22 @@ def label_propagation(
 
     Scale: each round is ONE equi-join (edges × the O(V) label vector —
     broadcast below ``BROADCAST_NODE_LIMIT``, shuffle path above it; a
-    100 TB label vector must never be broadcast) plus TWO map-side-
-    combined hash aggregates: (node, label) message counts, then the
-    per-node argmax as ``max(struct(count, -label))`` — an aggregate,
-    not a window, so a celebrity node's million incoming messages
-    combine map-side instead of funneling through one window task.
-    O(E) per round, no driver state beyond the round counter;
-    per-round localCheckpoint truncates lineage (the Pregel
-    periodic-checkpoint discipline). Callers pass ``edges`` already
-    materialized (every round re-scans it); ``num_nodes`` skips the one
-    gating count job when the caller knows the bound.
+    100 TB label vector must never be broadcast) plus ONE map-side-
+    combined aggregate: ``mode(label, deterministic=true)`` per node —
+    the deterministic mode's greatest-frequency-then-LOWEST-value rule
+    IS the min-label tie-break, verified value-identical to the former
+    two-aggregate form (count per (node, label), then argmax as
+    ``max(struct(count, -label))``), which paid a second exchange per
+    round. Mode is a TypedImperativeAggregate with partial merge, so a
+    celebrity node's million incoming messages still combine map-side
+    (per-partition label→count maps) instead of funneling through one
+    task, and the shuffle carries the same distinct-(node, label)
+    entries the old partial counts did. O(E) per round, no driver
+    state beyond the round counter; per-round localCheckpoint
+    truncates lineage (the Pregel periodic-checkpoint discipline).
+    Callers pass ``edges`` already materialized (every round re-scans
+    it); ``num_nodes`` skips the one gating count job when the caller
+    knows the bound.
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
@@ -625,18 +631,14 @@ def label_propagation(
         labels = (
             edges.join(vec, edges[src] == vec["__node"])
             .select(edges[dst].alias("__node"), "__label")
-            .groupBy("__node", "__label")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            # argmax by (count desc, label asc): labels are non-negative
-            # ids, so max over (count, -label) structs orders ties toward
-            # the smallest label — same rule the oracle's ROW_NUMBER pins
+            # argmax by (count desc, label asc) in ONE aggregate:
+            # deterministic mode returns the most frequent value, ties to
+            # the LOWEST — exactly the min-label rule the oracle's
+            # ROW_NUMBER pins. (Message labels are never NULL: they come
+            # from the equi-join's matched label vector, so mode's
+            # NULL-ignoring clause is never exercised.)
             .groupBy("__node")
-            .agg(
-                F.max(
-                    F.struct(F.col("__c").alias("c"), (-F.col("__label")).alias("nl"))
-                ).alias("__m")
-            )
-            .select("__node", (-F.col("__m.nl")).alias("__label"))
+            .agg(F.mode("__label", True).alias("__label"))
         )
         if not small:
             # big-graph path: truncate lineage so a late task failure
@@ -771,7 +773,12 @@ def kcore_peel(
             small = n <= BROADCAST_NODE_LIMIT
         else:
             # later rounds: a surviving node can lose ALL its edges, so
-            # absent degree keys coalesce to 0 via the left join
+            # absent degree keys coalesce to 0 via the left join.
+            # (Round-11 note: skipping the FINAL round's checkpoint was
+            # A/B'd and REJECTED — it trades one driver job locally for
+            # recomputing the round's O(E) degree aggregate in BOTH output
+            # union branches, strictly worse at scale; the plan lock
+            # test_kcore_plan_rounds_materialize_no_python pins this.)
             evaluated = (
                 alive.join(deg, alive["node"] == deg["__s"], "left")
                 .select(
