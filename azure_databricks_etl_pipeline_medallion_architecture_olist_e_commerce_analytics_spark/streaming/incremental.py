@@ -95,6 +95,7 @@ def run_to_memory(
     name: str,
     output_mode: str = "append",
     state_partitions: int | None = 8,
+    skip_finalization: bool = False,
 ) -> DataFrame:
     """Run a stream to completion into an in-memory table (test/oracle path).
 
@@ -111,11 +112,30 @@ def run_to_memory(
     fixed overhead (32→8 partitions cut the test streams 4-5×), while a
     100 TB/day stream genuinely needs thousands. The session value is
     restored afterwards so batch queries keep the cluster-width setting.
+
+    ``skip_finalization=True`` disables no-data microbatches for this run
+    (``spark.sql.streaming.noDataMicroBatches.enabled=false``, restored
+    after). The zero-row finalization batch availableNow appends exists to
+    let the watermark advance and flush watermark-GATED output; a stream
+    whose sink rows never wait on the watermark — complete-mode aggregates
+    (every data batch rewrites the full table), watermark dedup and inner
+    stream-stream joins (rows emit in the batch they arrive), NoTimeout
+    applyInPandasWithState (no timers to fire) — emits exactly the same
+    table without it, and the batch's only effect is end-of-stream state
+    eviction the terminating query discards anyway. It costs a full
+    state-store load/commit cycle across every partition (measured ~0.7 s
+    of the 2.4 s stream-join run), so callers in that class opt out.
+    APPEND-mode event-time aggregations (windowed_distinct_users) MUST
+    keep it on — their final windows only emit once the watermark passes.
     """
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(nodata_key)
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if skip_finalization:
+        spark.conf.set(nodata_key, "false")
     try:
         q = (
             df.writeStream.format("memory")
@@ -128,6 +148,8 @@ def run_to_memory(
     finally:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if skip_finalization:
+            spark.conf.set(nodata_key, prev_nodata)
     return spark.table(name)
 
 
