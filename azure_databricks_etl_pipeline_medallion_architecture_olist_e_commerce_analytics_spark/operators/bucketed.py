@@ -68,12 +68,33 @@ def bucketed_equi_join(
     against bucket i of the right table straight off the files.
     """
     lt, rt = f"{table_prefix}_l", f"{table_prefix}_r"
-    write_bucketed(
-        left, lt, key, buckets,
-        path=None if base_path is None else f"{base_path}/{lt}",
-    )
-    write_bucketed(
-        right, rt, key, buckets,
-        path=None if base_path is None else f"{base_path}/{rt}",
-    )
+    # The two writes are independent jobs writing disjoint tables — submit
+    # them from a 2-thread pool so the second write's tasks back-fill the
+    # first's straggler tail (optimization guide §2.6) instead of waiting
+    # for it. Each invocation still performs BOTH writes; only their wall
+    # clocks overlap. InheritableThread propagates the caller's job group/
+    # description so a driver-side cancel still reaches both jobs.
+    from pyspark.util import InheritableThread
+
+    errs: list[BaseException] = []
+
+    def _write(df: DataFrame, table: str) -> None:
+        try:
+            write_bucketed(
+                df, table, key, buckets,
+                path=None if base_path is None else f"{base_path}/{table}",
+            )
+        except BaseException as exc:  # surface on the caller thread
+            errs.append(exc)
+
+    threads = [
+        InheritableThread(target=_write, args=(left, lt)),
+        InheritableThread(target=_write, args=(right, rt)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
     return spark.table(lt).join(spark.table(rt), key)

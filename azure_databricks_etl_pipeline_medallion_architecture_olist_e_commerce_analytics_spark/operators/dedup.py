@@ -9,7 +9,13 @@ whole-stage-codegen and scale linearly with partitions.
 Scale design notes (100 TB):
 - Exact / fingerprint dedup: one hash-shuffle on the group key. The group key
   is a fixed-width digest (md5), so shuffle rows are small regardless of
-  document size.
+  document size. EXCEPTION: ``jaccard_prefix_join`` groups/joins on the
+  sorted int64 element-hash ARRAY itself (exact set equality, no digest
+  collision caveat) — its group/expansion-join keys are O(set size) per
+  row, 8 bytes per distinct element. That is the deliberate trade: exact
+  semantics and one less per-doc digest pass, at wider shuffle rows for
+  very large documents; a corpus of mega-documents should re-introduce a
+  fixed-width key (md5 of the sorted hash array) for the expansion joins.
 - MinHash LSH: cost is O(docs × shingles × hashes) map-side plus a shuffle
   keyed on (band_id, band_hash) — candidate pairs only materialize within a
   bucket, never the O(n²) cross join.

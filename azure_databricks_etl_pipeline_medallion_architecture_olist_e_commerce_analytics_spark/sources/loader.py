@@ -171,6 +171,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def raw_parquet_schema(spark: SparkSession, path: str):
+    """The UN-normalized schema of a parquet path (what ``spark.read``
+    infers), cached per (session, path, mtime) like the relations above —
+    streaming sources need it on every query build and the inference is
+    the same ~0.1 s driver-side footer/listing round-trip."""
+    key = ("schema", id(spark), _table_cache_key(path))
+    hit = _RELATION_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    schema = spark.read.parquet(path).schema
+    _RELATION_CACHE[key] = (spark, schema)
+    return schema
+
+
 def spread_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition an under-split input up to the session's parallelism.
 
