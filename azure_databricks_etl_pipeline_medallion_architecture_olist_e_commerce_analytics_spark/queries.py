@@ -1427,7 +1427,6 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax combine."""
     from .operators.similarity import (
         _valid_vectors,
-        dot_col,
         norm_col,
         sql_array_lit,
     )
@@ -1441,7 +1440,6 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sel_rank int, vec_id long, relevance_micro bigint, "
             "redundancy_micro bigint, score_micro bigint",
         )
-    qlit = F.expr(sql_array_lit([float(x) for x in qrow[0][0]]))
     pool = spread_partitions(
         emb.filter(F.col("vec_id") != 0).select(
             "vec_id",
@@ -1451,36 +1449,40 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     import math
 
+    from .operators.similarity import _sql_scalar_lit
+
     # math.sqrt IS the IEEE sqrt (x ** 0.5 would be libm pow, not
     # guaranteed identical); the left-to-right sum matches norm_col's
     # fold order and DuckDB's list_sum
     qn = math.sqrt(sum(float(x) * float(x) for x in qrow[0][0]))
-    rel = F.floor(
-        F.lit(1_000_000.0) * (dot_col(F.col("v"), qlit) / (F.col("nv") * F.lit(qn)))
-    ).cast("long")
+
+    # Round-11: each round's relevance/redundancy folds are generated as
+    # ONE SQL string per term (the ivf_assign_ranked discipline) — the
+    # Column-built zip_with/aggregate lambdas cost ~0.03-0.05 s of py4j
+    # round-trips EACH, ~0.9 s of pure driver time across the 5 rounds'
+    # up-to-4-term redundancy expressions. The SQL spelling is the exact
+    # expression tree dot_col builds, so every double is bit-identical.
+    def _score_sql(vec: list[float], norm: float) -> str:
+        return (
+            "CAST(FLOOR(1000000.0D * ("
+            f"aggregate(zip_with(`v`, {sql_array_lit(vec)},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"
+            " (acc, v) -> acc + v)"
+            f" / (`nv` * {_sql_scalar_lit(norm, 'double')}))) AS BIGINT)"
+        )
+
+    rel = F.expr(_score_sql([float(x) for x in qrow[0][0]], qn))
     scored = pool.select("vec_id", "v", "nv", rel.alias("rel_micro"))
 
     selected: list[tuple[int, int, list[float], int, int]] = []
     sel_ids: list[int] = []
-    sel_vec_lits: list = []
+    sel_score_sqls: list[str] = []
     for rank in range(1, 6):
         cand = scored.filter(~F.col("vec_id").isin(sel_ids) if sel_ids else F.lit(True))
-        if sel_vec_lits:
-            red = F.greatest(
-                *[
-                    F.floor(
-                        F.lit(1_000_000.0)
-                        * (dot_col(F.col("v"), sv) / (F.col("nv") * F.lit(sn)))
-                    ).cast("long")
-                    for sv, sn in sel_vec_lits
-                ]
-            ) if len(sel_vec_lits) > 1 else F.floor(
-                F.lit(1_000_000.0)
-                * (
-                    dot_col(F.col("v"), sel_vec_lits[0][0])
-                    / (F.col("nv") * F.lit(sel_vec_lits[0][1]))
-                )
-            ).cast("long")
+        if len(sel_score_sqls) > 1:
+            red = F.expr("greatest(" + ", ".join(sel_score_sqls) + ")")
+        elif sel_score_sqls:
+            red = F.expr(sel_score_sqls[0])
         else:
             red = F.lit(0).cast("long")
         pick = (
@@ -1509,9 +1511,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rank, vid, int(pick["rel"]), int(pick["red"]), int(pick["score"]))
         )
         sel_ids.append(vid)
-        sel_vec_lits.append(
-            (F.expr(sql_array_lit(vec)), math.sqrt(sum(x * x for x in vec)))
-        )
+        sel_score_sqls.append(_score_sql(vec, math.sqrt(sum(x * x for x in vec))))
     return spark.createDataFrame(
         [(r, i, rl, rd, sc) for r, i, rl, rd, sc in selected],
         "sel_rank int, vec_id long, relevance_micro bigint, "
@@ -3133,12 +3133,12 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " 0L, (a, x) -> a + x) div 1000000"
                 ).alias("xv"),
             )
-            .groupBy()
-            .agg(
-                *[
-                    F.sum(F.expr(f"element_at(vm, {j}) * xv")).alias(f"s{j}")
-                    for j in range(1, 65)
-                ]
+            # one selectExpr call = one py4j round-trip for all 64 global
+            # aggregates (64 F.sum(F.expr(...)) Column builds cost ~0.2 s
+            # of driver time per round); the plan is the identical global
+            # hash aggregate
+            .selectExpr(
+                *[f"sum(element_at(vm, {j}) * xv) AS s{j}" for j in range(1, 65)]
             )
             .collect()[0]
         )
@@ -4322,6 +4322,11 @@ def q_list_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.lag("o_orderkey").over(w).alias("prev_key"),
     ).localCheckpoint()
+    # The depth probe reads the already-materialized checkpoint (a cheap
+    # in-memory aggregate). An overlapped variant that re-aggregated the
+    # BASE table concurrently with the checkpoint (guide §2.6) was A/B'd
+    # in round 11 and measured *slower* (min-of-3 1.59 -> 1.85 s): it
+    # duplicates an O(|orders|) scan+aggregate to hide ~0.1 s of latency.
     depth = (
         nodes.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
