@@ -79,7 +79,15 @@ event_summary AS (
 -- speed; if a deployment hits executor OOM here, drop the hint (output is
 -- identical either way — the hint is pure physical strategy).
 -- Measured at sf0.1: 3.67 -> 3.05 s, bitwise-identical output.
-SELECT /*+ BROADCAST(dp, ds, dd, dd_ship, es), SHUFFLE_HASH(do, dc) */
+-- Round-11: silver_customer (c) joined the SHUFFLE_HASH list — it was the
+-- one remaining SortMergeJoin, sorting the full fact chain AND the
+-- customer slice on o_custkey/c_custkey before the custkey-chain exchange
+-- that dc already reuses. Build side is one row per c_custkey (same
+-- no-skew argument as dc); the per-partition build is a customer-slice
+-- partition, same size class as the dc build next to it, so the spill
+-- caveat above covers it unchanged. Plan: SMJ 1 -> 0, both sorts gone;
+-- sf0.1 interleaved A/B min 3.30 -> 3.03 s, median 3.75 -> 3.50.
+SELECT /*+ BROADCAST(dp, ds, dd, dd_ship, es), SHUFFLE_HASH(do, dc, c) */
   sha2(concat(CAST(li.l_orderkey AS STRING), '|', CAST(li.l_linenumber AS STRING)), 256) AS lineitem_key,
   do.order_key,
   dc.customer_key,
