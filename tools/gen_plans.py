@@ -450,10 +450,12 @@ ANNOTATIONS = {
         "Fixed-round deterministic LPA community detection: per round ONE "
         "equi-join of the checkpointed edge list against the broadcast "
         "O(V) label vector (shuffle path above BROADCAST_NODE_LIMIT), "
-        "then TWO map-side-combined hash aggregates — (node, label) "
-        "message counts, then the per-node argmax as max(struct(count, "
-        "-label)), an aggregate rather than a window so a celebrity "
-        "node's messages combine map-side instead of funneling one task. "
+        "then ONE map-side-combined hash aggregate per round — "
+        "mode(label, deterministic=true), whose min-tie-break IS the "
+        "round's argmax-with-min-label rule (round 11: replaces the "
+        "two-aggregate count+argmax chain, halving the round's exchanges; "
+        "an aggregate rather than a window so a celebrity node's messages "
+        "combine map-side instead of funneling one task). "
         "The small path runs all rounds as one linear query (no per-round "
         "checkpoint barrier); min-label tie-breaking keeps the fixpoint "
         "bitwise-reproducible."
@@ -469,13 +471,14 @@ ANNOTATIONS = {
         "top-100 is TakeOrderedAndProject, never a global sort."
     ),
     "hard_negatives": (
-        "Contrastive hard-negative mining: the bounded anchor batch "
-        "broadcasts into a nested-loop join against the corpus (the only "
-        "correct shape for a non-equi cosine scan — never a corpus "
-        "self-join); the label-inequality predicate rides the join "
-        "condition so excluded same-class pairs never rank; norms "
-        "compute once per side, one fold per pair; per-anchor top-3 is "
-        "WindowGroupLimit-bounded."
+        "Contrastive hard-negative mining on the fold-exact vectorized "
+        "kernel (round 11): the bounded anchor batch rides a broadcast "
+        "variable into ONE MapInPandas numpy scorer over the corpus scan "
+        "— no pair blow-up ever shuffles, the same-class exclusion is a "
+        "vectorized mask inside the kernel, and the per-dimension "
+        "accumulation replays the zip_with left fold's IEEE sequence "
+        "bit-for-bit (unit-pinned); rounding and the per-anchor top-3 "
+        "WindowGroupLimit stay in Spark."
     ),
     "embedding_outliers": (
         "Centroid-distance outlier filter: ONE explode feeds a map-side-"
@@ -488,12 +491,15 @@ ANNOTATIONS = {
     ),
     "community_modularity": (
         "Detect→score composition: the LPA labeling localCheckpoints "
-        "once; intra-edge counting is two equi-joins of the edge list "
-        "against the O(V) label vector (broadcast under the node-count "
-        "gate), each aggregate map-side-combines to O(communities) rows; "
-        "2m is a driver-known count off the checkpointed half. Nested "
-        "integer-ppm modularity keeps div/floor-div engine-agreement and "
-        "every intermediate under 2^63."
+        "once; the scoring pass (round 11) joins BOTH endpoint labels "
+        "onto the edge list in one scan and aggregates degree_sum = "
+        "count(*) and intra_deg = count(same-label) together — one "
+        "edge-list pass and one exchange where two separate "
+        "degree/intra aggregations ran before, each map-side-combining "
+        "to O(communities) rows; 2m is a driver-known count off the "
+        "checkpointed half. Nested integer-ppm modularity keeps "
+        "div/floor-div engine-agreement and every intermediate under "
+        "2^63."
     ),
     "ohlc_bars": (
         "Telemetry downsampling to OHLC bars: ONE map-side-combined hash "
